@@ -1,0 +1,69 @@
+"""Benchmark runner (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count).
+A warmup query amortizes JVM/session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_group_sum_avg_minmax",   # flagship TPC-H Q1 shape
+    "join_inner_equi",            # fact⋈fact shuffle join
+    "join_broadcast_dim",         # star join, broadcast dims
+    "window_rank_topn_per_group", # window + rank limit
+    "window_dedupe_latest",       # pk-latest dedupe
+    "agg_rollup_cube",            # grouping sets
+    "sort_limit_topk",            # TakeOrderedAndProject
+    "fn_date_trunc_month",        # date bucketing KPI
+    "text_tokenize_count",        # text analysis scan
+    "join_asof",                  # as-of join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mercurygate_spark.queries import all_queries
+    from mercurygate_spark.session import get_spark
+
+    spark = get_spark(app_name="mercurygate_spark_bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warmup: trigger JVM classloading + parquet footer reads once.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        n = queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

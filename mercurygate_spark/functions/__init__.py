@@ -1,0 +1,97 @@
+"""Scalar/column helper functions (SURVEY.md §2c "Scalar functions").
+
+All helpers build Column expressions from ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen friendly; no Python UDFs here. Each has
+a deterministic cross-engine contract so a DuckDB oracle can reproduce
+it bit-for-bit:
+
+- timestamps are compared as epoch microseconds (``ts_us`` ==
+  DuckDB ``epoch_us``) — avoids tz/precision ambiguity in hashing;
+- derived date buckets are formatted strings (``month_bucket`` ==
+  DuckDB ``strftime(date_trunc('month', x), '%Y-%m')``);
+- derived doubles are rounded (``r2``/``r6``) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference parity: the one explicit timestamp format in the reference
+# (mm_bronze_silver.py:216) — reused by the conform layer and fn_to_timestamp.
+REFERENCE_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def ts_us(c: Column | str) -> Column:
+    """Timestamp → epoch microseconds (bigint). DuckDB twin: epoch_us(x)."""
+    return F.unix_micros(F.col(c) if isinstance(c, str) else c)
+
+
+def month_bucket(c: Column | str) -> Column:
+    """Month bucket as 'YYYY-MM' string — the engine's version of the
+    reference's year_month partition column (mm_source_to_bronze.py:149),
+    string-typed for cross-engine hash stability.
+    DuckDB twin: strftime(date_trunc('month', x), '%Y-%m')."""
+    return F.date_format(F.col(c) if isinstance(c, str) else c, "yyyy-MM")
+
+
+def _round_fixed(c: Column, scale: int) -> Column:
+    """Cross-engine-stable rounding: floor(x*10^s + 0.5)/10^s.
+
+    Spark's round() (BigDecimal HALF_UP over the double's shortest
+    decimal repr) and DuckDB's round() (raw-double based) disagree on
+    exact half-boundary values — which 2-dp money data hits
+    systematically. This explicit IEEE expression evaluates
+    bit-identically in both engines; the SQL twin is the same text
+    (see sql_r2/sql_r6)."""
+    k = 10**scale
+    return F.floor(c * k + F.lit(0.5)) / k
+
+
+def r2(c: Column) -> Column:
+    """Round derived double to 2 dp (money). SQL twin: sql_r2."""
+    return _round_fixed(c, 2)
+
+
+def r6(c: Column) -> Column:
+    """Round derived double to 6 dp (ratios). SQL twin: sql_r6."""
+    return _round_fixed(c, 6)
+
+
+def sql_r2(expr: str) -> str:
+    """DuckDB twin of r2 — embed in oracle SQL strings."""
+    return f"floor(({expr}) * 100 + 0.5) / 100"
+
+
+def sql_r6(expr: str) -> str:
+    """DuckDB twin of r6 — embed in oracle SQL strings."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def norm_text(c: Column | str) -> Column:
+    """Normalize free text: lowercase, collapse whitespace, trim.
+    DuckDB twin: trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Tokenize to lowercase alnum tokens, empty strings dropped.
+    DuckDB twin:
+    list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'), t -> t <> '')."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def md5_hex(c: Column) -> Column:
+    """md5 hex digest of a string column (cross-engine stable hash —
+    unlike F.hash/xxhash64 which are Spark-specific murmur/xxh)."""
+    return F.md5(c.cast("string"))
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint. Cross-engine
+    deterministic base hash for minhash/simhash/LSH, where Spark's
+    native hash() would not match any oracle.
+    DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(md5_hex(c), 1, 15), 16, 10).cast("long")

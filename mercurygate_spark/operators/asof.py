@@ -1,0 +1,83 @@
+"""As-of join (SURVEY.md §2c `join_asof`): for each left row, the
+latest right row with ``right_ts <= left_ts`` per key.
+
+Spark has no native as-of join (public API gap also noted in the
+PySpark guide's OLAP patterns). Two strategies:
+
+- ``asof_join``: equi-join on key + range filter + row_number window.
+  One shuffle per side on the key; AQE handles skew. This is the
+  scale-path when right-side fan-in per left row is bounded.
+- ``asof_join_pandas``: cogrouped ``applyInPandas`` running
+  ``pd.merge_asof`` per key group — Arrow-batched, for when the
+  window's intermediate (left × matching-right) blowup is too large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+    left_key: list[str] | None = None,
+) -> DataFrame:
+    """Window-based as-of join.
+
+    Left columns are all kept; caller aliases ``right_cols`` beforehand
+    on collision. ``left_key`` is a unique key of the left side (falls
+    back to all left columns) — the ranking window partitions on it.
+    Deterministic tie-break: equal right timestamps resolve by the
+    remaining ``right_cols`` descending.
+    """
+    lcols = left.columns
+    r = right.select(on, right_ts, *[c for c in right_cols if c not in (on, right_ts)])
+    j = left.join(r, on=on, how="inner").where(F.col(right_ts) <= F.col(left_ts))
+    order = [F.col(right_ts).desc()] + [
+        F.col(c).desc() for c in right_cols if c not in (on, right_ts)
+    ]
+    w = Window.partitionBy(*(left_key or lcols)).orderBy(*order)
+    matched = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    if how == "left":
+        missing = left.join(matched.select(lcols), on=lcols, how="left_anti")
+        matched = matched.unionByName(missing, allowMissingColumns=True)
+    return matched
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Cogrouped merge_asof — per-key pandas merge, Arrow-batched.
+
+    Preferred when one key has many right rows (the window variant
+    materializes left×right-candidates before ranking; merge_asof is
+    linear after the per-group sort)."""
+    import pandas as pd
+
+    out_fields = left.schema.fields + [
+        f for f in right.schema.fields if f.name in right_cols and f.name != on
+    ]
+    from pyspark.sql.types import StructType
+
+    schema = StructType(out_fields)
+    rsel = right.select(on, right_ts, *[c for c in right_cols if c not in (on, right_ts)])
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf.sort_values(right_ts, kind="mergesort")
+        return pd.merge_asof(
+            lpdf, rpdf.drop(columns=[on]), left_on=left_ts, right_on=right_ts
+        )[[f.name for f in out_fields]]
+
+    return left.groupBy(on).cogroup(rsel.groupBy(on)).applyInPandas(merge, schema)

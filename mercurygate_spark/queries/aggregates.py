@@ -1,0 +1,171 @@
+"""Aggregations (SURVEY.md §2c "Aggregations" — the Gold KPI promise,
+reference README.md:121-129).
+
+All grouped aggregates compile to partial (map-side) + final hash
+aggregation — at 100 TB the map-side combine is what keeps the shuffle
+small, and AQE coalesces the post-shuffle partitions.
+Derived doubles are rounded identically on both engine and oracle side
+(see functions.r2) so the hash compare is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import r2
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+@query("agg_count_star", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table count — the reference's only aggregate (A1,
+    mm_source_to_bronze.py:140), as a DataFrame (no eager action)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "agg_group_sum_avg_minmax",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                              AS avg_qty,
+           round(avg(l_extendedprice), 2)                         AS avg_price,
+           round(avg(l_discount), 2)                              AS avg_disc,
+           round(min(l_extendedprice), 2)                         AS min_price,
+           round(max(l_extendedprice), 2)                         AS max_price,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum_avg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: TPC-H-Q1-shaped pricing summary — grouped
+    sum/avg/min/max over amount expressions (the Gold 'aggregated
+    business KPIs' intent; amounts mirror mm_bronze_silver.py:56-62).
+
+    Plan shape to preserve at scale: scan w/ pushed l_shipdate filter +
+    pruned 7-col ReadSchema → partial hash agg → 6-key shuffle →
+    final hash agg. Nothing else."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+        r2(F.sum(disc_price)).alias("sum_disc_price"),
+        r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        r2(F.avg("l_quantity")).alias("avg_qty"),
+        r2(F.avg("l_extendedprice")).alias("avg_price"),
+        r2(F.avg("l_discount")).alias("avg_disc"),
+        r2(F.min("l_extendedprice")).alias("min_price"),
+        r2(F.max("l_extendedprice")).alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDV per group. Spark plans multi-distinct via expand +
+    two-phase aggregation — at scale prefer one distinct per query or
+    approx_count_distinct (next query) when exactness isn't required."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL sketches are engine-specific → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NDV (HyperLogLog++) — the 100 TB-scale substitute for
+    exact distinct: no expand, constant-size sketch per group, single
+    shuffle. No oracle: DuckDB's approx sketch differs by construction;
+    pytest asserts the estimate is within rtol of the exact count."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_rollup_cube",
+    oracle="""
+    SELECT coalesce(r_name, '<ALL>') AS region_name,
+           coalesce(n_name, '<ALL>') AS nation_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy region→nation→grand-total via ROLLUP — the
+    geographic KPI hierarchy the reference hardcodes as lit('NAM')/
+    lit('USA') audit columns (mm_source_to_bronze.py:150-151). Grouping
+    nulls are labeled '<ALL>' (source columns are non-null) so the
+    subtotal rows hash identically across engines."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), r2(F.sum("c_acctbal")).alias("sum_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("<ALL>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation_name"),
+            "n_customers",
+            "sum_bal",
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): high-volume, high-value
+    customers. The filter runs after the final hash agg — Catalyst
+    cannot push it below the aggregate, which is the correct plan."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("__raw_spend"),
+        )
+        .where((F.col("n_orders") >= 12) & (F.col("__raw_spend") > 1000000))
+        .select("o_custkey", "n_orders", r2(F.col("__raw_spend")).alias("total_spend"))
+    )

@@ -1,0 +1,225 @@
+"""Joins (SURVEY.md §2c "Joins" — all Gold-layer gaps; the FK pattern
+mirrors claim⋈children, config.py:36-72).
+
+Scale notes baked into each query:
+- dims (region/nation/supplier at TPC-H proportions) are broadcast —
+  no shuffle of the fact side;
+- fact⋈fact (orders⋈lineitem) shuffles both sides on the key once;
+  AQE picks SMJ/SHJ and splits skewed partitions;
+- semi/anti joins never materialize right columns — cheaper than
+  inner+distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import r2, ts_us
+from mercurygate_spark.operators.asof import asof_join
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join orders⋈lineitem (the claim⋈claim_payment shape) +
+    KPI rollup. Both sides shuffle on the orderkey; the o_orderstatus
+    filter is pushed below the join into the orders scan."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    j = t["orders"].where(F.col("o_orderstatus") == "F").join(
+        t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: parents keep unmatched children (claims with no
+    payments → customers with no orders), count(col) skips nulls."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    j = t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+    return j.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r_name AS region_name,
+           n_name AS nation_name,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact⋈3 small dims, every dim explicitly broadcast —
+    zero shuffle of the lineitem side regardless of fact size. This is
+    THE 100 TB join shape: the plan must show BroadcastHashJoin ×3 and
+    exactly one exchange (for the final agg)."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.count("*").alias("n_items"),
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having ≥1 finished order. Right side only
+    gates existence — no right columns materialized, duplicates free."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    finished = t["orders"].where(F.col("o_orderstatus") == "F")
+    return t["customer"].join(
+        finished, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all (orphan-parent check —
+    the outer/anti-join case FIXTURES.md plants orphans for)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems shipped within 60 days of
+    their order date. The equi key carries the shuffle; the range
+    predicate evaluates inside the join — never a cartesian. (A pure
+    non-equi range join would bucketize the range key first — see
+    operators.asof for the pattern.)"""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    cond = (
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        t["orders"]
+        .join(t["lineitem"], cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), r2(F.sum("l_extendedprice")).alias("sum_price"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.click_ts DESC, c.click_id DESC
+             ) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+    )
+    SELECT user_id, purchase_id,
+           epoch_us(purchase_ts) AS purchase_ts_us,
+           click_id,
+           epoch_us(click_ts) AS click_ts_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the latest click by the
+    same user at-or-before the purchase (claim-status-as-of shape,
+    SURVEY.md §2c). Uses operators.asof.asof_join (join + window);
+    ties broken by click_id desc — fully deterministic."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        left_key=["purchase_id"],
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        ts_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        ts_us("click_ts").alias("click_ts_us"),
+    )

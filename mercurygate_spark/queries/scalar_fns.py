@@ -1,0 +1,198 @@
+"""Scalar functions (SURVEY.md §2c "Scalar functions").
+
+Covers: fn_date_trunc_month (P2), fn_to_timestamp (P3), fn_date_arith,
+fn_string_ops, fn_math_round, fn_null_handling, fn_array_map_json.
+All stay inside whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import REFERENCE_TS_FMT, month_bucket, r2, ts_us
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+@query(
+    "fn_date_trunc_month",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def fn_date_trunc_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month bucketing — the reference's year_month derivation
+    (P2, mm_source_to_bronze.py:149) used as a KPI group key."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(month_bucket("o_orderdate").alias("year_month"))
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue"))
+    )
+
+
+@query(
+    "fn_to_timestamp",
+    oracle="""
+    SELECT event_id,
+           epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS parsed_us
+    FROM events
+    """,
+)
+def fn_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→timestamp with the reference's exact format
+    (P3, mm_bronze_silver.py:216 'yyyy-MM-dd HH:mm:ss'): format each
+    event ts to that string, parse it back, return epoch micros of the
+    (second-truncated) result. Proves format-pinned round-tripping."""
+    t = load_tables(spark, sf_dir, "events")
+    return t["events"].select(
+        "event_id",
+        ts_us(
+            F.to_timestamp(F.date_format("ts", REFERENCE_TS_FMT), REFERENCE_TS_FMT)
+        ).alias("parsed_us"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderpriority,
+           year(o_orderdate) AS order_year,
+           count(*) AS n_items,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 2) AS avg_ship_days,
+           max(date_diff('day', o_orderdate, l_shipdate)) AS max_ship_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, year(o_orderdate)
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: order→ship latency in days (the claim-cycle-time
+    KPI over the reference's date_* chains, mm_bronze_silver.py:63-83)
+    + year extraction."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    j = t["orders"].join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_items"),
+        r2(F.avg(lat)).alias("avg_ship_days"),
+        F.max(lat).alias("max_ship_days"),
+    )
+
+
+@query(
+    "fn_string_ops",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           trim(concat(c_name, ' ')) AS name_trimmed,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           length(c_name) AS name_len,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/trim/substr/regexp_extract/length/
+    concat_ws over the party-name columns (the code/address cols of the
+    reference, mm_bronze_silver.py:10-86)."""
+    t = load_tables(spark, sf_dir, "customer")
+    return t["customer"].select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("name_num"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@query(
+    "fn_math_round",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kilo_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kilo_floor,
+           round(sqrt(l_quantity), 6) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def fn_math_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/ceil/floor/sqrt on amounts
+    (mm_bronze_silver.py:56-62 money columns). ceil/floor cast to
+    BIGINT on both sides (Spark returns LONG, DuckDB DOUBLE)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kilo_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kilo_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+    )
+
+
+@query(
+    "fn_null_handling",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS n_low,
+           round(sum(coalesce(nullif(o_totalprice, 0), 0)), 2) AS sum_total,
+           count(nullif(o_orderpriority, '5-LOW')) AS n_not_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL family: nullif/coalesce/null-skipping count — the engine's
+    treatment of the reference's sparse date_* columns (most claim
+    dates are null until their lifecycle step happens)."""
+    t = load_tables(spark, sf_dir, "orders")
+    low_nulled = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(low_nulled.isNull().cast("long")).alias("n_low"),
+        r2(F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0)))).alias(
+            "sum_total"
+        ),
+        F.count(low_nulled).alias("n_not_low"),
+    )
+
+
+@query(
+    "fn_array_map_json",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def fn_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/JSON family: JSON field extraction from the events props
+    payload + collected-distinct-sorted array rendered as a string
+    (deterministic; raw collect_list order is engine-dependent).
+    Gap-fill for the reference's flat-scalar model (SURVEY.md §1.2)."""
+    t = load_tables(spark, sf_dir, "events")
+    return t["events"].groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+    )

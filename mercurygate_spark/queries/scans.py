@@ -1,0 +1,155 @@
+"""Scans / sources / sinks (SURVEY.md §2c "Scans / sources / sinks").
+
+Covers: scan_parquet (S7), scan_csv_infer (S6), sink_parquet_partitioned
+(K1), sink_delta_overwrite (K2, parquet fallback), source_local_rows (S8).
+
+Sinks are exercised as round-trips: write to a temp dir with the
+engine's writer, read back, aggregate — the oracle aggregates the
+original table, so a faithful sink is an identity round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import month_bucket, r2
+from mercurygate_spark.io.writers import (
+    read_delta_or_parquet,
+    write_delta_or_parquet,
+    write_parquet_partitioned,
+)
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+def _tmp(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "mercurygate_spark_sinks")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with projection + filter — Catalyst pushes both into
+    the scan (ReadSchema pruned to 5 cols, PushedFilters on l_returnflag).
+    Reference anchor: mm_bronze_silver.py:204."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "scan_csv_infer",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with header + schema inference (reference S6,
+    mm_source_to_bronze.py:135-138): round-trip lineitem through CSV,
+    re-infer types, aggregate. Matching the parquet-based oracle proves
+    header handling + inference recover the original ints/doubles/strings.
+    """
+    t = load_tables(spark, sf_dir, "lineitem")
+    path = _tmp("csv_roundtrip")
+    # Numeric + string subset: CSV cannot round-trip microsecond
+    # timestamps through inference, doubles/longs/strings can.
+    t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    ).write.mode("overwrite").option("header", True).csv(path)
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink round-trip (reference K1,
+    mm_source_to_bronze.py:164): write orders partitioned by the derived
+    year_month column, read back across partitions, aggregate per
+    partition value. Proves the hive layout + partition-column recovery."""
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("parquet_partitioned")
+    enriched = t["orders"].withColumn("year_month", month_bucket("o_orderdate"))
+    write_parquet_partitioned(enriched, path, partition_by=["year_month"])
+    back = spark.read.parquet(path)
+    return back.groupBy("year_month").agg(
+        F.count("*").alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("sum_total"),
+    )
+
+
+@query(
+    "sink_delta_overwrite",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT c_custkey) AS n_keys,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    """,
+)
+def sink_delta_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite sink with schema-overwrite semantics (reference K2,
+    mm_bronze_silver.py:230) — Delta when available, parquet fallback
+    otherwise (this environment has no delta-spark). Write twice
+    (overwrite must replace, not append), read back, aggregate."""
+    t = load_tables(spark, sf_dir, "customer")
+    path = _tmp("delta_overwrite")
+    write_delta_or_parquet(t["customer"], path, mode="overwrite")
+    write_delta_or_parquet(t["customer"], path, mode="overwrite")  # idempotent replace
+    back = read_delta_or_parquet(spark, path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        r2(F.sum("c_acctbal")).alias("sum_bal"),
+    )
+
+
+@query(
+    "source_local_rows",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('NAM', 'USA', 'mm'),
+      ('NAM', 'USA', 'linehaul'),
+      ('EMEA', 'DEU', 'mm')
+    ) AS t(region, country, database)
+    """,
+)
+def source_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-collection source (reference S8, mm_source_to_bronze.py:208
+    run-metadata pattern): createDataFrame from driver rows."""
+    rows = [
+        ("NAM", "USA", "mm"),
+        ("NAM", "USA", "linehaul"),
+        ("EMEA", "DEU", "mm"),
+    ]
+    return spark.createDataFrame(rows, schema="region string, country string, database string")

@@ -1,0 +1,81 @@
+"""Set operations (SURVEY.md §2c "Set ops").
+
+The reference's natural set op is MM ∪ Linehaul — two structurally
+identical datasets unioned (config.py:105-109); modeled here on the
+customer/supplier pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT c_custkey AS party_key, c_name AS party_name,
+           c_nationkey AS nation_key, 'customer' AS party_type
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, 'supplier'
+    FROM supplier
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (the MM∪Linehaul shape): conform both sides to
+    a shared schema, then unionByName — never positional union, which
+    silently mismatches reordered columns."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.lit("customer").alias("party_type"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.col("s_nationkey").alias("nation_key"),
+        F.lit("supplier").alias("party_type"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nation_key FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers
+    and suppliers."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nation_key"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nation_key")))
+    )
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nation_key FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers. (exceptAll/intersectAll cover the bag-semantics
+    variants — exercised in unit tests.)"""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nation_key"))
+        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nation_key")))
+    )

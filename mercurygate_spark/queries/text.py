@@ -1,0 +1,180 @@
+"""Text-analysis queries over the documents table (north-star surface:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Each DuckDB oracle reimplements the exact same expression tree —
+integer counts and int/int divisions only, so values hash-match
+without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import r6
+from mercurygate_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    quality_features,
+    token_count,
+)
+from mercurygate_spark.queries.registry import load_tables, query
+
+_STOP_PAT = r"(^| )(" + "|".join(STOPWORDS_EN) + r")( |$)"
+
+
+@query(
+    "text_tokenize_count",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens,
+             len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                           t -> t <> ''))) AS n_distinct
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           sum(n_distinct) AS total_distinct
+    FROM tok GROUP BY lang
+    """,
+)
+def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document, aggregated per language: whitespace/
+    punctuation tokenizer (BPE-ish alnum regex), total + distinct token
+    counts. Pure codegen expressions — a linear scan, one small
+    shuffle on lang."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "lang",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""))).alias(
+            "n_distinct"
+        ),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        r6(F.avg("n_tokens")).alias("avg_tokens"),
+        F.sum("n_distinct").alias("total_distinct"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens,
+             len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                           t -> t <> ''))) AS n_distinct_tokens,
+             len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                    '{_STOP_PAT}')) AS n_stopwords,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS char_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens, n_stopwords, n_punct, char_len,
+           round(n_distinct_tokens / n_tokens, 6) AS ttr,
+           round(n_stopwords / n_tokens, 6) AS stopword_ratio,
+           round(n_punct / char_len, 6) AS punct_ratio
+    FROM feat WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring per document: type-token ratio, stopword ratio,
+    punctuation ratio — the standard pretraining-corpus quality
+    features, as pure column expressions."""
+    t = load_tables(spark, sf_dir, "documents")
+    feat = quality_features(t["documents"], "text").where(F.col("n_tokens") > 0)
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_stopwords",
+        "n_punct",
+        "char_len",
+        r6(F.col("n_distinct_tokens") / F.col("n_tokens")).alias("ttr"),
+        r6(F.col("n_stopwords") / F.col("n_tokens")).alias("stopword_ratio"),
+        r6(F.col("n_punct") / F.col("char_len")).alias("punct_ratio"),
+    )
+
+
+def _duck_marker(pat: str) -> str:
+    return (
+        "len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), "
+        f"'{pat}'))"
+    )
+
+
+_SCORE_COLS = ",\n             ".join(
+    f"{_duck_marker(pat)} AS s_{lang}" for lang, pat in LANG_MARKERS
+)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in LANG_MARKERS) + ")"
+_CASE = "CASE " + " ".join(
+    f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang, _ in LANG_MARKERS
+) + " ELSE 'und' END"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_SCORE_COLS}
+      FROM documents
+    ), best AS (
+      SELECT *, {_BEST} AS best FROM scored
+    )
+    SELECT {_CASE} AS pred_lang,
+           lang AS labeled_lang,
+           count(*) AS n_docs
+    FROM best
+    GROUP BY 1, 2
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-marker scores,
+    argmax with deterministic tie-break (LANG_MARKERS order), compared
+    against the labeled lang as a confusion-matrix rollup."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select(lang_id("text").alias("pred_lang"), F.col("lang").alias("labeled_lang"))
+        .groupBy("pred_lang", "labeled_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (lower,
+    whitespace-collapse, trim), grouped to expose exact-dup clusters.
+    Cross-engine-stable hash by construction (functions.md5_hex)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# lang_scores imported for reuse by tests; reference it so linters keep it.
+_ = lang_scores

@@ -1,0 +1,132 @@
+"""Window functions (SURVEY.md §2c "Window functions"; the dedupe
+intent mm_bronze_silver.py:171-182 is itself a window op).
+
+Determinism rule for every window here: the ORDER BY ends in a unique
+column (event_id / o_orderkey) so ties cannot reorder frames between
+engines (SURVEY.md §7 risk 'SCD/merge semantics').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import r2, ts_us
+from mercurygate_spark.pipeline.conform import dedupe_latest
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+@query(
+    "window_dedupe_latest",
+    oracle="""
+    SELECT user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           event_id,
+           round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-latest dedupe — realizes the reference's declared
+    primary_key/orderByCol registry intent (SURVEY.md §2b) via
+    pipeline.conform.dedupe_latest. One shuffle on the pk; the
+    tie-break (event_id desc) pins a total order."""
+    t = load_tables(spark, sf_dir, "events")
+    d = dedupe_latest(
+        t["events"], primary_key=["user_id", "event_type"], order_by=["ts"], tiebreakers=["event_id"]
+    )
+    return d.select(
+        "user_id", "event_type", ts_us("ts").alias("ts_us"), "event_id", r2(F.col("value")).alias("value")
+    )
+
+
+@query(
+    "window_rank_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 5
+    """,
+)
+def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: 5 biggest orders per market segment. rank()
+    keeps ties → the qualifying SET is deterministic even on equal
+    prices. At scale Spark pushes a per-partition rank limit before
+    the shuffle (WindowGroupLimit) — no full sort of the fact."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
+    return (
+        j.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS order_date_us,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS cum_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order history (the
+    running-amount KPI over the reference's date_* chains). ROWS frame
+    + unique key in the ORDER BY → identical accumulation order in any
+    engine, so the rounded sums hash-match exactly."""
+    t = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        ts_us("o_orderdate").alias("order_date_us"),
+        r2(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS ts_us,
+           epoch_us(lag(ts)  OVER w) AS prev_ts_us,
+           epoch_us(lead(ts) OVER w) AS next_ts_us,
+           round(value - lag(value) OVER w, 2) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user event stream (day-over-day shape on the
+    reference's date chains). First/last rows yield NULLs — part of
+    the contract."""
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        ts_us(F.lag("ts").over(w)).alias("prev_ts_us"),
+        ts_us(F.lead("ts").over(w)).alias("next_ts_us"),
+        r2(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
