@@ -1,0 +1,249 @@
+"""Deduplication operators (north-star surface, BASELINE.json):
+exact, MinHash+LSH banding, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- every hash is md5-derived (cross-engine deterministic → DuckDB
+  oracle can replay it; Spark's murmur hash() could not be checked);
+- candidate generation is always BUCKETED (LSH bands, source buckets,
+  hash prefixes) — never an all-pairs cross join; the shuffle key is
+  the bucket, so work scales with bucket sizes, not n²;
+- signatures are computed in ONE aggregation pass over exploded
+  shingles (16 min-aggregates), not 16 passes.
+
+Public-knowledge basis: Broder's MinHash (1997), Charikar's SimHash
+(2002), standard LSH banding from Mining of Massive Datasets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import md5_long, tokens
+
+# MinHash parameters — single source of truth for BOTH the Spark
+# implementation and the generated DuckDB oracle SQL.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; (a*h+b) stays < 2^62 — no int64 overflow
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+# (a, b) pairs for the affine permutations h_j = (a_j*h0 + b_j) mod p.
+HASH_PARAMS = [(2 * j + 1, 97 * j + 31) for j in range(N_HASHES)]
+
+SHINGLE_K = 3  # word-trigram shingles
+
+
+def _shingles_from_tokens(tk_col: str) -> Column:
+    """Distinct word-trigram shingles from a materialized token-array
+    column; texts shorter than K tokens fall back to one whole-text
+    shingle. 0-based Spark SQL array indexing; the DuckDB twin uses
+    1-based lists — see duck_shingles_sql()."""
+    tri = F.expr(
+        f"transform(sequence(0, size({tk_col}) - 3), i -> "
+        f"concat({tk_col}[i], ' ', {tk_col}[i+1], ' ', {tk_col}[i+2]))"
+    )
+    return F.when(F.size(F.col(tk_col)) >= SHINGLE_K, F.array_distinct(tri)).otherwise(
+        F.array(F.array_join(F.col(tk_col), " "))
+    )
+
+
+def duck_shingles_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of shingles(): CTE body producing (…, shingles LIST)."""
+    tk = (
+        f"list_filter(regexp_split_to_array(lower({text_expr}), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    )
+    return f"""
+      CASE WHEN len({tk}) >= {SHINGLE_K}
+           THEN list_distinct(list_transform(range(1, len({tk}) - 1),
+                i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2]))
+           ELSE [array_to_string({tk}, ' ')]
+      END
+    """
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    return df.withColumn("__tk", tokens(text_col)).select(
+        id_col, *extra_cols, _shingles_from_tokens("__tk").alias("shingles")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingles[]) → (id, m0..m{K-1}) minhash signature.
+
+    One explode + ONE grouped aggregation with K min() columns — the
+    shuffle moves K longs per doc, not the shingle set."""
+    ex = df.select(id_col, F.explode("shingles").alias("s"))
+    h0 = (md5_long(F.col("s")) % MINHASH_PRIME).alias("h0")
+    hashed = ex.select(id_col, h0)
+    aggs = [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_PRIME).alias(f"m{j}")
+        for j, (a, b) in enumerate(HASH_PARAMS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """Signature → (id, band_idx, band_key): md5 over each band's
+    concatenated minhashes. Docs agreeing on ALL rows of any band
+    share a band_key — the LSH bucket join key."""
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)))
+    return sig.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """End-to-end MinHash LSH: docs → signatures → band buckets →
+    candidate pairs (id_a < id_b) with the number of agreeing bands.
+    The only join is bucket-equi on (band_idx, band_key)."""
+    bands = lsh_bands(minhash_signature(with_shingles(df, id_col, text_col), id_col), id_col)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def duck_minhash_pairs_sql(id_col: str = "doc_id", table: str = "documents") -> str:
+    """Generated DuckDB oracle replaying the exact same MinHash LSH
+    pipeline (same md5-base hash, same HASH_PARAMS, same banding)."""
+    p = MINHASH_PRIME
+    mins = ",\n             ".join(
+        f"min(({a} * h0 + {b}) % {p}) AS m{j}" for j, (a, b) in enumerate(HASH_PARAMS)
+    )
+    band_rows = []
+    for bi in range(N_BANDS):
+        parts = " || ',' || ".join(
+            f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT {id_col}, {bi} AS band_idx, md5({parts}) AS band_key FROM sig"
+        )
+    bands_union = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col}, {duck_shingles_sql()} AS shingles FROM {table}
+    ), ex AS (
+      SELECT {id_col}, unnest(shingles) AS s FROM sh
+    ), hashed AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h0 FROM ex
+    ), sig AS (
+      SELECT {id_col},
+             {mins}
+      FROM hashed GROUP BY {id_col}
+    ), bands AS (
+      {bands_union}
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.{id_col} < b.{id_col}
+    GROUP BY 1, 2
+    """
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash over token-count-weighted md5 token hashes:
+    bit i of the fingerprint is 1 iff sum over tokens of
+    count * (2*bit_i(h)-1) > 0. Two explodes (tokens, then 32 bit
+    positions) — linear in tokens × 32, no joins."""
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("t"))
+    counted = tok.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    hashed = counted.select(id_col, "c", (md5_long(F.col("t"))).alias("h"))
+    bits = (
+        hashed.select(id_col, "c", "h")
+        .select(
+            id_col,
+            "c",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+        )
+        .select(
+            id_col,
+            F.col("i"),
+            (F.col("c") * (F.expr("cast((h >> i) & 1 as bigint)") * 2 - 1)).alias("contrib"),
+        )
+    )
+    return (
+        bits.groupBy(id_col, "i")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(pow(2, i) as bigint)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def duck_simhash_sql(id_col: str = "doc_id", table: str = "documents") -> str:
+    """DuckDB oracle replaying simhash() exactly."""
+    tk = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest({tk}) AS t FROM {table}
+    ), counted AS (
+      SELECT {id_col}, t, count(*) AS c FROM tok GROUP BY {id_col}, t
+    ), hashed AS (
+      SELECT {id_col}, c, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM counted
+    ), bits AS (
+      SELECT {id_col}, i, c * ((((h >> i) & 1) * 2) - 1) AS contrib
+      FROM hashed, (SELECT unnest(range({SIMHASH_BITS})) AS i)
+    ), sums AS (
+      SELECT {id_col}, i, sum(contrib) AS s FROM bits GROUP BY {id_col}, i
+    )
+    SELECT {id_col},
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+    FROM sums GROUP BY {id_col}
+    """
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing a
+    bucket (blocking column — at scale, an LSH band or simhash prefix;
+    here any low-cardinality key). jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    over distinct shingle sets, computed by a shingle-equi join —
+    intersection counts come from the join, set sizes from one
+    aggregate; integer arithmetic end-to-end until the final division."""
+    sh = with_shingles(df.withColumn("bucket", F.col(bucket_col)), id_col, text_col, ("bucket",))
+    sizes = sh.select(id_col, "bucket", F.size("shingles").alias("n_sh"))
+    ex = sh.select(id_col, "bucket", F.explode("shingles").alias("s"))
+    a = ex.select(F.col(id_col).alias("id_a"), "bucket", "s")
+    b = ex.select(F.col(id_col).alias("id_b"), "bucket", "s")
+    inter = (
+        a.join(b, ["bucket", "s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("bucket", "id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, ["bucket", "id_a"])
+        .join(sb, ["bucket", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)

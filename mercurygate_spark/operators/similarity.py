@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (north-star surface):
+brute-force cosine top-k baseline + random-hyperplane-LSH-bucketed
+variant as the scale path.
+
+Embeddings are array<float>; all math is done in DOUBLE after an
+explicit cast so the DuckDB oracle (list ops over DOUBLE[]) computes
+bit-identical dot products (same sequential accumulation order).
+
+Scale notes:
+- brute-force is broadcast(queries) × candidates — one pass over the
+  corpus, no shuffle of the corpus; right for |queries| small.
+- the LSH variant buckets both sides by deterministic hyperplane sign
+  bits (md5-derived planes, no RNG) and only scores within buckets —
+  candidate work scales with bucket sizes. At 1000 executors the
+  bucket is the shuffle key.
+Public-knowledge basis: Charikar random-hyperplane LSH (STOC 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8  # LSH sign bits → up to 256 buckets
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — same accumulation order as
+    DuckDB's list_dot_product, so doubles match exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_scale: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set
+    against the corpus, rank per query by (rounded cosine desc, id) —
+    the rounding makes the ranking stable across engines whose last-ulp
+    cosines could differ.
+
+    Returns (query_id, candidate_id, cos, rk), excluding self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
+             / 10**round_scale).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, out: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id: N_PLANES projection sign bits
+    concatenated into a string key. Constant sign arrays are
+    constant-folded by Catalyst — the per-row work is N_PLANES fused
+    zip_with folds, no join, no shuffle."""
+    v = _as_double(F.col(vec_col))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, _plane_signs(p), lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(N_PLANES)
+    ]
+    return df.select(id_col, F.col(vec_col), F.concat(*bits).alias(out))
+
+
+def _plane_signs(plane: int) -> Column:
+    return F.array(
+        *[
+            F.when(
+                F.conv(F.substring(F.md5(F.lit(f"p{plane}:{d}")), 1, 1), 16, 10)
+                .cast("int") % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            for d in range(64)
+        ]
+    )
+
+
+def duck_plane_signs_sql(plane: int) -> str:
+    """DuckDB twin of _plane_signs: a literal DOUBLE list expression."""
+    comps = ", ".join(
+        f"CASE WHEN ('0x' || substr(md5('p{plane}:{d}'), 1, 1))::INT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END"
+        for d in range(64)
+    )
+    return f"[{comps}]::DOUBLE[]"
+
+
+def duck_bucket_sql(vec_expr: str) -> str:
+    """DuckDB twin of lsh_bucket's bit-string key."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {duck_plane_signs_sql(p)}) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(N_PLANES)
+    )
+    return bits
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_scale: int = 4,
+) -> DataFrame:
+    """ANN variant: score only candidates in the query's LSH bucket.
+    Recall < 1 by design (pytest checks recall vs brute force); the
+    candidate join is bucket-equi, so corpus work is bucket-local."""
+    q = lsh_bucket(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = lsh_bucket(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
+             / 10**round_scale).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -1,1 +1,142 @@
-"""Placeholder — filled in as the dedup surface lands (SURVEY.md §7)."""
+"""Deduplication queries over the documents/embeddings tables
+(north-star surface): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. Every one has a full DuckDB oracle — the
+hashes are md5-derived specifically so the oracle can replay them
+(operators.dedup docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import r6
+from mercurygate_spark.operators.dedup import (
+    duck_minhash_pairs_sql,
+    duck_shingles_sql,
+    duck_simhash_sql,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mercurygate_spark.operators.similarity import cosine
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc
+    FROM fp GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint;
+    groups >1 are duplicate clusters, keeper = min doc_id. At 100 TB
+    this is one shuffle of (16-byte hash, id) pairs — the canonical
+    first dedup pass."""
+    from mercurygate_spark.operators.text import fingerprint
+
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@query("dedup_minhash_lsh", oracle=duck_minhash_pairs_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates: word-trigram
+    shingles → 16 md5-affine minhashes → 4 bands → bucket-join.
+    The oracle replays the identical pipeline in SQL (generated from
+    the same HASH_PARAMS constants)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(t["documents"], "doc_id")
+
+
+@query("dedup_simhash", oracle=duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint (token-count-weighted
+    bit votes). Near-dup = small hamming distance; the pairing step is
+    exercised in unit tests, the fingerprint itself is oracle-checked
+    here."""
+    t = load_tables(spark, sf_dir, "documents")
+    return simhash(t["documents"], "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source AS bucket, {duck_shingles_sql()} AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, bucket, len(sh) AS n_sh FROM sh
+    ), ex AS (
+      SELECT doc_id, bucket, unnest(sh) AS s FROM sh
+    ), inter AS (
+      SELECT a.bucket, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a AND sa.bucket = i.bucket
+    JOIN sizes sb ON sb.doc_id = i.id_b AND sb.bucket = i.bucket
+    WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard for pairs blocked by `source`
+    (the blocking key stands in for an LSH band at scale). Join is
+    shingle-equi within bucket — work ∝ shared-shingle pairs, not n²."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(t["documents"], "doc_id", "source", threshold=0.05)
+    return pairs.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+            list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            4) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.3 between vectors sharing a
+    label (the blocking key — at scale an LSH/IVF bucket, see
+    queries.similarity). Dot products fold sequentially in DOUBLE on
+    both engines → bit-identical before the 4-dp rounding."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    cos_r = F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)) / 10000
+    return (
+        pairs.withColumn("cos", cos_r)
+        .where(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "label", "cos")
+    )

@@ -1,1 +1,90 @@
-"""Placeholder — filled in as the similarity surface lands (SURVEY.md §7)."""
+"""Similarity-search queries over the embeddings table (north-star
+surface): brute-force cosine top-k baseline + LSH-bucketed ANN.
+
+Both are oracle-checked: the LSH planes are md5-derived constants, so
+even the ANN bucketing replays exactly in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    duck_bucket_sql,
+)
+from mercurygate_spark.queries.registry import load_tables, query
+
+N_QUERIES = 5  # vec_id < 5 are the designated query vectors
+TOP_K = 10
+
+_DUCK_COS = """
+    round(
+      list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+      4)
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             {_DUCK_COS} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors:
+    broadcast(queries) × corpus scan, rank by (4-dp cosine desc, id).
+    The baseline every ANN variant is measured against."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(q, e, k=TOP_K)
+
+
+@query(
+    "sim_cosine_ann_lsh",
+    oracle=f"""
+    WITH bq AS (
+      SELECT vec_id, embedding, {duck_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), bc AS (
+      SELECT vec_id, embedding, {duck_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             {_DUCK_COS} AS cos
+      FROM bq q JOIN bc c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: 8 deterministic md5-derived
+    hyperplanes → sign-bit bucket; cosine scored only within the
+    query's bucket. This is the 100 TB path — candidate generation is
+    a bucket-equi join, not a corpus scan per query. Recall vs the
+    brute-force baseline is asserted in unit tests."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk_lsh(q, e, k=TOP_K)

@@ -1,1 +1,99 @@
-"""Placeholder — filled in as the streaming_queries surface lands (SURVEY.md §7)."""
+"""Streaming queries (SURVEY.md §2c "Streaming") — each runs a real
+Structured Streaming job (readStream → window agg → availableNow →
+memory sink) whose result is checked against a batch SQL oracle,
+because the streaming ops are defined to have batch-equivalent
+semantics on a bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mercurygate_spark.queries.registry import query
+from mercurygate_spark.streaming.windows import (
+    distinct_pairs_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT epoch_us(to_timestamp(floor(epoch(ts) / 600) * 600)) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type via a real streaming
+    run (watermark + window + availableNow). Oracle: epoch-bucket
+    arithmetic. sum_value is a sum over the same doubles in engine-
+    chosen order — matches because each (window,type) group is small;
+    the oracle-critical columns are the counts and window starts."""
+    return run_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)))
+
+
+@query(
+    "stream_sliding_count",
+    oracle="""
+    WITH slid AS (
+      SELECT epoch_us(to_timestamp((floor(epoch(ts) / 300) - k) * 300)) AS window_start_us
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start_us, count(*) AS n_events
+    FROM slid GROUP BY 1
+    """,
+)
+def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5: each event belongs to 2 windows.
+    Oracle: explicit 2-window expansion via unnest."""
+    return run_to_memory(sliding_counts(read_events_stream(spark, sf_dir)))
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via streaming
+    session_window. Oracle: classic gaps-and-islands — lag to flag
+    session starts, running sum to number them, group to sessions."""
+    return run_to_memory(session_windows(read_events_stream(spark, sf_dir)))
+
+
+@query(
+    "stream_dedupe_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedupe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedupe: streaming dropDuplicates on the key columns
+    (append mode). The deterministic contract is the distinct key set."""
+    return run_to_memory(
+        distinct_pairs_stream(read_events_stream(spark, sf_dir)), output_mode="append"
+    )

@@ -1,0 +1,134 @@
+"""Streaming window operators over the events stream.
+
+Batch-parity design: each streaming op has identical semantics to a
+batch SQL expression, so the DuckDB oracle checks the streaming result
+(queries/streaming_queries.py). Streams read the same parquet via
+``readStream`` (explicit schema — streaming requires one), run with
+``trigger(availableNow=True)`` so runs terminate, and land in a memory
+sink the caller reads back.
+
+At scale: file-source streaming with availableNow is the idiomatic
+incremental-batch pattern (the reference's daily snapshot loop,
+re-expressed); watermarks bound state for true continuous runs.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos (nanosAsLong) — normalized below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """Spark's file streaming source requires a DIRECTORY; testdata is
+    one parquet file. Symlink it into a per-sf temp dir (idempotent,
+    no data copy) — at scale the source is a real landing directory."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "mercurygate_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a stream, ts normalized ns→µs timestamp
+    (same conversion as the batch reader, registry.load_tables)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_as_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming frame with availableNow into a memory sink;
+    return the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    out = spark.table(name)
+    return out
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark (bounds
+    state; harmless under availableNow)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, length_min: int = 10, slide_min: int = 5) -> DataFrame:
+    """Sliding-window counts — each event lands in length/slide windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Session windows per user: a session closes after gap_min of
+    inactivity. Batch twin: gaps-and-islands (lag + cumsum)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def distinct_pairs_stream(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) — the
+    incremental-dedupe shape; output restricted to the key columns so
+    which-row-survives nondeterminism can't leak into results."""
+    return events.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
