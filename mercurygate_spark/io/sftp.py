@@ -1,0 +1,150 @@
+"""SFTP fetch utilities (SURVEY.md §2a S1-S5) — driver-side network
+I/O that stages remote CSV extracts for the bronze ingest.
+
+Re-designed from the reference's observable behavior
+(mm_source_to_bronze.py:32-47,57-79,101; linehaul_source_to_bronze.py:
+19-34,47-62) with its defects fixed:
+
+- retries with backoff, keepalive (as the reference);
+- chunked download with progress callback (reference S2);
+- timeout via socket timeout on the transport — NOT a zombie thread
+  (fixes §2d-5: the reference joins a thread and abandons it);
+- everything behind the ``FileFetcher`` protocol so tests (and
+  non-SFTP deployments) inject a local-directory fetcher.
+
+paramiko is optional (not shipped in this container) — gated import;
+instantiating SftpFetcher without it raises with a clear message.
+Secrets come from the caller/environment, never hardcoded (reference
+Q3 keeps them in a secret scope; this engine takes a dict).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+try:  # pragma: no cover - environment-dependent
+    import paramiko  # type: ignore
+
+    HAVE_PARAMIKO = True
+except ImportError:  # pragma: no cover
+    paramiko = None
+    HAVE_PARAMIKO = False
+
+CHUNK_SIZE = 5_000_000  # reference parity: 5 MB blocks (mm_source_to_bronze.py:57)
+
+
+@dataclass
+class SftpConfig:
+    host: str
+    port: int
+    username: str
+    password: str
+    remote_dir: str  # e.g. /PILOT/MM/ vs /PILOT/Linehaul/ (the dataset switch)
+    retries: int = 3
+    retry_sleep_s: float = 5.0
+    keepalive_s: int = 30
+    timeout_s: float = 200.0
+
+
+class LocalFetcher:
+    """Test/local stand-in: 'remote' files live in a local directory."""
+
+    def __init__(self, src_dir: str):
+        self.src_dir = src_dir
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.src_dir, name))
+
+    def fetch(self, name: str, local_path: str,
+              progress: Callable[[int, int], None] | None = None) -> str:
+        src = os.path.join(self.src_dir, name)
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        shutil.copyfile(src, local_path)
+        if progress:
+            size = os.path.getsize(local_path)
+            progress(size, size)
+        return local_path
+
+
+class SftpFetcher:
+    """paramiko-backed fetcher (reference S1-S4 behavior)."""
+
+    def __init__(self, cfg: SftpConfig):
+        if not HAVE_PARAMIKO:
+            raise ImportError(
+                "paramiko is not installed in this environment; "
+                "use LocalFetcher or install paramiko on the cluster"
+            )
+        self.cfg = cfg
+        self._client = None
+        self._sftp = None
+
+    def _connect(self):
+        last_err: Exception | None = None
+        for attempt in range(self.cfg.retries):
+            try:
+                client = paramiko.SSHClient()
+                client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+                client.connect(
+                    self.cfg.host,
+                    port=self.cfg.port,
+                    username=self.cfg.username,
+                    password=self.cfg.password,
+                    timeout=self.cfg.timeout_s,
+                )
+                transport = client.get_transport()
+                transport.set_keepalive(self.cfg.keepalive_s)
+                # socket-level timeout bounds every blocking op — no
+                # orphan threads (unlike linehaul_source_to_bronze.py:55-62)
+                transport.sock.settimeout(self.cfg.timeout_s)
+                self._client, self._sftp = client, client.open_sftp()
+                return
+            except Exception as e:  # noqa: BLE001 — retry any connect error
+                last_err = e
+                time.sleep(self.cfg.retry_sleep_s)
+        raise ConnectionError(f"sftp connect failed after {self.cfg.retries} tries") from last_err
+
+    def _ensure(self):
+        if self._sftp is None:
+            self._connect()
+        return self._sftp
+
+    def exists(self, name: str) -> bool:
+        """Remote existence probe (reference S4)."""
+        try:
+            self._ensure().stat(os.path.join(self.cfg.remote_dir, name))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def fetch(self, name: str, local_path: str,
+              progress: Callable[[int, int], None] | None = None) -> str:
+        """Chunked download (reference S2): 5 MB reads with progress."""
+        sftp = self._ensure()
+        remote = os.path.join(self.cfg.remote_dir, name)
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        size = sftp.stat(remote).st_size
+        done = 0
+        with sftp.open(remote, "rb") as rf, open(local_path, "wb") as lf:
+            rf.prefetch()
+            while True:
+                chunk = rf.read(CHUNK_SIZE)
+                if not chunk:
+                    break
+                lf.write(chunk)
+                done += len(chunk)
+                if progress:
+                    progress(done, size)
+        return local_path
+
+    def close(self):
+        for h in (self._sftp, self._client):
+            try:
+                if h:
+                    h.close()
+            except Exception:  # noqa: BLE001
+                pass

@@ -44,7 +44,9 @@ def type_timestamps(
     present = [c for c in ts_columns if c in df.columns]
     if not present:
         return df
-    return df.withColumns({c: F.to_timestamp(F.col(c), fmt) for c in present})
+    # try_to_timestamp: NULL on malformed (the reference's pre-ANSI
+    # semantics; Spark 4 ANSI to_timestamp would throw instead)
+    return df.withColumns({c: F.try_to_timestamp(F.col(c), F.lit(fmt)) for c in present})
 
 
 def parse_failures(raw: DataFrame, ts_columns: list[str]) -> DataFrame:
@@ -54,7 +56,7 @@ def parse_failures(raw: DataFrame, ts_columns: list[str]) -> DataFrame:
     present = [c for c in ts_columns if c in raw.columns]
     aggs = [
         F.sum(
-            (F.col(c).isNotNull() & F.to_timestamp(F.col(c), REFERENCE_TS_FMT).isNull()).cast(
+            (F.col(c).isNotNull() & F.try_to_timestamp(F.col(c), F.lit(REFERENCE_TS_FMT)).isNull()).cast(
                 "long"
             )
         ).alias(c)

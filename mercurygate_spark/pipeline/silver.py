@@ -1,0 +1,84 @@
+"""Silver layer (SURVEY.md §3 EP2 + §2b realizations).
+
+Reference behavior: read bronze across all dateParts, rename ~140
+columns, flag active='Y', overwrite Delta (mm_bronze_silver.py:
+204-275). This engine adds what the reference only declares:
+
+- consistent typing of ALL timestamp columns on EVERY path
+  (fixes §2d-4 — the reference types one column, first load only);
+- pk-latest dedupe using the catalog's primary_key/order_by
+  (config.py:36-72 intent, never implemented there);
+- merge-upsert + SCD soft delete: existing keys updated, new keys
+  inserted, vanished keys kept with active='N' (the reference writes
+  active='Y' forever and never flips it — mm_bronze_silver.py:222).
+
+Merge is implemented Delta-free as anti-join + union + overwrite
+(Delta MERGE INTO when the classpath has it — io.writers probes).
+At scale both sides shuffle once on the pk; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.catalog import TableSpec
+from mercurygate_spark.io.writers import (
+    read_delta_or_parquet,
+    write_delta_or_parquet,
+)
+from mercurygate_spark.pipeline.conform import (
+    add_soft_delete_flag,
+    dedupe_latest,
+    rename_conform,
+    type_timestamps,
+)
+
+
+def conform(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Bronze → silver shape: single-projection rename, type ALL
+    declared timestamp columns, soft-delete flag. Pure; applied
+    identically on initial and refresh paths."""
+    out = rename_conform(df, spec.rename, keep_unmapped=True)
+    out = type_timestamps(out, spec.ts_columns)
+    return add_soft_delete_flag(out)
+
+
+def publish_snapshot(df: DataFrame, spec: TableSpec, path: str) -> str:
+    """Reference-parity publish: dedupe to latest per pk, then
+    overwrite (the reference's snapshot-replace, K2)."""
+    latest = dedupe_latest(df, spec.primary_key, spec.order_by, tiebreakers=None)
+    return write_delta_or_parquet(latest, path, mode="overwrite")
+
+
+def merge_upsert_scd(
+    spark: SparkSession,
+    incoming: DataFrame,
+    spec: TableSpec,
+    path: str,
+) -> DataFrame:
+    """Incremental publish realizing the declared registry intent
+    (SURVEY.md §2b): latest-per-pk incoming rows win over existing;
+    keys absent from the extract survive with active='N' (SCD-lite
+    soft delete). Returns the new current table (also written).
+
+    Plan: dedupe(incoming) ⟂ existing anti-join on pk → union. One
+    shuffle each side; no driver-side state."""
+    import os
+
+    incoming_latest = dedupe_latest(incoming, spec.primary_key, spec.order_by)
+    if not os.path.exists(path):
+        write_delta_or_parquet(incoming_latest, path, mode="overwrite")
+        return incoming_latest
+    existing = read_delta_or_parquet(spark, path)
+    vanished = (
+        existing.join(incoming_latest.select(spec.primary_key), spec.primary_key, "left_anti")
+        .withColumn("active", F.lit("N"))
+    )
+    merged = incoming_latest.unionByName(vanished, allowMissingColumns=True)
+    # overwrite via staging path — can't overwrite a parquet dir being read
+    staging = path.rstrip("/") + "__staging"
+    write_delta_or_parquet(merged, staging, mode="overwrite")
+    final = read_delta_or_parquet(spark, staging)
+    write_delta_or_parquet(final, path, mode="overwrite")
+    return read_delta_or_parquet(spark, path)

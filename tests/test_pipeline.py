@@ -1,0 +1,157 @@
+"""Medallion pipeline golden tests (SURVEY.md §5.3-5.4): synthetic
+claim-family CSVs → bronze → silver; assert schema conformance, typed
+dates on every path, dedupe/SCD semantics, partition layout, ledger.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from datetime import datetime
+
+from mercurygate_spark.catalog import TABLES, assert_no_conflicting_renames, derive_table_name
+from mercurygate_spark.io.sftp import LocalFetcher
+from mercurygate_spark.pipeline.bronze import ZeroRowError, ingest_table
+from mercurygate_spark.pipeline.ledger import RunLedger
+from mercurygate_spark.pipeline.run import run_bronze, run_silver
+from mercurygate_spark.pipeline.silver import conform, merge_upsert_scd
+
+RUN_TS = datetime(2026, 1, 15, 8, 30, 0)
+
+CLAIM_CSV = """claimid,claimnumber,claimtype,statuscode,claimant,transmittalamount,totalamount,deliverydate,datecreated,dateclosed
+1,CLM-001,DAMAGE,OPEN,Acme Corp,1200.50,1500.00,2025-11-02 10:00:00,2025-11-01 09:00:00,
+2,CLM-002,LOSS,CLOSED,Beta LLC,-50.25,0.00,2025-11-15 12:30:00,2025-11-10 14:00:00,2025-12-01 16:00:00
+3,CLM-003,DAMAGE,OPEN,Gamma Inc,,300.00,not-a-date,2025-12-05 11:00:00,
+"""
+
+PAYMENT_CSV = """rowid,claimnumber,payee,paymentamount,paymentdate,datecreated
+10,CLM-001,Acme Corp,500.00,2025-11-20 10:00:00,2025-11-01 09:00:00
+11,CLM-002,Beta LLC,0.00,2025-12-02 10:00:00,2025-11-10 14:00:00
+12,CLM-999,Orphan Co,10.00,2025-12-03 10:00:00,2025-11-12 10:00:00
+"""
+
+DIARY_CSV = """rowid,claimnumber,dateof,lastupdatedname,category,comments,datecreated
+20,CLM-001,2025-11-03 08:00:00,jdoe,note,first contact,2025-11-01 09:00:00
+"""
+
+
+@pytest.fixture(scope="module")
+def staged(tmp_path_factory):
+    src = tmp_path_factory.mktemp("sftp_src")
+    (src / "claim.txt").write_text(CLAIM_CSV)
+    (src / "claimpayment.txt").write_text(PAYMENT_CSV)
+    (src / "claimdiary.txt").write_text(DIARY_CSV)
+    return str(src)
+
+
+def test_catalog_invariants():
+    assert_no_conflicting_renames()
+    assert derive_table_name("claim.txt") == "claim"
+    assert derive_table_name("claimactivity.txt") == "claim_activity"
+    assert derive_table_name("claimpayment.txt") == "claim_payment"
+    assert set(TABLES) == {
+        "claim", "claim_activity", "claim_additionalcharge", "claim_additionalinfo",
+        "claim_diary", "claim_document", "claim_payment", "claim_product",
+    }
+    # the claim_diary quirk: datecreated intentionally unmapped (SURVEY.md §1.3)
+    assert "datecreated" not in TABLES["claim_diary"].rename
+
+
+def test_bronze_to_silver_end_to_end(spark, staged, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ledger = RunLedger()
+    fetcher = LocalFetcher(staged)
+
+    results = run_bronze(
+        spark, fetcher, str(tmp_path / "staging"), bronze, "mm",
+        "pytest", RUN_TS, mode="initial", ledger=ledger,
+    )
+    # only the 3 staged files ingest; missing extracts are skipped (S4)
+    assert sorted(r.table for r in results) == ["claim", "claim_diary", "claim_payment"]
+    assert all(r.count > 0 for r in results)
+
+    # bronze layout: datePart=Historic / year_month=... hive dirs
+    claim_dir = os.path.join(bronze, "claim", "datePart=Historic")
+    assert os.path.isdir(claim_dir)
+    assert any(d.startswith("year_month=") for d in os.listdir(claim_dir))
+
+    tables = run_silver(spark, bronze, silver, "mm", mode="snapshot", ledger=ledger)
+    claim = tables["claim"]
+    cols = set(claim.columns)
+    # conformed names + audit + flag
+    assert {"claim_number", "claim_type", "status_code", "transmittal_amount",
+            "delivery_date", "date_created", "active", "updated_on", "year_month"} <= cols
+    assert "claimnumber" not in cols
+    # typed dates on the snapshot path (reference only typed deliverydate,
+    # first load only — engine types ALL declared ts cols, every path)
+    dtypes = dict(claim.dtypes)
+    assert dtypes["delivery_date"] == "timestamp"
+    assert dtypes["date_created"] == "timestamp"
+    assert dtypes["date_closed"] == "timestamp"
+    rows = {r["claim_number"]: r for r in claim.collect()}
+    assert rows["CLM-003"]["delivery_date"] is None  # malformed → NULL, not error
+    assert rows["CLM-001"]["active"] == "Y"
+    # claim_diary quirk: raw datecreated survives unmapped
+    diary = tables["claim_diary"]
+    assert "datecreated" in diary.columns and "date_of" in diary.columns
+    # ledger timings are real (reference's linehaul timer bug fixed)
+    assert all(e["execution_time"] >= 0 for e in ledger.entries)
+    assert ledger.to_df(spark).columns == ["table", "database", "count", "execution_time"]
+
+
+def test_zero_row_guard(spark, tmp_path):
+    p = tmp_path / "empty.txt"
+    p.write_text("claimid,claimnumber,datecreated\n")
+    with pytest.raises(ZeroRowError):
+        ingest_table(
+            spark, str(p), TABLES["claim"], str(tmp_path / "b"), "mm",
+            "pytest", RUN_TS, mode="initial",
+        )
+
+
+def test_merge_upsert_scd(spark, tmp_path):
+    """Declared-but-unimplemented reference intent (SURVEY.md §2b):
+    latest-per-pk wins; vanished keys soft-deleted with active='N'."""
+    target = str(tmp_path / "silver_claim")
+    spec = TABLES["claim"]
+
+    def mk(rows):
+        df = spark.createDataFrame(
+            rows, schema="claim_number string, status_code string, updated_on timestamp"
+        )
+        return df.withColumn("active", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("Y"))
+
+    day1 = mk([
+        ("CLM-001", "OPEN", datetime(2026, 1, 1)),
+        ("CLM-001", "FILED", datetime(2026, 1, 2)),   # later — must win
+        ("CLM-002", "OPEN", datetime(2026, 1, 1)),
+    ])
+    cur = merge_upsert_scd(spark, day1, spec, target)
+    got = {r["claim_number"]: r for r in cur.collect()}
+    assert len(got) == 2 and got["CLM-001"]["status_code"] == "FILED"
+
+    day2 = mk([
+        ("CLM-001", "CLOSED", datetime(2026, 1, 3)),  # update
+        ("CLM-003", "OPEN", datetime(2026, 1, 3)),    # insert
+        # CLM-002 vanished → soft delete
+    ])
+    cur = merge_upsert_scd(spark, day2, spec, target)
+    got = {r["claim_number"]: r for r in cur.collect()}
+    assert got["CLM-001"]["status_code"] == "CLOSED" and got["CLM-001"]["active"] == "Y"
+    assert got["CLM-003"]["active"] == "Y"
+    assert got["CLM-002"]["active"] == "N" and got["CLM-002"]["status_code"] == "OPEN"
+
+
+def test_conform_is_idempotent_on_conformed_names(spark):
+    """Applying the rename map to already-conformed data is a no-op
+    (reference behavior: withColumnRenamed on absent cols no-ops)."""
+    spec = TABLES["claim_payment"]
+    df = spark.createDataFrame(
+        [("CLM-1", 5.0, "2026-01-01 00:00:00")],
+        schema="claim_number string, payment_amount double, payment_date string",
+    )
+    out = conform(df, spec)
+    assert set(out.columns) == {"claim_number", "payment_amount", "payment_date", "active"}
+    assert dict(out.dtypes)["payment_date"] == "timestamp"
