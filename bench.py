@@ -29,6 +29,8 @@ HEADLINE = [
     "fn_date_trunc_month",        # date bucketing KPI
     "text_tokenize_count",        # text analysis scan
     "join_asof",                  # as-of join
+    "dedup_minhash_lsh",          # north-star: minhash LSH dedup
+    "sim_cosine_topk",            # north-star: similarity search
 ]
 
 

@@ -62,10 +62,22 @@ def duck_shingles_sql(text_expr: str = "text") -> str:
     """
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Explode-heavy operators amplify rows ~100×; a small input that
+    arrived in 1-2 file partitions would run that blowup single-
+    threaded. Repartition up to the cluster's parallelism ONLY when the
+    input is under-partitioned — on a real 100 TB table the scan
+    already yields thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(
     df: DataFrame, id_col: str, text_col: str = "text", extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
-    return df.withColumn("__tk", tokens(text_col)).select(
+    return ensure_parallelism(df).withColumn("__tk", tokens(text_col)).select(
         id_col, *extra_cols, _shingles_from_tokens("__tk").alias("shingles")
     )
 
@@ -85,6 +97,66 @@ def minhash_signature(df: DataFrame, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _tokenize_py(text: str) -> list[str]:
+    """Python twin of functions.tokens (same regex class, same
+    empty-token filtering) for the Arrow-batched hot path."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _shingles_py(text: str) -> list[str]:
+    """Python twin of _shingles_from_tokens (distinct, order-free)."""
+    tk = _tokenize_py(text)
+    if len(tk) >= SHINGLE_K:
+        return list(dict.fromkeys(
+            " ".join(tk[i : i + SHINGLE_K]) for i in range(len(tk) - SHINGLE_K + 1)
+        ))
+    return [" ".join(tk)]
+
+
+def minhash_signature_arrow(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Arrow-batched minhash signature: tokenize→shingle→md5→K affine
+    mins per doc inside one mapInPandas pass (hashlib md5 == SQL md5,
+    so the DuckDB oracle is unaffected).
+
+    Why not pure Column expressions (minhash_signature above): Spark
+    evaluates higher-order-function lambdas and conv() in interpreted
+    mode — ~50µs per shingle; the vectorized numpy path is ~100×
+    faster and stays fully distributed (per-partition batches, no
+    driver involvement). This is the 'UDFs are the slow path — unless
+    the built-in path can't codegen' tradeoff made explicit."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    a_vec = np.array([a for a, _ in HASH_PARAMS], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in HASH_PARAMS], dtype=np.int64)[:, None]
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"m{j}", LongType()) for j in range(N_HASHES)]
+    )
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles_py(text)
+                h0 = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+                     for s in sh),
+                    dtype=np.int64, count=len(sh),
+                )
+                mins = ((a_vec * h0 + b_vec) % MINHASH_PRIME).min(axis=1)
+                out.append((int(did), *mins.tolist()))
+            yield pd.DataFrame(out, columns=[id_col] + [f"m{j}" for j in range(N_HASHES)])
+
+    return df.select(id_col, text_col).mapInPandas(sigs, schema)
+
+
 def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
     """Signature → (id, band_idx, band_key): md5 over each band's
     concatenated minhashes. Docs agreeing on ALL rows of any band
@@ -102,7 +174,10 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") 
     """End-to-end MinHash LSH: docs → signatures → band buckets →
     candidate pairs (id_a < id_b) with the number of agreeing bands.
     The only join is bucket-equi on (band_idx, band_key)."""
-    bands = lsh_bands(minhash_signature(with_shingles(df, id_col, text_col), id_col), id_col)
+    bands = lsh_bands(minhash_signature_arrow(df, id_col, text_col), id_col)
+    # tiny frame (4 rows/doc), self-joined next — persist so the whole
+    # shingle→signature pipeline isn't computed twice
+    bands = bands.persist()
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -161,7 +236,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     bit i of the fingerprint is 1 iff sum over tokens of
     count * (2*bit_i(h)-1) > 0. Two explodes (tokens, then 32 bit
     positions) — linear in tokens × 32, no joins."""
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("t"))
+    tok = ensure_parallelism(df).select(id_col, F.explode(tokens(text_col)).alias("t"))
     counted = tok.groupBy(id_col, "t").agg(F.count("*").alias("c"))
     hashed = counted.select(id_col, "c", (md5_long(F.col("t"))).alias("h"))
     bits = (

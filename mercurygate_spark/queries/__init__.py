@@ -15,6 +15,7 @@ from mercurygate_spark.queries.registry import REGISTRY, load_tables, query  # n
 # Registration side effects — each module adds its QuerySpecs to REGISTRY.
 from mercurygate_spark.queries import (  # noqa: F401,E402
     aggregates,
+    analytics,
     dedup,
     joins,
     multimodal,

@@ -1,0 +1,161 @@
+"""Additional Gold analytics (SURVEY.md §2c long tail): pivot,
+exact/approx percentiles, cube, conditional aggregation, batch
+sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import r2, ts_us
+from mercurygate_spark.operators.sessionize import sessionize
+from mercurygate_spark.queries.registry import load_tables, query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide KPI matrix): events per user per type. Explicit
+    value list → no extra distinct-values job at scale; missing cells
+    coalesced to 0 to match SQL conditional counts."""
+    t = load_tables(spark, sf_dir, "events")
+    p = t["events"].groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(et), F.lit(0)).alias(f"n_{et}") for et in EVENT_TYPES],
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition). At 100 TB exact percentile
+    requires a full sort per group — see agg_approx_quantile for the
+    sketch-based scale path."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+
+    def rp(c, q, alias):
+        return (F.floor(F.percentile(F.col(c), F.lit(q)) * 10000 + F.lit(0.5)) / 10000).alias(alias)
+
+    return li.groupBy("l_returnflag").agg(
+        rp("l_extendedprice", 0.5, "p50_price"),
+        rp("l_extendedprice", 0.9, "p90_price"),
+        rp("l_quantity", 0.5, "p50_qty"),
+    )
+
+
+@query("agg_approx_quantile", oracle=None)  # sketch values are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the
+    100 TB substitute for exact percentile: mergeable constant-size
+    state, no sort. pytest asserts closeness to the exact values."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+           coalesce(o_orderpriority, '<ALL>') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets over status × priority in one pass
+    (Spark expands via Expand + single shuffle)."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "fn_conditional_agg",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_amt,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_amt,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def fn_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the paid/denied/outstanding KPI shape
+    over the reference's amount columns (mm_bronze_silver.py:56-62)."""
+    t = load_tables(spark, sf_dir, "orders")
+    return t["orders"].groupBy("o_custkey").agg(
+        r2(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))).alias("finished_amt"),
+        r2(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0))).alias("open_amt"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+    )
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via operators.sessionize —
+    identical semantics to stream_session_window, no streaming engine
+    required."""
+    t = load_tables(spark, sf_dir, "events")
+    s = sessionize(t["events"], key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_tiebreak="event_id")
+    return s.select("user_id", ts_us("session_start").alias("session_start_us"), "n_events")

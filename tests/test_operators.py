@@ -1,0 +1,109 @@
+"""Operator unit tests (SURVEY.md §5.2/5.4): semantics that the
+oracle-parity gate can't see — tie-breaking, approx-accuracy bounds,
+variant equivalence, stub contracts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mercurygate_spark.operators.asof import asof_join, asof_join_pandas
+from mercurygate_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    fake_decode_meta,
+)
+from mercurygate_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from mercurygate_spark.pipeline.conform import dedupe_latest
+from mercurygate_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedupe_latest_tiebreak_is_total(spark):
+    """Equal order_by values must resolve deterministically via the
+    tiebreaker (SURVEY.md §7 risk 'SCD/merge semantics')."""
+    ts = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("k", ts, 1, "a"), ("k", ts, 3, "c"), ("k", ts, 2, "b")],
+        schema="pk string, updated_on timestamp, seq long, payload string",
+    )
+    out = dedupe_latest(df, ["pk"], ["updated_on"], tiebreakers=["seq"]).collect()
+    assert len(out) == 1 and out[0]["payload"] == "c"  # highest seq wins
+
+
+def test_asof_pandas_variant_matches_window_variant(spark):
+    """Both as-of strategies must agree (inner join, per-key latest)."""
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10), 100), (1, datetime(2026, 1, 1, 12), 101),
+         (2, datetime(2026, 1, 1, 9), 200)],
+        schema="k long, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 9, 30), 7.0), (1, datetime(2026, 1, 1, 11), 8.0),
+         (2, datetime(2026, 1, 1, 8), 9.0), (2, datetime(2026, 1, 1, 9, 30), 10.0)],
+        schema="k long, rts timestamp, rv double",
+    )
+    w = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  right_cols=["rts", "rv"], left_key=["lid"])
+    p = asof_join_pandas(left, right, on="k", left_ts="lts", right_ts="rts",
+                         right_cols=["rts", "rv"])
+    wrows = {(r["lid"]): (r["rts"], r["rv"]) for r in w.collect()}
+    prows = {(r["lid"]): (r["rts"], r["rv"]) for r in p.collect()}
+    assert wrows == {100: (datetime(2026, 1, 1, 9, 30), 7.0),
+                     101: (datetime(2026, 1, 1, 11), 8.0),
+                     200: (datetime(2026, 1, 1, 8), 9.0)}
+    assert prows == wrows
+
+
+def test_approx_distinct_within_tolerance(spark):
+    exact = all_queries()["agg_distinct"](spark, SF).collect()
+    approx = all_queries()["agg_approx_distinct"](spark, SF).collect()
+    e = {r["l_returnflag"]: r["n_parts"] for r in exact}
+    a = {r["l_returnflag"]: r["approx_parts"] for r in approx}
+    for k in e:
+        assert abs(a[k] - e[k]) / e[k] < 0.1
+
+
+def test_approx_quantile_within_tolerance(spark):
+    exact = {r["l_returnflag"]: r["p50_price"]
+             for r in all_queries()["agg_percentile"](spark, SF).collect()}
+    approx = {r["l_returnflag"]: r["p50_price_approx"]
+              for r in all_queries()["agg_approx_quantile"](spark, SF).collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_ann_results_are_consistent_with_brute_force(spark):
+    """Every ANN hit must carry the same cosine the brute-force path
+    computes for that pair (ANN only restricts candidates)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["candidate_id"]): r["cos"]
+          for r in cosine_topk(q, e, k=1000).collect()}
+    ann = cosine_topk_lsh(q, e, k=10).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert bf[(r["query_id"], r["candidate_id"])] == r["cos"]
+
+
+def test_multimodal_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF...")
+    n, sha16, w, h, fmt = fake_decode_meta(b"hello world")
+    assert n == 11 and len(sha16) == 16
+    assert 1 <= w <= 1920 and 1 <= h <= 1080 and fmt in {"png", "jpeg", "webp"}
+    assert fake_decode_meta(b"hello world") == (n, sha16, w, h, fmt)  # deterministic
+
+
+def test_setop_bag_semantics(spark):
+    """exceptAll/intersectAll (bag) vs subtract/intersect (set)."""
+    a = spark.createDataFrame([(1,), (1,), (2,)], "x long")
+    b = spark.createDataFrame([(1,), (3,)], "x long")
+    assert sorted(r["x"] for r in a.exceptAll(b).collect()) == [1, 2]
+    assert sorted(r["x"] for r in a.subtract(b).collect()) == [2]
+    assert sorted(r["x"] for r in a.intersectAll(b).collect()) == [1]

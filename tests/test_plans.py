@@ -1,0 +1,68 @@
+"""Physical-plan regression tests (the 100 TB posture, SURVEY.md §4):
+the optimizations the engine relies on must be visible in the plan —
+pushdown reaching the scan, dims broadcast, no redundant shuffles,
+top-k never globally sorting. A refactor that silently loses one of
+these would still pass the value checks; these tests pin the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mercurygate_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    s = _plan(spark, "scan_parquet")
+    assert "EqualTo(l_returnflag,R)" in s  # PushedFilters, not post-scan Filter
+    assert "Exchange" not in s             # pure scan+project: zero shuffles
+
+
+def test_flagship_agg_has_single_shuffle(spark):
+    s = _plan(spark, "agg_group_sum_avg_minmax")
+    assert s.count("Exchange") == 1        # partial agg -> one shuffle -> final agg
+    assert "LessThanOrEqual(l_shipdate" in s  # date filter pushed to parquet
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    s = _plan(spark, "join_broadcast_dim")
+    assert s.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in s        # fact side never shuffles for the join
+
+
+def test_topk_uses_take_ordered(spark):
+    s = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in s    # per-partition top-k, no global sort
+    assert "Exchange" not in s
+
+
+def test_rank_topn_pushes_window_group_limit(spark):
+    s = _plan(spark, "window_rank_topn_per_group")
+    assert "WindowGroupLimit" in s         # rank<=5 limits before full window eval
+
+
+def test_column_pruning(spark):
+    s = _plan(spark, "scan_parquet")
+    # 11-column lineitem pruned to exactly the 5 referenced columns
+    assert "ReadSchema" in s
+    read_schema = s.split("ReadSchema:")[1].splitlines()[0]
+    for col in ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"]:
+        assert col in read_schema
+    for col in ["l_tax", "l_shipdate", "l_partkey", "l_suppkey"]:
+        assert col not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_group_sum_avg_minmax", "join_inner_equi", "window_dedupe_latest"]
+)
+def test_no_cartesian_anywhere(spark, name):
+    s = _plan(spark, name)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
