@@ -1,0 +1,62 @@
+"""Skew mitigation (SURVEY.md §7 step 8 'salting helper for skewed
+claim keys').
+
+AQE's skew-join splitting (on in session.py) handles most cases at
+runtime; explicit salting remains necessary for skewed AGGREGATION
+keys and for joins whose skew AQE can't see (e.g. post-filter skew).
+
+Pattern: two-phase aggregate — salt the hot key into S subkeys,
+partial-aggregate on (key, salt), then final-aggregate on key. The
+first shuffle spreads the hot key over S reducers; the second moves
+only S rows per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts): hash of the whole row's
+    monotonically increasing id is NOT reproducible across runs, so use
+    a stable per-row expression — spark_partition_id is stable within a
+    plan but not across repartitions; the robust choice is hashing
+    existing columns. Callers pass the natural fine-grained column(s)
+    via salted_agg; this helper hashes all columns."""
+    return df.withColumn(salt_col, F.abs(F.hash(*df.columns)) % n_salts)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name → (partial_agg_expr, final_agg_expr over
+    the partial column). Example:
+        salted_agg(df, ["k"], {"total": (F.sum("v"), F.sum("total"))})
+
+    Equivalent to df.groupBy(group_cols).agg(...) for decomposable
+    aggregates (sum/count/min/max); asserted in tests.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )
+
+
+def top_frequent_keys(df: DataFrame, key_cols: list[str], threshold: int) -> DataFrame:
+    """Skew detector: keys whose row count exceeds ``threshold`` —
+    feed to a broadcast-isolate-union plan (hot keys broadcast-joined,
+    cold keys sort-merge-joined) when AQE isn't enough."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_rows"))
+        .where(F.col("n_rows") > threshold)
+    )

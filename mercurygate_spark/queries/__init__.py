@@ -27,6 +27,7 @@ from mercurygate_spark.queries import (  # noqa: F401,E402
     sorts,
     streaming_queries,
     text,
+    udfs,
     windows,
 )
 

@@ -16,6 +16,7 @@ from mercurygate_spark.streaming.windows import (
     run_to_memory,
     session_windows,
     sliding_counts,
+    stateful_user_counts,
     tumbling_counts,
 )
 
@@ -85,6 +86,38 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window. Oracle: classic gaps-and-islands — lag to flag
     session starts, running sum to number them, group to sessions."""
     return run_to_memory(session_windows(read_events_stream(spark, sf_dir)))
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running counters in explicit GroupState. On the bounded
+    availableNow input the final state equals the batch aggregate —
+    the oracle. sum rounded: the state accumulates in pandas batch
+    order, the oracle in scan order."""
+    from pyspark.sql import functions as F
+
+    out = run_to_memory(
+        stateful_user_counts(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    # update-mode memory sink may hold one row per state update; the
+    # final state per user is the max-count row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = out.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.floor(F.col("sum_value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+    )
 
 
 @query(

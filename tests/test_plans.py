@@ -8,6 +8,7 @@ these would still pass the value checks; these tests pin the plan.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mercurygate_spark.queries import all_queries
 
@@ -66,3 +67,26 @@ def test_no_cartesian_anywhere(spark, name):
     s = _plan(spark, name)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    """The engine's year_month bronze layout must prune: a filter on
+    the partition column shows up as PartitionFilters and only the
+    matching directory is scanned (reference's manual path pruning,
+    SURVEY.md §4, done by Catalyst instead)."""
+    from mercurygate_spark.functions import month_bucket
+    from mercurygate_spark.io.writers import write_parquet_partitioned
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    write_parquet_partitioned(
+        orders.withColumn("year_month", month_bucket("o_orderdate")),
+        path,
+        partition_by=["year_month"],
+    )
+    df = spark.read.parquet(path).where(F.col("year_month") == "1997-03")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s and "1997-03" in s
+    full = spark.read.parquet(path)
+    expected = full.where(F.col("year_month") == "1997-03").count()
+    assert df.count() == expected and expected > 0
