@@ -81,25 +81,50 @@ def cosine_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def signs_matrix(dims: int = 64):
+    """The md5-derived hyperplane sign matrix (N_PLANES × dims) as
+    numpy — numerically identical to _plane_signs / duck_plane_signs_sql
+    (same md5 parity rule)."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((N_PLANES, dims), dtype=np.float64)
+    for p in range(N_PLANES):
+        for d in range(dims):
+            first_hex = hashlib.md5(f"p{p}:{d}".encode()).hexdigest()[0]
+            m[p, d] = 1.0 if int(first_hex, 16) % 2 == 0 else -1.0
+    return m
+
+
 def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, out: str = "bucket") -> DataFrame:
     """Random-hyperplane LSH bucket id: N_PLANES projection sign bits
-    concatenated into a string key. Constant sign arrays are
-    constant-folded by Catalyst — the per-row work is N_PLANES fused
-    zip_with folds, no join, no shuffle."""
-    v = _as_double(F.col(vec_col))
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, _plane_signs(p), lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for p in range(N_PLANES)
-    ]
-    return df.select(id_col, F.col(vec_col), F.concat(*bits).alias(out))
+    concatenated into a string key. Computed via an Arrow-batched
+    mapInPandas numpy projection (V @ S.T) — the Column-expression
+    equivalent (zip_with folds) evaluates interpreted and is ~100×
+    slower per row; values are identical up to BLAS ulp, which only
+    matters for projections within ~1e-13 of zero."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_schema = df.select(id_col, vec_col).schema
+    schema = StructType(list(in_schema.fields) + [StructField(out, StringType())])
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        signs = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if signs is None:
+                signs = signs_matrix(vecs.shape[1])
+            bits = (vecs @ signs.T) >= 0
+            pdf[out] = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pdf
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
 def _plane_signs(plane: int) -> Column:
@@ -133,6 +158,64 @@ def duck_bucket_sql(vec_expr: str) -> str:
         for p in range(N_PLANES)
     )
     return bits
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    round_scale: int = 4,
+) -> DataFrame:
+    """All pairs within a blocking bucket with cosine ≥ threshold —
+    the embedding near-dup primitive. Per-bucket numpy cosine matrix
+    via cogrouped applyInPandas: one normalization per vector, one
+    GEMM per bucket, upper-triangle thresholding. Work scales with
+    Σ bucket², never n²; the bucket is the shuffle key."""
+    from collections.abc import Iterator  # noqa: F401 — applyInPandas signature docs
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    block_field = df.schema[block_col]
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            block_field,
+            StructField("cos", DoubleType()),
+        ]
+    )
+    k = 10**round_scale
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", block_col, "cos"])
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = normed @ normed.T
+        cos = np.floor(cos * k + 0.5) / k
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                block_col: pdf[block_col].iloc[0],
+                "cos": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(pairs, schema)
 
 
 def cosine_topk_lsh(

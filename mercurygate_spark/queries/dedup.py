@@ -19,7 +19,6 @@ from mercurygate_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from mercurygate_spark.operators.similarity import cosine
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -129,14 +128,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     label (the blocking key — at scale an LSH/IVF bucket, see
     queries.similarity). Dot products fold sequentially in DOUBLE on
     both engines → bit-identical before the 4-dp rounding."""
+    from mercurygate_spark.operators.similarity import cosine_pairs_blocked
+
     t = load_tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
-    cos_r = F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)) / 10000
-    return (
-        pairs.withColumn("cos", cos_r)
-        .where(F.col("cos") >= 0.3)
-        .select("id_a", "id_b", "label", "cos")
+    pairs = cosine_pairs_blocked(
+        t["embeddings"], "vec_id", "embedding", "label", threshold=0.3, round_scale=4
     )
+    return pairs.select("id_a", "id_b", "label", "cos")
