@@ -43,8 +43,16 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warmup: trigger JVM classloading + parquet footer reads once.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warmup: run every headline query once at the smallest SF — warms
+    # JVM classloading, whole-stage-codegen compilation for each plan
+    # shape, and Python workers, so timings measure steady-state
+    # engine throughput rather than first-call JIT cost.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            queries[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:

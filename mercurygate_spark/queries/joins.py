@@ -170,6 +170,41 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.user_id,
+           epoch_us(a.ts) AS ts_a_us, epoch_us(b.ts) AS ts_b_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True non-equi interval join: pairs of events by the same user
+    within 60 s of each other. The ORACLE states the naive theta join;
+    the ENGINE computes it with operators.rangejoin.ts_proximity_join
+    (neighbor-bucket replication + equi-join + exact filter) — same
+    result, no cartesian, shuffle scales with bucket occupancy."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    a = ev.select(F.col("event_id").alias("id_a"), "user_id", F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("user_id").alias("user_id_b"),
+                  F.col("ts").alias("ts_b"))
+    from mercurygate_spark.operators.rangejoin import ts_proximity_join
+
+    j = ts_proximity_join(
+        a, b.withColumnRenamed("user_id_b", "user_id"),
+        a_ts="ts_a", b_ts="ts_b", radius_seconds=60, extra_equi=["user_id"],
+    ).where(F.col("id_a") < F.col("id_b"))
+    return j.select(
+        "id_a", "id_b", "user_id",
+        ts_us("ts_a").alias("ts_a_us"), ts_us("ts_b").alias("ts_b_us"),
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     WITH purchases AS (
