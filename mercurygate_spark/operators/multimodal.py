@@ -88,6 +88,47 @@ def extract_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "p
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(meta_batches, META_SCHEMA)
 
 
+N_FRAMES = 4
+FRAME_BYTES = 8
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Frame sampling for video-like payloads: N_FRAMES fixed-stride
+    byte windows per blob (the deterministic stand-in for 'decode and
+    take every k-th frame'). Payloads shorter than N_FRAMES*FRAME_BYTES
+    are skipped — a real sampler would pad. mapInPandas again: batch
+    in, exploded frame rows out, schema declared."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_offset", LongType()),
+            StructField("frame_hex", StringType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(p)
+                n = len(b)
+                if n < N_FRAMES * FRAME_BYTES:
+                    continue
+                stride = n // N_FRAMES
+                for i in range(N_FRAMES):
+                    off = i * stride
+                    rows.append((int(did), i, off, b[off : off + FRAME_BYTES].hex().upper()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_hex"])
+
+    return df.select(id_col, bin_col).mapInPandas(frames, schema)
+
+
 def documents_as_binary(df: DataFrame) -> DataFrame:
     """Adapter for testdata: treat utf-8 text bytes as the opaque
     payload column (the container has no real image fixtures)."""

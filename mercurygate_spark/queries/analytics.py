@@ -108,6 +108,33 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+           coalesce(o_orderpriority, '<ALL>') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (the engine's SQL surface
+    — same Catalyst plan as the DataFrame rollup/cube)."""
+    t = load_tables(spark, sf_dir, "orders")
+    view = "orders_gs_v"
+    t["orders"].createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+               coalesce(o_orderpriority, '<ALL>') AS priority,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@query(
     "fn_conditional_agg",
     oracle="""
     SELECT o_custkey,

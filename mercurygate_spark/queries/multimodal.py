@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mercurygate_spark.operators.multimodal import documents_as_binary, extract_binary_meta
+from mercurygate_spark.operators.multimodal import (
+    documents_as_binary,
+    extract_binary_meta,
+    sample_frames,
+)
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -34,6 +38,30 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal.fake_decode_meta for decode_image."""
     t = load_tables(spark, sf_dir, "documents")
     return extract_binary_meta(documents_as_binary(t["documents"]))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id, hex(encode(text)) AS bh, octet_length(encode(text)) AS n
+      FROM documents
+    ), idx AS (SELECT unnest(range(4)) AS frame_idx)
+    SELECT doc_id,
+           frame_idx::INT AS frame_idx,
+           (frame_idx * (n // 4))::BIGINT AS frame_offset,
+           substr(bh, (frame_idx * (n // 4))::INT * 2 + 1, 16) AS frame_hex
+    FROM blobs, idx
+    WHERE n >= 32
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 4 fixed-stride 8-byte
+    windows per blob (deterministic stand-in for decode+every-kth-frame
+    — operators.multimodal.sample_frames). Oracle replays the exact
+    offset arithmetic on the same bytes."""
+    t = load_tables(spark, sf_dir, "documents")
+    return sample_frames(documents_as_binary(t["documents"]))
 
 
 @query(

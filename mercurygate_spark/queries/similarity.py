@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mercurygate_spark.operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     duck_bucket_sql,
 )
@@ -81,10 +84,57 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: 8 deterministic md5-derived
     hyperplanes → sign-bit bucket; cosine scored only within the
-    query's bucket. This is the 100 TB path — candidate generation is
-    a bucket-equi join, not a corpus scan per query. Recall vs the
-    brute-force baseline is asserted in unit tests."""
+    query's bucket. Candidate generation is a bucket-equi join, not a
+    corpus scan per query. Recall vs the brute-force baseline is
+    asserted in unit tests."""
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     q = e.where(F.col("vec_id") < N_QUERIES)
     return cosine_topk_lsh(q, e, k=TOP_K)
+
+
+@query(
+    "sim_cosine_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), c.cid
+             ) AS probe_rank
+      FROM embeddings e CROSS JOIN cent c
+    ), corpus_lists AS (
+      SELECT vec_id AS candidate_id, embedding AS cv, cid FROM assign WHERE probe_rank = 1
+    ), query_probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid
+      FROM assign WHERE vec_id < {N_QUERIES} AND probe_rank <= {N_PROBE}
+    ), scored AS (
+      SELECT p.query_id, c.candidate_id,
+             round(
+               list_dot_product(p.qv::DOUBLE[], c.cv::DOUBLE[]) /
+               (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+                sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
+               4) AS cos
+      FROM query_probes p JOIN corpus_lists c
+        ON p.cid = c.cid AND p.query_id <> c.candidate_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: corpus split into {N_CENTROIDS} inverted lists
+    by nearest centroid; queries probe their {N_PROBE} nearest lists.
+    Deterministic training-free centroids (first {N_CENTROIDS} vectors)
+    so the oracle replays assignment; swap in k-means offline centroids
+    at scale — the plumbing is identical."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk_ivf(q, e, k=TOP_K)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import r2, ts_us
+from mercurygate_spark.functions import r2, r6, ts_us
 from mercurygate_spark.pipeline.conform import dedupe_latest
 from mercurygate_spark.queries.registry import load_tables, query
 
@@ -101,6 +101,34 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         ts_us("o_orderdate").alias("order_date_us"),
         r2(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+    )
+
+
+@query(
+    "window_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           c_mktsegment,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           round(cume_dist() OVER w, 6) AS price_cume_dist
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: quartile bucketing + percentile position
+    per market segment (unique tiebreak → identical frames in any
+    engine; rank ratios are int/int → bit-identical doubles)."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("price_quartile"),
+        r6(F.percent_rank().over(w)).alias("price_pct_rank"),
+        r6(F.cume_dist().over(w)).alias("price_cume_dist"),
     )
 
 
