@@ -26,7 +26,9 @@ from mercurygate_spark.queries.registry import load_tables, query
 
 
 def _tmp(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "mercurygate_spark_sinks")
+    # per-process dir: the driver may run correctness and bench
+    # concurrently; a shared path would race on overwrite-then-read
+    d = os.path.join(tempfile.gettempdir(), f"mercurygate_spark_sinks_{os.getpid()}")
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, name)
 

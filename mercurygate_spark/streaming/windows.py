@@ -51,8 +51,10 @@ def _as_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(f"{sf_dir}/events.parquet", link)
+    except FileExistsError:  # concurrent creator won the race — same target
+        pass
     return d
 
 
