@@ -1,0 +1,125 @@
+"""Streaming semantics beyond the oracle harness: watermark behavior
+across real microbatch boundaries (SURVEY.md §2c 'watermark +
+late-data').
+
+What Spark's watermark actually guarantees (and what we assert):
+1. append mode emits each closed window EXACTLY ONCE;
+2. state is BOUNDED — windows behind the watermark are evicted, so
+   state size doesn't grow with stream length;
+3. on-time data aggregates correctly across microbatch boundaries.
+A late row whose window state is still alive may legally still be
+aggregated (the watermark is a minimum-retention guarantee, not a
+strict filter) — so that edge is deliberately not pinned here.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, rows, path):
+    """Write ONE parquet FILE (not a Spark output directory — the file
+    streaming source does not recurse into subdirectories)."""
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, schema="event_id long, ts timestamp, user_id long")
+    staging = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_watermark_exactly_once_and_bounded_state(spark, tmp_path):
+    """10 microbatches, one 10-minute window each, 10-minute watermark:
+    every window must appear exactly once with the right count, and
+    the final state must hold only the windows the watermark hasn't
+    passed — not all 10."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2026, 1, 1, 10, 0)
+    n_batches = 10
+    for i in range(n_batches):
+        # two events per 10-min window, windows strictly advancing
+        t0 = base + timedelta(minutes=10 * i)
+        _write_batch(
+            spark,
+            [(2 * i, t0, 1), (2 * i + 1, t0 + timedelta(minutes=5), 1)],
+            os.path.join(src, f"b{i:02d}.parquet"),
+        )
+    import time as _time
+
+    now = _time.time()
+    for i in range(n_batches):
+        os.utime(os.path.join(src, f"b{i:02d}.parquet"), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_semantics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [(r["ws"], r["n"]) for r in spark.table("wm_semantics").collect()]
+
+    # exactly-once: no window start twice, every emitted count correct
+    starts = [ws for ws, _ in emitted]
+    assert len(starts) == len(set(starts)), f"window re-emitted: {emitted}"
+    assert all(n == 2 for _, n in emitted), f"wrong counts: {emitted}"
+    # windows the watermark passed were all emitted (the last 1-2 may
+    # still be open — watermark lags one batch)
+    assert len(emitted) >= n_batches - 2
+    # bounded state: far fewer rows retained than windows seen
+    state = q.lastProgress["stateOperators"][0]
+    assert state["numRowsTotal"] <= 3, f"state unbounded: {state['numRowsTotal']}"
+
+
+def test_stream_batch_parity_across_microbatches(spark, tmp_path):
+    """The streaming aggregate over N microbatches equals the batch
+    aggregate over the union of all files — the batch-parity contract
+    the oracle harness checks on one batch, here checked across many."""
+    src = str(tmp_path / "stream_src2")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2026, 1, 1, 9, 0)
+    rows_all = []
+    for i in range(5):
+        rows = [(10 * i + j, base + timedelta(minutes=3 * i + j), j % 3) for j in range(4)]
+        rows_all += rows
+        _write_batch(spark, rows, os.path.join(src, f"c{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    counts = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("parity_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["n"] for r in spark.table("parity_counts").collect()}
+    expect = {}
+    for _, _, u in rows_all:
+        expect[u] = expect.get(u, 0) + 1
+    assert got == expect
