@@ -51,6 +51,37 @@ def salted_agg(
     )
 
 
+def skew_isolated_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_key_threshold: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot/cold isolated join: detect keys above ``hot_key_threshold``
+    in the fact, join hot rows against a BROADCAST of the dim's hot
+    slice (no shuffle can skew a broadcast), sort-merge join the cold
+    remainder normally, union the results.
+
+    Use when AQE skew splitting isn't available/enough (e.g. the skew
+    appears after a filter AQE can't see through, or the dim side of
+    a shuffle join is what skews). The hot-key set is collected to the
+    driver — by construction it is tiny (keys above a count threshold).
+    """
+    hot_keys_df = (
+        fact.groupBy(on).agg(F.count("*").alias("__n")).where(F.col("__n") > hot_key_threshold)
+    ).select(on)
+    hot_keys = [r[on] for r in hot_keys_df.collect()]
+    if not hot_keys:
+        return fact.join(dim, on, how)
+    fact_hot = fact.where(F.col(on).isin(hot_keys))
+    fact_cold = fact.where(~F.col(on).isin(hot_keys))
+    dim_hot = dim.where(F.col(on).isin(hot_keys))
+    joined_hot = fact_hot.join(F.broadcast(dim_hot), on, how)
+    joined_cold = fact_cold.join(dim, on, how)
+    return joined_hot.unionByName(joined_cold)
+
+
 def top_frequent_keys(df: DataFrame, key_cols: list[str], threshold: int) -> DataFrame:
     """Skew detector: keys whose row count exceeds ``threshold`` —
     feed to a broadcast-isolate-union plan (hot keys broadcast-joined,

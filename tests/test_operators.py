@@ -107,3 +107,23 @@ def test_setop_bag_semantics(spark):
     assert sorted(r["x"] for r in a.exceptAll(b).collect()) == [1, 2]
     assert sorted(r["x"] for r in a.subtract(b).collect()) == [2]
     assert sorted(r["x"] for r in a.intersectAll(b).collect()) == [1]
+
+
+def test_skew_isolated_join_matches_plain_join(spark):
+    from mercurygate_spark.operators.skew import skew_isolated_join
+
+    # key 1 is hot (100 rows), keys 2-5 cold
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(k, k * 1000) for k in range(2, 6)],
+        schema="k long, v long",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 5)], schema="k long, name string")
+    plain = {(r["k"], r["v"], r["name"]) for r in fact.join(dim, "k").collect()}
+    iso = {(r["k"], r["v"], r["name"])
+           for r in skew_isolated_join(fact, dim, "k", hot_key_threshold=10).collect()}
+    assert iso == plain and len(plain) == 103  # 100 hot + keys 2,3,4
+
+    # no hot keys → falls through to the plain join path
+    iso2 = {(r["k"], r["v"], r["name"])
+            for r in skew_isolated_join(fact, dim, "k", hot_key_threshold=1000).collect()}
+    assert iso2 == plain
