@@ -56,11 +56,15 @@ def merge_upsert_scd(
     incoming: DataFrame,
     spec: TableSpec,
     path: str,
+    soft_delete_missing: bool = True,
 ) -> DataFrame:
     """Incremental publish realizing the declared registry intent
-    (SURVEY.md §2b): latest-per-pk incoming rows win over existing;
-    keys absent from the extract survive with active='N' (SCD-lite
-    soft delete). Returns the new current table (also written).
+    (SURVEY.md §2b): latest-per-pk incoming rows win over existing.
+    Keys absent from the extract are retained; with
+    ``soft_delete_missing`` (SNAPSHOT extracts — absence means the row
+    is gone upstream) they're flagged active='N', without it (DELTA
+    extracts — absence just means unchanged) they keep their flag.
+    Returns the new current table (also written).
 
     Plan: dedupe(incoming) ⟂ existing anti-join on pk → union. One
     shuffle each side; no driver-side state."""
@@ -71,10 +75,11 @@ def merge_upsert_scd(
         write_delta_or_parquet(incoming_latest, path, mode="overwrite")
         return incoming_latest
     existing = read_delta_or_parquet(spark, path)
-    vanished = (
-        existing.join(incoming_latest.select(spec.primary_key), spec.primary_key, "left_anti")
-        .withColumn("active", F.lit("N"))
+    vanished = existing.join(
+        incoming_latest.select(spec.primary_key), spec.primary_key, "left_anti"
     )
+    if soft_delete_missing:
+        vanished = vanished.withColumn("active", F.lit("N"))
     merged = incoming_latest.unionByName(vanished, allowMissingColumns=True)
     # overwrite via staging path — can't overwrite a parquet dir being read
     staging = path.rstrip("/") + "__staging"

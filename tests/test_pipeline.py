@@ -155,3 +155,44 @@ def test_conform_is_idempotent_on_conformed_names(spark):
     out = conform(df, spec)
     assert set(out.columns) == {"claim_number", "payment_amount", "payment_date", "active"}
     assert dict(out.dtypes)["payment_date"] == "timestamp"
+
+
+def test_incremental_silver_streaming(spark, tmp_path):
+    """Streaming bronze→silver (foreachBatch + merge, delta semantics):
+    two incremental file drops; the second run only processes the new
+    file (checkpointed) and merges updates/inserts; keys absent from a
+    delta microbatch are unchanged — NOT soft-deleted."""
+    import glob
+    import shutil
+    import tempfile
+
+    from mercurygate_spark.pipeline.streaming_silver import incremental_silver
+
+    bronze = tmp_path / "bronze_stream"
+    bronze.mkdir()
+    silver = str(tmp_path / "silver_claim")
+    ckpt = str(tmp_path / "ckpt")
+    spec = TABLES["claim"]
+    schema = "claimnumber string, statuscode string, updated_on timestamp"
+
+    def drop_file(rows, name):
+        df = spark.createDataFrame(rows, schema=schema)
+        staging = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], str(bronze / name))
+
+    drop_file([("CLM-1", "OPEN", datetime(2026, 1, 1)),
+               ("CLM-2", "OPEN", datetime(2026, 1, 1))], "d1.parquet")
+    incremental_silver(spark, str(bronze), schema, spec, silver, ckpt)
+    got = {r["claim_number"]: r for r in spark.read.parquet(silver).collect()}
+    assert set(got) == {"CLM-1", "CLM-2"}
+    assert got["CLM-1"]["status_code"] == "OPEN"  # conformed names + typed
+
+    drop_file([("CLM-1", "CLOSED", datetime(2026, 1, 2)),   # update
+               ("CLM-3", "OPEN", datetime(2026, 1, 2))], "d2.parquet")  # insert
+    incremental_silver(spark, str(bronze), schema, spec, silver, ckpt)
+    got = {r["claim_number"]: r for r in spark.read.parquet(silver).collect()}
+    assert got["CLM-1"]["status_code"] == "CLOSED" and got["CLM-1"]["active"] == "Y"
+    assert got["CLM-3"]["status_code"] == "OPEN"
+    # CLM-2 absent from the delta → unchanged, still active
+    assert got["CLM-2"]["active"] == "Y" and got["CLM-2"]["status_code"] == "OPEN"

@@ -90,3 +90,33 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     full = spark.read.parquet(path)
     expected = full.where(F.col("year_month") == "1997-03").count()
     assert df.count() == expected and expected > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located fact⋈fact: both sides bucketed by the join key into
+    the same bucket count → SortMergeJoin with ZERO Exchange. This is
+    the write-once-shuffle-never plan for repeated 100 TB joins."""
+    from mercurygate_spark.io.bucketing import read_table, write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", "o_orderkey", 4, sort_by="o_orderkey")
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 4, sort_by="l_orderkey")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast; disable so the plan shows
+        # the bucketed SMJ path a real fact⋈fact would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "orders_b").join(
+            read_table(spark, "lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in s
+        assert "Exchange" not in s  # the whole point of bucketing
+        # and the result is still correct
+        assert j.count() == lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
