@@ -35,6 +35,90 @@ def make_token_count_udf():
 
 
 @query(
+    "udtf_python_table",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS token
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def udtf_python_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4): one input row → many
+    output rows, lateral-joined — the tokenizer as a table function.
+    Arrow-less but row-bounded here (20 docs); the set-returning shape
+    the reference's flat model never had."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in pat.split(text.lower()):
+                if t:
+                    yield (t,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    t = load_tables(spark, sf_dir, "documents")
+    t["documents"].where(F.col("doc_id") < 20).createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, tok.token "
+        "FROM docs_udtf_v d, LATERAL tokenize_udtf(d.text) tok"
+    )
+
+
+@query(
+    "udaf_pandas_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 6) AS geomean_price,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF) via grouped applyInPandas with one-row
+    output per group: geometric mean of prices. numpy log/exp vs
+    DuckDB ln/exp differ by ≤1 ulp — absorbed by the 6-dp rounding."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("l_returnflag", StringType()),
+            StructField("geomean_price", DoubleType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+        g = float(np.exp(np.log(x).mean()))
+        g = np.floor(g * 1_000_000 + 0.5) / 1_000_000
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "geomean_price": [g],
+             "n_rows": [len(x)]}
+        )
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"].select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(geomean, schema)
+    )
+
+
+@query(
     "udf_python_scalar",
     oracle="""
     SELECT doc_id,
