@@ -86,6 +86,48 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_json_lines",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip: documents → JSONL → read back with
+    an explicit schema → aggregate. Matching the parquet-based oracle
+    proves the JSON codec round-trips values (schema given — JSON
+    inference at 100 TB means a full extra pass; never default to it)."""
+    t = load_tables(spark, sf_dir, "documents")
+    path = _tmp("json_roundtrip")
+    t["documents"].select("doc_id", "lang", "n_chars").write.mode("overwrite").json(path)
+    df = spark.read.schema("doc_id long, lang string, n_chars long").json(path)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan round-trip (the other columnar format Spark ships
+    natively) — identity round-trip proven by aggregating the read-back
+    against the parquet-based oracle."""
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("orc_roundtrip")
+    t["orders"].write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue")
+    )
+
+
+@query(
     "sink_parquet_partitioned",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS year_month,

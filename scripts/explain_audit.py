@@ -1,0 +1,51 @@
+"""Generate docs/PLANS.md: the formatted physical plan of every
+headline query at sf0.1 — the direct evidence for the scale-posture
+claims (pushdown, broadcasts, exchange counts, codegen).
+
+Run: python scripts/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from mercurygate_spark.queries import all_queries  # noqa: E402
+from mercurygate_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="explain_audit", cpus=8)
+    queries = all_queries()
+    out = [
+        "# Physical plans — headline queries (auto-generated)",
+        "",
+        f"`python scripts/explain_audit.py` against `{SF_DIR}`. These are",
+        "the plans the engine stakes its scale claims on; the invariants",
+        "are pinned by tests/test_plans.py.",
+        "",
+    ]
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # keep the operator tree + the scan details; trim codegen ids noise
+        out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path} ({len(HEADLINE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
