@@ -1,0 +1,63 @@
+"""Table maintenance: small-file compaction and sort clustering —
+the OPTIMIZE/ZORDER-shaped operations (SURVEY.md §7 step 8) for plain
+parquet layouts.
+
+The reference sidesteps compaction by rewriting every table daily
+(mm_bronze_silver.py:271); at 100 TB that's not an option — instead,
+periodic compaction bounds file counts and clustering keeps row-group
+min/max statistics selective so filter pushdown can skip row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from mercurygate_spark.io.writers import read_delta_or_parquet, write_delta_or_parquet
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dir into ~target-sized files. Returns the new
+    file count. Size estimate comes from the existing footprint —
+    no data scan before the rewrite job itself."""
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    n_files = max(1, round(total / target_file_bytes))
+    df = read_delta_or_parquet(spark, path)
+    staging = path.rstrip("/") + "__compact"
+    write_delta_or_parquet(df.repartition(n_files), staging, mode="overwrite")
+    final = read_delta_or_parquet(spark, staging)
+    write_delta_or_parquet(final, path, mode="overwrite")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_files
+
+
+def cluster_by(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Rewrite with rows range-partitioned + sorted by ``sort_cols``
+    (repartitionByRange + sortWithinPartitions): each output file owns
+    a disjoint key range, so parquet row-group min/max stats make
+    key-range filters skip whole files/row groups — the plain-parquet
+    analogue of Delta ZORDER for one clustering dimension."""
+    df = read_delta_or_parquet(spark, path)
+    parts = n_files or df.rdd.getNumPartitions()
+    clustered = df.repartitionByRange(parts, *sort_cols).sortWithinPartitions(*sort_cols)
+    staging = path.rstrip("/") + "__cluster"
+    write_delta_or_parquet(clustered, staging, mode="overwrite")
+    final = read_delta_or_parquet(spark, staging)
+    write_delta_or_parquet(final, path, mode="overwrite")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)

@@ -127,3 +127,49 @@ def test_skew_isolated_join_matches_plain_join(spark):
     iso2 = {(r["k"], r["v"], r["name"])
             for r in skew_isolated_join(fact, dim, "k", hot_key_threshold=1000).collect()}
     assert iso2 == plain
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    from mercurygate_spark.io.maintenance import compact_parquet
+
+    path = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartition(32).write.parquet(path)  # fragment: 32 small files
+    import glob
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 32
+    before = orders.count()
+    n = compact_parquet(spark, path, target_file_bytes=512 * 1024 * 1024)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == n == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # double sums depend on partition order — compare with tolerance
+    assert after.agg(F.sum("o_totalprice")).collect()[0][0] == pytest.approx(
+        orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    )
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    from mercurygate_spark.io.maintenance import cluster_by
+
+    path = str(tmp_path / "clustered")
+    spark.read.parquet(f"{SF}/orders.parquet").repartition(8).write.parquet(path)
+    cluster_by(spark, path, ["o_orderkey"], n_files=4)
+
+    import glob
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: {ranges}"  # pruning-friendly
