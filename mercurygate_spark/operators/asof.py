@@ -45,7 +45,11 @@ def asof_join(
     w = Window.partitionBy(*(left_key or lcols)).orderBy(*order)
     matched = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     if how == "left":
-        missing = left.join(matched.select(lcols), on=lcols, how="left_anti")
+        # anti-join on the unique left_key (null-safe by uniqueness);
+        # anti-joining on ALL left columns would mis-classify matched
+        # rows containing NULLs (null-unsafe equality) and duplicate them
+        anti_key = left_key or lcols
+        missing = left.join(matched.select(anti_key), on=anti_key, how="left_anti")
         matched = matched.unionByName(missing, allowMissingColumns=True)
     return matched
 
@@ -76,8 +80,13 @@ def asof_join_pandas(
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
         rpdf = rpdf.sort_values(right_ts, kind="mergesort")
-        return pd.merge_asof(
+        merged = pd.merge_asof(
             lpdf, rpdf.drop(columns=[on]), left_on=left_ts, right_on=right_ts
-        )[[f.name for f in out_fields]]
+        )
+        # inner semantics, matching asof_join: drop unmatched left rows
+        # (also prevents NaN→LongType Arrow conversion failures on
+        # integer right columns)
+        merged = merged[merged[right_ts].notna()]
+        return merged[[f.name for f in out_fields]]
 
     return left.groupBy(on).cogroup(rsel.groupBy(on)).applyInPandas(merge, schema)

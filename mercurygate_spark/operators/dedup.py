@@ -32,6 +32,8 @@ HASH_PARAMS = [(2 * j + 1, 97 * j + 31) for j in range(N_HASHES)]
 
 SHINGLE_K = 3  # word-trigram shingles
 
+_last_bands = None  # minhash_candidate_pairs' single cached bands frame
+
 
 def _shingles_from_tokens(tk_col: str) -> Column:
     """Distinct word-trigram shingles from a materialized token-array
@@ -176,8 +178,16 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") 
     The only join is bucket-equi on (band_idx, band_key)."""
     bands = lsh_bands(minhash_signature_arrow(df, id_col, text_col), id_col)
     # tiny frame (4 rows/doc), self-joined next — persist so the whole
-    # shingle→signature pipeline isn't computed twice
+    # shingle→signature pipeline isn't computed twice. Bound the cache
+    # to ONE bands frame per session: unpersist the previous call's.
+    global _last_bands
+    if _last_bands is not None:
+        try:
+            _last_bands.unpersist()
+        except Exception:
+            pass
     bands = bands.persist()
+    _last_bands = bands
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )

@@ -28,9 +28,11 @@ def sessionize(
     order_cols = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order_cols)
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    # >= gap: matches Spark session_window, whose sessions span
+    # [start, last+gap) — an event at exactly prev+gap starts a NEW one
     flagged = df.withColumn(
         "__new_session",
-        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap >= gap_seconds * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     numbered = flagged.withColumn("__session_no", F.sum("__new_session").over(wrun))

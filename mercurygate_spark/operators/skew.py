@@ -75,7 +75,9 @@ def skew_isolated_join(
     if not hot_keys:
         return fact.join(dim, on, how)
     fact_hot = fact.where(F.col(on).isin(hot_keys))
-    fact_cold = fact.where(~F.col(on).isin(hot_keys))
+    # NULL keys: isin(NULL) yields NULL so both branches would drop the
+    # row; route NULLs to the cold branch (outer joins must keep them)
+    fact_cold = fact.where(~F.col(on).isin(hot_keys) | F.col(on).isNull())
     dim_hot = dim.where(F.col(on).isin(hot_keys))
     joined_hot = fact_hot.join(F.broadcast(dim_hot), on, how)
     joined_cold = fact_cold.join(dim, on, how)

@@ -78,9 +78,13 @@ def dedupe_latest(
     declared-but-never-implemented table registry intent
     (config.py:36-72, mm_bronze_silver.py:171-182; SURVEY.md §2b).
 
-    Total order is pinned (order_by DESC, then tiebreakers DESC, then
-    the pk itself) so ties on ``updated_on`` are deterministic
-    (SURVEY.md §7 risk 'SCD/merge semantics').
+    Total order is pinned: order_by DESC, then tiebreakers DESC, then
+    an md5 over the whole row as the final tiebreak — so ties on
+    ``updated_on`` are deterministic even without a caller-supplied
+    unique column (SURVEY.md §7 risk 'SCD/merge semantics'). Rows that
+    tie all the way through the md5 are full duplicates, where either
+    choice is the same row. Callers with a known unique column should
+    pass it as a tiebreaker to skip the md5 serialization cost.
 
     Scale: one shuffle on the pk; with AQE skew-join/partition
     coalescing this is the canonical 100 TB dedupe plan. For
@@ -89,6 +93,10 @@ def dedupe_latest(
     order_cols = [F.col(c).desc_nulls_last() for c in order_by]
     for tb in tiebreakers or []:
         order_cols.append(F.col(tb).desc_nulls_last())
+    if not tiebreakers:
+        order_cols.append(
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))).desc()
+        )
     w = Window.partitionBy(*primary_key).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -66,24 +66,35 @@ def merge_upsert_scd(
     extracts — absence just means unchanged) they keep their flag.
     Returns the new current table (also written).
 
-    Plan: dedupe(incoming) ⟂ existing anti-join on pk → union. One
-    shuffle each side; no driver-side state."""
+    Plan: union(existing, dedupe(incoming)) → latest-per-pk dedupe
+    (order_by decides between existing and incoming — a late-arriving
+    OLDER row can never regress the table; incoming wins exact ties) →
+    soft-delete flagging. One shuffle per side; no driver-side state."""
     import os
+    import shutil
 
     incoming_latest = dedupe_latest(incoming, spec.primary_key, spec.order_by)
     if not os.path.exists(path):
         write_delta_or_parquet(incoming_latest, path, mode="overwrite")
         return incoming_latest
     existing = read_delta_or_parquet(spark, path)
-    vanished = existing.join(
-        incoming_latest.select(spec.primary_key), spec.primary_key, "left_anti"
+    all_rows = existing.withColumn("__src", F.lit(0)).unionByName(
+        incoming_latest.withColumn("__src", F.lit(1)), allowMissingColumns=True
     )
+    current = dedupe_latest(
+        all_rows, spec.primary_key, spec.order_by, tiebreakers=["__src"]
+    ).drop("__src")
     if soft_delete_missing:
-        vanished = vanished.withColumn("active", F.lit("N"))
-    merged = incoming_latest.unionByName(vanished, allowMissingColumns=True)
+        incoming_keys = incoming_latest.select(spec.primary_key).distinct()
+        current = current.join(
+            incoming_keys.withColumn("__present", F.lit(1)), spec.primary_key, "left"
+        ).withColumn(
+            "active", F.when(F.col("__present").isNull(), F.lit("N")).otherwise(F.col("active"))
+        ).drop("__present")
     # overwrite via staging path — can't overwrite a parquet dir being read
     staging = path.rstrip("/") + "__staging"
-    write_delta_or_parquet(merged, staging, mode="overwrite")
+    write_delta_or_parquet(current, staging, mode="overwrite")
     final = read_delta_or_parquet(spark, staging)
     write_delta_or_parquet(final, path, mode="overwrite")
+    shutil.rmtree(staging, ignore_errors=True)
     return read_delta_or_parquet(spark, path)

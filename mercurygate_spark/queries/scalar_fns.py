@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import REFERENCE_TS_FMT, month_bucket, r2, ts_us
+from mercurygate_spark.functions import REFERENCE_TS_FMT, month_bucket, r2, r6, ts_us
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -142,7 +142,7 @@ def fn_math_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kilo_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kilo_floor"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        r6(F.sqrt("l_quantity")).alias("qty_sqrt"),
     )
 
 

@@ -173,3 +173,39 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file key ranges: {ranges}"  # pruning-friendly
+
+
+def test_asof_left_join_with_null_columns_no_duplicates(spark):
+    """Left as-of join must not duplicate matched rows whose other
+    columns contain NULLs (anti-join is on the unique left key)."""
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10), 100, None),
+         (2, datetime(2026, 1, 1, 10), 200, "x")],
+        schema="k long, lts timestamp, lid long, note string",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 9), 7.0)],
+        schema="k long, rts timestamp, rv double",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rts", "rv"], left_key=["lid"], how="left")
+    rows = {r["lid"]: r for r in out.collect()}
+    assert out.count() == 2          # one row per left row — no dup of lid=100
+    assert rows[100]["rv"] == 7.0    # matched despite NULL note column
+    assert rows[200]["rv"] is None   # unmatched left row kept with nulls
+
+
+def test_asof_pandas_drops_unmatched_left_rows(spark):
+    """Inner semantics: a left key with zero right rows (or ts before
+    all right ts) yields no output row and no NaN/LongType crash."""
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 8), 100), (3, datetime(2026, 1, 1, 10), 300)],
+        schema="k long, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 9), 77), (3, datetime(2026, 1, 1, 9), 99)],
+        schema="k long, rts timestamp, rid long",  # long right col: NaN would crash
+    )
+    out = asof_join_pandas(left, right, on="k", left_ts="lts", right_ts="rts",
+                           right_cols=["rts", "rid"]).collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [(300, 99)]

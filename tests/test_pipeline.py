@@ -196,3 +196,25 @@ def test_incremental_silver_streaming(spark, tmp_path):
     assert got["CLM-3"]["status_code"] == "OPEN"
     # CLM-2 absent from the delta → unchanged, still active
     assert got["CLM-2"]["active"] == "Y" and got["CLM-2"]["status_code"] == "OPEN"
+
+
+def test_merge_upsert_late_arriving_older_row_does_not_regress(spark, tmp_path):
+    """A late-delivered batch containing an OLDER version of a key must
+    not overwrite the newer silver row (order_by recency decides, not
+    batch arrival order)."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "silver_late")
+    spec = TABLES["claim"]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, schema="claim_number string, status_code string, updated_on timestamp"
+        ).withColumn("active", F.lit("Y"))
+
+    merge_upsert_scd(spark, mk([("CLM-1", "CLOSED", datetime(2026, 1, 5))]), spec, target,
+                     soft_delete_missing=False)
+    cur = merge_upsert_scd(spark, mk([("CLM-1", "OPEN", datetime(2026, 1, 1))]), spec, target,
+                           soft_delete_missing=False)
+    got = {r["claim_number"]: r for r in cur.collect()}
+    assert got["CLM-1"]["status_code"] == "CLOSED"  # newer row survives
