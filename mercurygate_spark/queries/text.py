@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r6
+from mercurygate_spark.operators.dedup import duck_minhash_pairs_sql
 from mercurygate_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -173,6 +174,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(fingerprint("text").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), total AS (
+      SELECT sum(c) AS n FROM freq
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(freq.c / total.n)), 6) AS avg_logprob
+    FROM tok JOIN freq USING (t) CROSS JOIN total
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: average unigram log-probability per
+    document (the simplest perplexity-style filter for pretraining
+    corpora). Two passes over exploded tokens: corpus frequencies
+    (one agg), then score per doc via a broadcastable freq join.
+    libm ln differences ≤1 ulp are absorbed by the 6-dp rounding."""
+    t = load_tables(spark, sf_dir, "documents")
+    from mercurygate_spark.functions import tokens
+
+    tok = t["documents"].select("doc_id", F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r6(F.avg(F.log(F.col("c") / F.col("n")))).alias("avg_logprob"),
+        )
+    )
+    return scored
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH pairs AS (
+      {duck_minhash_pairs_sql()}
+    )
+    SELECT DISTINCT id_b AS removed_doc
+    FROM pairs WHERE n_shared_bands >= 2
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision: MinHash-LSH candidates agreeing
+    on ≥2 bands are near-dups; within each pair the LOWER doc_id is
+    canonical and the higher one is marked for removal. (Union-find
+    transitivity intentionally approximated by pair direction — at
+    corpus scale, iterative connected components replace this; the
+    pairwise rule is deterministic and oracle-checkable.)"""
+    from mercurygate_spark.operators.dedup import minhash_candidate_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(t["documents"], "doc_id")
+    return (
+        pairs.where(F.col("n_shared_bands") >= 2)
+        .select(F.col("id_b").alias("removed_doc"))
+        .distinct()
     )
 
 

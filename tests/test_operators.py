@@ -209,3 +209,29 @@ def test_asof_pandas_drops_unmatched_left_rows(spark):
     out = asof_join_pandas(left, right, on="k", left_ts="lts", right_ts="rts",
                            right_cols=["rts", "rid"]).collect()
     assert [(r["lid"], r["rid"]) for r in out] == [(300, 99)]
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """Real multimodal ingestion path: spark.read.format('binaryFile')
+    over a directory of opaque blobs → operators.multimodal metadata
+    extraction. (Testdata has no image fixtures; any bytes exercise
+    the source + pipeline.)"""
+    from mercurygate_spark.operators.multimodal import extract_binary_meta, fake_decode_meta
+
+    blobs = {0: b"\x89PNG fake image bytes", 1: b"RIFF fake audio", 2: b"\x00" * 100}
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for i, b in blobs.items():
+        (d / f"blob_{i}.bin").write_bytes(b)
+    src = (
+        spark.read.format("binaryFile").load(str(d))
+        .select(
+            F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin", 1).cast("long").alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    meta = {r["doc_id"]: r for r in extract_binary_meta(src).collect()}
+    assert set(meta) == set(blobs)
+    for i, b in blobs.items():
+        n, sha16, w, h, fmt = fake_decode_meta(b)
+        assert (meta[i]["n_bytes"], meta[i]["sha16"], meta[i]["fake_format"]) == (n, sha16, fmt)
