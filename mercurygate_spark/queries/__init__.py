@@ -20,6 +20,7 @@ from mercurygate_spark.queries import (  # noqa: F401,E402
     joins,
     multimodal,
     projections,
+    sampling,
     scans,
     scalar_fns,
     setops,

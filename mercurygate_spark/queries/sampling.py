@@ -1,0 +1,103 @@
+"""Deterministic sampling & splitting (training-data-pipeline surface).
+
+`df.sample()` is seed-dependent per partitioning and can't be
+oracle-checked; production corpus pipelines want CONTENT-derived
+sampling anyway — a doc keeps its split assignment no matter how the
+table is partitioned, re-sharded, or re-read. All three ops key off
+md5(id) so they're reproducible on any engine and stable across runs
+(same trick as operators.dedup's cross-engine hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mercurygate_spark.functions import md5_long
+from mercurygate_spark.queries.registry import load_tables, query
+
+
+def hash_bucket(c, n: int = 100):
+    """Stable [0, n) bucket from the md5 of a key column."""
+    return md5_long(c.cast("string")) % n
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% content-hash sample: md5(doc_id) mod 100 < 10. Unlike
+    df.sample(), membership is a pure function of the row — identical
+    on re-runs, re-shards, and other engines (the oracle proves it)."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    return d.where(hash_bucket(F.col("doc_id")) < 10).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the id hash — the
+    standard leakage-safe corpus split (a document can never migrate
+    between splits when the corpus grows or is reprocessed)."""
+    t = load_tables(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: exactly ≤25 docs per language,
+    chosen by hash order (deterministic pseudo-random ranking per
+    stratum, doc_id tiebreak). The language-balancing primitive for
+    mixture construction."""
+    t = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_long(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("doc_id", "lang", "n_chars")
+    )
