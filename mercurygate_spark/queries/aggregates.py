@@ -107,6 +107,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance per group — single-pass mergeable state (Welford-style)
+    in both engines; implementation ulp differences absorbed by the
+    rounding."""
+    t = load_tables(spark, sf_dir, "lineitem")
+
+    def rf(c, scale, alias):
+        return (F.floor(c * 10**scale + F.lit(0.5)) / 10**scale).alias(alias)
+
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        rf(F.stddev_samp("l_extendedprice"), 4, "price_stddev"),
+        rf(F.var_samp("l_quantity"), 4, "qty_var"),
+        rf(F.corr("l_quantity", "l_extendedprice"), 6, "qty_price_corr"),
+        rf(F.covar_samp("l_quantity", "l_extendedprice"), 4, "qty_price_covar"),
+    )
+
+
+@query(
     "agg_rollup_cube",
     oracle="""
     SELECT coalesce(r_name, '<ALL>') AS region_name,
