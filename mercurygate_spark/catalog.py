@@ -8,7 +8,13 @@ mm_bronze_silver.py:9-167 (rename maps) and mm_bronze_silver.py:171-182
   config.py's empty ``orderByCol: [""]``;
 - table naming follows the reference's derivation rule
   (mm_source_to_bronze.py:124-127): ``claim.txt → claim``, else
-  ``claim<suffix>.txt → claim_<suffix>``.
+  ``claim<suffix>.txt → claim_<suffix>``;
+- child-table primary keys are ``(claim_number, row_id)``, not the
+  reference registry's bare ``claimnumber`` (config.py:36-72): a claim
+  has MANY payments/activities/products, so deduping children on
+  claim_number alone would keep one arbitrary row per claim and
+  silently drop the rest. ``row_id`` is the per-row source identifier
+  every child extract carries (the ``rowid`` column in _CHILD_COMMON).
 
 Per-table rename maps are enforced per table (never flattened across
 tables — SURVEY.md §7 risk 'Flattened rename maps').
@@ -140,7 +146,7 @@ TABLES: dict[str, TableSpec] = {
         TableSpec(
             name="claim_activity",
             source_file="claimactivity.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON, "display": "display",
                     "dateof": "date_of", "datecreated": "date_created"},
@@ -149,7 +155,7 @@ TABLES: dict[str, TableSpec] = {
         TableSpec(
             name="claim_additionalcharge",
             source_file="claimadditionalcharge.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON, "chargetype": "charge_type",
                     "description": "description", "amount": "amount",
@@ -159,7 +165,7 @@ TABLES: dict[str, TableSpec] = {
         TableSpec(
             name="claim_additionalinfo",
             source_file="claimadditionalinfo.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON, "customfield": "custom_field",
                     "value": "value", "datecreated": "date_created"},
@@ -171,7 +177,7 @@ TABLES: dict[str, TableSpec] = {
             # the raw name; bronze still derives year_month from it.
             name="claim_diary",
             source_file="claimdiary.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON, "dateof": "date_of",
                     "lastupdatedname": "last_updated_name",
@@ -181,7 +187,7 @@ TABLES: dict[str, TableSpec] = {
         TableSpec(
             name="claim_document",
             source_file="claimdocument.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON, "display": "display", "value": "value",
                     "dateof": "date_of", "datecreated": "date_created"},
@@ -190,7 +196,7 @@ TABLES: dict[str, TableSpec] = {
         TableSpec(
             name="claim_payment",
             source_file="claimpayment.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON,
                     "payee": "payee", "payeecode": "payee_code",
@@ -216,7 +222,7 @@ TABLES: dict[str, TableSpec] = {
         TableSpec(
             name="claim_product",
             source_file="claimproduct.txt",
-            primary_key=["claim_number"],
+            primary_key=["claim_number", "row_id"],
             order_by=["updated_on"],
             rename={**_CHILD_COMMON,
                     "itemnumber": "item_number", "description": "description",

@@ -32,8 +32,6 @@ HASH_PARAMS = [(2 * j + 1, 97 * j + 31) for j in range(N_HASHES)]
 
 SHINGLE_K = 3  # word-trigram shingles
 
-_last_bands = None  # minhash_candidate_pairs' single cached bands frame
-
 
 def _shingles_from_tokens(tk_col: str) -> Column:
     """Distinct word-trigram shingles from a materialized token-array
@@ -68,12 +66,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Explode-heavy operators amplify rows ~100×; a small input that
     arrived in 1-2 file partitions would run that blowup single-
     threaded. Repartition up to the cluster's parallelism ONLY when the
-    input is under-partitioned — on a real 100 TB table the scan
-    already yields thousands of partitions and this is a no-op."""
+    input reads from fewer files than the cluster has cores — on a real
+    100 TB table the scan already yields thousands of files/partitions
+    and this is a no-op. Gate on ``inputFiles()`` (scan metadata, no
+    job) rather than ``df.rdd.getNumPartitions()``: touching ``df.rdd``
+    forces a logical→RDD plan conversion that hides the plan from AQE."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    n_files = len(df.inputFiles())
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def with_shingles(
@@ -177,17 +179,15 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text") 
     candidate pairs (id_a < id_b) with the number of agreeing bands.
     The only join is bucket-equi on (band_idx, band_key)."""
     bands = lsh_bands(minhash_signature_arrow(df, id_col, text_col), id_col)
-    # tiny frame (4 rows/doc), self-joined next — persist so the whole
-    # shingle→signature pipeline isn't computed twice. Bound the cache
-    # to ONE bands frame per session: unpersist the previous call's.
-    global _last_bands
-    if _last_bands is not None:
-        try:
-            _last_bands.unpersist()
-        except Exception:
-            pass
-    bands = bands.persist()
-    _last_bands = bands
+    # Small frame (N_BANDS rows/doc), self-joined next. Without
+    # materialization Spark computes the whole shingle→signature
+    # pipeline twice (no ReusedExchange across the differently-aliased
+    # join sides — verified on the physical plan). localCheckpoint
+    # scopes the materialized copy to THIS call's lineage: both join
+    # sides share one checkpointed RDD, and its storage is released
+    # when the result goes out of scope — no module-global cache that
+    # concurrent queries could unpersist from under each other.
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )

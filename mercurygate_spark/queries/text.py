@@ -201,8 +201,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality score: average unigram log-probability per
     document (the simplest perplexity-style filter for pretraining
     corpora). Two passes over exploded tokens: corpus frequencies
-    (one agg), then score per doc via a broadcastable freq join.
-    libm ln differences ≤1 ulp are absorbed by the 6-dp rounding."""
+    (one agg), then score per doc via a shuffle join on token — the
+    vocabulary of a web-scale corpus is unbounded (100s of millions of
+    types), so freq must NOT be broadcast; only the 1-row grand total
+    is. libm ln differences ≤1 ulp are absorbed by the 6-dp rounding."""
     t = load_tables(spark, sf_dir, "documents")
     from mercurygate_spark.functions import tokens
 
@@ -210,7 +212,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("t").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
-        tok.join(F.broadcast(freq), "t")
+        tok.join(freq, "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -29,6 +29,8 @@ PAYMENT_CSV = """rowid,claimnumber,payee,paymentamount,paymentdate,datecreated
 10,CLM-001,Acme Corp,500.00,2025-11-20 10:00:00,2025-11-01 09:00:00
 11,CLM-002,Beta LLC,0.00,2025-12-02 10:00:00,2025-11-10 14:00:00
 12,CLM-999,Orphan Co,10.00,2025-12-03 10:00:00,2025-11-12 10:00:00
+13,CLM-001,Acme Corp,250.00,2025-11-25 10:00:00,2025-11-01 09:00:00
+14,CLM-001,Acme Corp,125.00,2025-11-30 10:00:00,2025-11-01 09:00:00
 """
 
 DIARY_CSV = """rowid,claimnumber,dateof,lastupdatedname,category,comments,datecreated
@@ -96,6 +98,13 @@ def test_bronze_to_silver_end_to_end(spark, staged, tmp_path):
     # claim_diary quirk: raw datecreated survives unmapped
     diary = tables["claim_diary"]
     assert "datecreated" in diary.columns and "date_of" in diary.columns
+    # child-table pk is (claim_number, row_id): a claim with 3 payments
+    # publishes ALL 3 to silver — deduping children on claim_number
+    # alone would keep one arbitrary payment and corrupt payment KPIs
+    payments = tables["claim_payment"]
+    clm1 = payments.filter(payments.claim_number == "CLM-001").collect()
+    assert len(clm1) == 3
+    assert sorted(r["payment_amount"] for r in clm1) == [125.0, 250.0, 500.0]
     # ledger timings are real (reference's linehaul timer bug fixed)
     assert all(e["execution_time"] >= 0 for e in ledger.entries)
     assert ledger.to_df(spark).columns == ["table", "database", "count", "execution_time"]
@@ -142,6 +151,36 @@ def test_merge_upsert_scd(spark, tmp_path):
     assert got["CLM-001"]["status_code"] == "CLOSED" and got["CLM-001"]["active"] == "Y"
     assert got["CLM-003"]["active"] == "Y"
     assert got["CLM-002"]["active"] == "N" and got["CLM-002"]["status_code"] == "OPEN"
+
+
+def test_child_table_dedupe_keeps_all_rows_per_claim(spark, tmp_path):
+    """Child pk is (claim_number, row_id): distinct child rows of one
+    claim all survive merge; a re-delivered row_id dedupes to latest."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "silver_payment")
+    spec = TABLES["claim_payment"]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            schema="claim_number string, row_id long, payment_amount double, updated_on timestamp",
+        ).withColumn("active", F.lit("Y"))
+
+    day1 = mk([
+        ("CLM-1", 10, 500.0, datetime(2026, 1, 1)),
+        ("CLM-1", 11, 250.0, datetime(2026, 1, 1)),
+        ("CLM-1", 12, 125.0, datetime(2026, 1, 1)),
+    ])
+    cur = merge_upsert_scd(spark, day1, spec, target, soft_delete_missing=False)
+    assert cur.count() == 3  # all three payments of CLM-1 kept
+
+    day2 = mk([("CLM-1", 11, 275.0, datetime(2026, 1, 2))])  # corrected amount
+    cur = merge_upsert_scd(spark, day2, spec, target, soft_delete_missing=False)
+    got = {r["row_id"]: r for r in cur.collect()}
+    assert len(got) == 3
+    assert got[11]["payment_amount"] == 275.0  # latest version of row 11 wins
+    assert got[10]["payment_amount"] == 500.0  # siblings untouched
 
 
 def test_conform_is_idempotent_on_conformed_names(spark):

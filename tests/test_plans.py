@@ -69,6 +69,38 @@ def test_no_cartesian_anywhere(spark, name):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_unigram_logprob_never_hints_vocabulary_broadcast(spark):
+    """The corpus vocabulary (freq frame) is unbounded at web scale —
+    it must NOT carry a broadcast hint on the per-token join (a hint
+    forces the OOM at real vocab sizes; the planner is still free to
+    broadcast adaptively when runtime stats say it fits, which is why
+    we pin the optimized logical plan, not the executed one). The only
+    permitted hint is on the 1-row grand-total crossJoin."""
+    df = all_queries()["text_unigram_logprob"](spark, SF)
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in o.splitlines() if "Join" in ln]
+    token_joins = [ln for ln in joins if "Join Inner" in ln]
+    assert token_joins and all("broadcast" not in ln for ln in token_joins)
+    # exactly one broadcast hint total: the single-row total frame
+    assert o.count("strategy=broadcast") == 1
+
+
+def test_minhash_pairs_no_global_cache_interleaving(spark):
+    """Two interleaved minhash_candidate_pairs calls must not disturb
+    each other's materialized bands frame (regression: a module-global
+    persist cache used to unpersist call 1's frame when call 2 ran)."""
+    from mercurygate_spark.operators.dedup import minhash_candidate_pairs
+    from mercurygate_spark.queries.registry import load_tables
+
+    docs = load_tables(spark, SF, "documents")["documents"]
+    p1 = minhash_candidate_pairs(docs.limit(40), "doc_id")
+    p2 = minhash_candidate_pairs(docs.limit(80), "doc_id")  # would evict p1's cache
+    c2 = p2.count()
+    c1 = p1.count()  # collected AFTER p2 was built and run
+    assert c1 == minhash_candidate_pairs(docs.limit(40), "doc_id").count()
+    assert c2 == minhash_candidate_pairs(docs.limit(80), "doc_id").count()
+
+
 def test_partition_pruning_on_hive_layout(spark, tmp_path):
     """The engine's year_month bronze layout must prune: a filter on
     the partition column shows up as PartitionFilters and only the
