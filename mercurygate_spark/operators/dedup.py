@@ -238,6 +238,105 @@ def duck_minhash_pairs_sql(id_col: str = "doc_id", table: str = "documents") -> 
     """
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a candidate-pair graph via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public algorithm).
+    Returns (node, component) where component = min node id of the
+    node's component; every node that appears in a pair is present.
+
+    Why this and not label propagation: min-label propagation needs
+    O(diameter) rounds (a chain a~b~c~… takes one round per hop);
+    star contractions converge in O(log² n) rounds regardless of
+    shape — the property that holds up when a 100 TB corpus contains
+    million-document near-dup chains (boilerplate families).
+
+    Scale shape per round: two groupBy-min shuffles keyed on node id,
+    edges localCheckpointed each round to truncate the iterative
+    lineage (else the plan doubles per round). Deterministic: min-based
+    contraction has no tie to break."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # For each node u with neighborhood Γ(u) (symmetric view) and
+        # m = min(Γ(u) ∪ {u}): connect every LARGER neighbor to m.
+        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), "v")  # m ≤ u < v ⇒ canonical (u < v)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Key each edge by its LARGER endpoint u with smaller neighbors
+        # Γ(u); m = min(Γ(u)): connect every smaller neighbor AND u to m.
+        d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = d.join(mins, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
+        self_links = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            rewired.unionAll(self_links)
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+        )
+
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        converged = (
+            new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty()
+        )
+        edges = new_edges
+        if converged:
+            break
+    # Fixpoint = star graphs: every edge is (component_min, node).
+    return (
+        edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .unionAll(edges.select(F.col("u").alias("node"), F.col("u").alias("component")))
+        .distinct()
+    )
+
+
+def duck_connected_components_sql(
+    pairs_sql: str, a_col: str = "id_a", b_col: str = "id_b"
+) -> str:
+    """DuckDB oracle twin of connected_components(): recursive
+    reachability closure, component = min reachable node (fine at
+    oracle scale; the Spark side exists because this closure is
+    quadratic in component size)."""
+    return f"""
+    WITH RECURSIVE __cc_pairs AS (
+      {pairs_sql}
+    ), __cc_edges AS (
+      SELECT {a_col} AS u, {b_col} AS v FROM __cc_pairs
+      UNION
+      SELECT {b_col}, {a_col} FROM __cc_pairs
+    ), __cc_reach(node, r) AS (
+      SELECT u, v FROM __cc_edges
+      UNION
+      SELECT w.node, e.v FROM __cc_reach w JOIN __cc_edges e ON e.u = w.r
+    )
+    SELECT node, least(node, min(r)) AS component
+    FROM __cc_reach GROUP BY node
+    """
+
+
 SIMHASH_BITS = 32
 
 

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r6
 from mercurygate_spark.operators.dedup import (
+    connected_components,
+    duck_connected_components_sql,
     duck_minhash_pairs_sql,
     duck_shingles_sql,
     duck_simhash_sql,
@@ -102,6 +104,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(t["documents"], "doc_id", "source", threshold=0.05)
     return pairs.select(
         "id_a", "id_b", "n_common", "n_a", "n_b", r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+_CANDIDATE_PAIRS_SQL = (
+    f"SELECT id_a, id_b FROM ({duck_minhash_pairs_sql()}) WHERE n_shared_bands >= 2"
+)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    {duck_connected_components_sql(_CANDIDATE_PAIRS_SQL)
+        .replace("SELECT node, least(node, min(r)) AS component",
+                 "SELECT node AS doc_id, least(node, min(r)) AS component_id")}
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH candidate pairs
+    (≥2 agreeing bands) → alternating large-star/small-star connected
+    components → (doc_id, component_id=min id of its cluster). This is
+    the decision layer real corpus dedup needs: a~b and b~c place a, b,
+    c in ONE cluster even when a~c was never a candidate pair."""
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(t["documents"], "doc_id").where(
+        F.col("n_shared_bands") >= 2
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     )
 
 

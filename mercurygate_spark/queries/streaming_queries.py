@@ -27,7 +27,7 @@ from mercurygate_spark.streaming.windows import (
     SELECT epoch_us(to_timestamp(floor(epoch(ts) / 600) * 600)) AS window_start_us,
            event_type,
            count(*) AS n_events,
-           sum(value) AS sum_value
+           round(sum(value), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -35,10 +35,17 @@ from mercurygate_spark.streaming.windows import (
 def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling windows per event_type via a real streaming
     run (watermark + window + availableNow). Oracle: epoch-bucket
-    arithmetic. sum_value is a sum over the same doubles in engine-
-    chosen order — matches because each (window,type) group is small;
-    the oracle-critical columns are the counts and window starts."""
-    return run_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)))
+    arithmetic. sum_value rounded to 2 dp on both sides — streaming
+    partial-agg accumulation order differs from the oracle's scan
+    order, so raw doubles can differ in the last ulp."""
+    from mercurygate_spark.functions import r2
+
+    out = run_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)))
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "window_start_us", "event_type", "n_events", r2(F.col("sum_value")).alias("sum_value")
+    )
 
 
 @query(

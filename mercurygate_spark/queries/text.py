@@ -12,7 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r6
-from mercurygate_spark.operators.dedup import duck_minhash_pairs_sql
+from mercurygate_spark.operators.dedup import (
+    duck_connected_components_sql,
+    duck_minhash_pairs_sql,
+)
 from mercurygate_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -226,28 +229,34 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_keep_canonical",
     oracle=f"""
-    WITH pairs AS (
-      {duck_minhash_pairs_sql()}
-    )
-    SELECT DISTINCT id_b AS removed_doc
-    FROM pairs WHERE n_shared_bands >= 2
+    SELECT doc_id AS removed_doc FROM (
+      {duck_connected_components_sql(
+          "SELECT id_a, id_b FROM (" + duck_minhash_pairs_sql() + ") WHERE n_shared_bands >= 2"
+      ).replace("SELECT node, least(node, min(r)) AS component",
+                "SELECT node AS doc_id, least(node, min(r)) AS component_id")}
+    ) WHERE doc_id <> component_id
     """,
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup decision: MinHash-LSH candidates agreeing
-    on ≥2 bands are near-dups; within each pair the LOWER doc_id is
-    canonical and the higher one is marked for removal. (Union-find
-    transitivity intentionally approximated by pair direction — at
-    corpus scale, iterative connected components replace this; the
-    pairwise rule is deterministic and oracle-checkable.)"""
-    from mercurygate_spark.operators.dedup import minhash_candidate_pairs
+    on ≥2 bands feed transitive connected components; within each
+    cluster the MIN doc_id is canonical and every other member is
+    removed. Chain-shaped groups (a~b, b~c) therefore make ONE
+    consistent decision — keep a, drop b and c — where the former
+    pairwise rule could drop inconsistently."""
+    from mercurygate_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
 
     t = load_tables(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(t["documents"], "doc_id")
+    pairs = minhash_candidate_pairs(t["documents"], "doc_id").where(
+        F.col("n_shared_bands") >= 2
+    )
+    comps = connected_components(pairs)
     return (
-        pairs.where(F.col("n_shared_bands") >= 2)
-        .select(F.col("id_b").alias("removed_doc"))
-        .distinct()
+        comps.where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("removed_doc"))
     )
 
 

@@ -235,3 +235,44 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     for i, b in blobs.items():
         n, sha16, w, h, fmt = fake_decode_meta(b)
         assert (meta[i]["n_bytes"], meta[i]["sha16"], meta[i]["fake_format"]) == (n, sha16, fmt)
+
+
+def test_connected_components_chain_transitivity(spark):
+    """a~b, b~c, c~d is ONE component rooted at a — the case the old
+    pairwise keep-canonical rule decided inconsistently. Plus a
+    separate 2-node component and determinism across reruns."""
+    from mercurygate_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(2, 2), (3, 2), (4, 2), (5, 2), (10, 10), (11, 10)}
+    # rerun → identical (min-contraction has no ties to break)
+    again = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert again == got
+
+
+def test_connected_components_star_and_reversed_edges(spark):
+    """Edge direction and duplication must not matter; empty input
+    yields an empty frame with the right schema."""
+    from mercurygate_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 1), (1, 9), (9, 7), (7, 1)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (7, 1), (9, 1)}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty)
+    assert out.columns == ["node", "component"] and out.count() == 0
