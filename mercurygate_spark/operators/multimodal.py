@@ -2,11 +2,13 @@
 as opaque ``binary`` columns + typed metadata, processed by
 Arrow-batched pandas UDFs over ``mapInPandas``.
 
-The decode step itself (PIL/ffmpeg) is STUBBED — those libraries are
-not in this container — behind ``decode_image``/``decode_audio`` which
-raise NotImplementedError, with a deterministic fake
-(``fake_decode_meta``) standing in so the Spark-side plumbing (schema,
-batching, partitioning, UDF signature) is real and tested end-to-end.
+Image metadata (format, width, height) is parsed DIRECTLY from the
+container headers — PNG IHDR chunk, JPEG SOFn segment, GIF logical
+screen descriptor — with zero image-library dependencies (the byte
+layouts are public file-format specifications). Payloads that are not
+one of these containers get deterministic content-derived placeholder
+metadata (sha256 arithmetic) so the pipeline stays total and the
+DuckDB oracle can replay every branch.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of partition size; binary payloads never
@@ -34,36 +36,82 @@ META_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("sha16", StringType()),  # first 16 hex chars of sha256
-        StructField("fake_width", LongType()),
-        StructField("fake_height", LongType()),
-        StructField("fake_format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("format", StringType()),
     ]
 )
 
-
-def decode_image(payload: bytes):
-    """Real image decode — requires PIL, not available in this
-    container. The plumbing that would call it is fully wired; swap
-    this stub for ``PIL.Image.open(io.BytesIO(payload))`` on a cluster
-    with the dependency installed."""
-    raise NotImplementedError("image decoding requires PIL; container ships without it")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG SOFn markers carry the frame dimensions; C4=DHT, C8=JPG
+# extension, CC=DAC are in the C0-CF range but are NOT frame headers.
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
 
 
-def decode_audio(payload: bytes):
-    """Real audio decode — requires soundfile/ffmpeg; see decode_image."""
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg")
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) parsed from raw bytes for PNG / JPEG /
+    GIF, or None when the payload is none of those. Pure byte
+    arithmetic from the public format specs:
+
+    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
+      big-endian u32 width at offset 16, height at 20.
+    - GIF: 'GIF87a'/'GIF89a', little-endian u16 logical-screen width
+      at offset 6, height at 8.
+    - JPEG: SOI (FFD8), then marker segments; the first SOFn segment
+      holds big-endian u16 height at +5, width at +7.
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone marker
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 9 > n:
+                    return None  # truncated SOF
+                return (
+                    "jpeg",
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            if seg_len < 2:
+                return None  # malformed segment length
+            i += 2 + seg_len
+    return None
 
 
-def fake_decode_meta(payload: bytes) -> tuple[int, str, int, int, str]:
-    """Deterministic stand-in for decode: metadata derived purely from
-    the bytes (sha256-based), so tests and the DuckDB oracle can verify
-    the full pipeline without an image library."""
+def decode_meta(payload: bytes) -> tuple[int, str, int, int, str]:
+    """(n_bytes, sha16, width, height, format) for any payload: real
+    header dimensions for PNG/JPEG/GIF; for everything else,
+    deterministic sha256-derived placeholder dimensions and format
+    'unknown' (content-addressed, so the DuckDB oracle replays it)."""
     h = hashlib.sha256(payload).hexdigest()
     n = len(payload)
-    fake_w = (int(h[:4], 16) % 1920) + 1
-    fake_h = (int(h[4:8], 16) % 1080) + 1
-    fake_format = ["png", "jpeg", "webp"][n % 3]
-    return n, h[:16], fake_w, fake_h, fake_format
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        fmt, w, ht = parsed
+        return n, h[:16], w, ht, fmt
+    w = (int(h[:4], 16) % 1920) + 1
+    ht = (int(h[4:8], 16) % 1080) + 1
+    return n, h[:16], w, ht, "unknown"
 
 
 def extract_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
@@ -77,12 +125,12 @@ def extract_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "p
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (int(i), *fake_decode_meta(bytes(p)))
+                (int(i), *decode_meta(bytes(p)))
                 for i, p in zip(pdf[id_col], pdf[bin_col])
             ]
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_bytes", "sha16", "fake_width", "fake_height", "fake_format"],
+                columns=["doc_id", "n_bytes", "sha16", "width", "height", "format"],
             )
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(meta_batches, META_SCHEMA)

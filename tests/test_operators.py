@@ -11,9 +11,8 @@ from pyspark.sql import functions as F
 
 from mercurygate_spark.operators.asof import asof_join, asof_join_pandas
 from mercurygate_spark.operators.multimodal import (
-    decode_audio,
-    decode_image,
-    fake_decode_meta,
+    decode_meta,
+    parse_image_header,
 )
 from mercurygate_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from mercurygate_spark.pipeline.conform import dedupe_latest
@@ -89,15 +88,45 @@ def test_ann_results_are_consistent_with_brute_force(spark):
         assert bf[(r["query_id"], r["candidate_id"])] == r["cos"]
 
 
-def test_multimodal_stub_contract():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF...")
-    n, sha16, w, h, fmt = fake_decode_meta(b"hello world")
+def _png_bytes(w: int, h: int) -> bytes:
+    """Minimal PNG: signature + IHDR chunk (CRC irrelevant to parsing)."""
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00" * 4
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """SOI + APP0 (JFIF) + SOF0 carrying the frame dimensions."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_image_header_parsing():
+    """Real PNG IHDR / JPEG SOF0 / GIF screen-descriptor parsing from
+    raw bytes — no image library involved."""
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(_jpeg_bytes(1024, 768)) == ("jpeg", 1024, 768)
+    # non-images and truncated headers fall through to None
+    assert parse_image_header(b"hello world") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n1234") is None  # no IHDR
+    assert parse_image_header(b"\xff\xd8\xff") is None           # truncated JPEG
+    # decode_meta: real dims for images, sha-derived placeholders otherwise
+    n, sha16, w, h, fmt = decode_meta(_png_bytes(640, 480))
+    assert (w, h, fmt) == (640, 480, "png")
+    n, sha16, w, h, fmt = decode_meta(b"hello world")
     assert n == 11 and len(sha16) == 16
-    assert 1 <= w <= 1920 and 1 <= h <= 1080 and fmt in {"png", "jpeg", "webp"}
-    assert fake_decode_meta(b"hello world") == (n, sha16, w, h, fmt)  # deterministic
+    assert 1 <= w <= 1920 and 1 <= h <= 1080 and fmt == "unknown"
+    assert decode_meta(b"hello world") == (n, sha16, w, h, fmt)  # deterministic
 
 
 def test_setop_bag_semantics(spark):
@@ -214,11 +243,17 @@ def test_asof_pandas_drops_unmatched_left_rows(spark):
 def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     """Real multimodal ingestion path: spark.read.format('binaryFile')
     over a directory of opaque blobs → operators.multimodal metadata
-    extraction. (Testdata has no image fixtures; any bytes exercise
-    the source + pipeline.)"""
-    from mercurygate_spark.operators.multimodal import extract_binary_meta, fake_decode_meta
+    extraction, including REAL image fixtures whose header dimensions
+    come back parsed."""
+    from mercurygate_spark.operators.multimodal import extract_binary_meta
 
-    blobs = {0: b"\x89PNG fake image bytes", 1: b"RIFF fake audio", 2: b"\x00" * 100}
+    blobs = {
+        0: _png_bytes(800, 600),
+        1: _jpeg_bytes(256, 192),
+        2: _gif_bytes(64, 32),
+        3: b"RIFF fake audio",
+        4: b"\x00" * 100,
+    }
     d = tmp_path / "blobs"
     d.mkdir()
     for i, b in blobs.items():
@@ -232,9 +267,12 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     )
     meta = {r["doc_id"]: r for r in extract_binary_meta(src).collect()}
     assert set(meta) == set(blobs)
-    for i, b in blobs.items():
-        n, sha16, w, h, fmt = fake_decode_meta(b)
-        assert (meta[i]["n_bytes"], meta[i]["sha16"], meta[i]["fake_format"]) == (n, sha16, fmt)
+    assert (meta[0]["format"], meta[0]["width"], meta[0]["height"]) == ("png", 800, 600)
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"]) == ("jpeg", 256, 192)
+    assert (meta[2]["format"], meta[2]["width"], meta[2]["height"]) == ("gif", 64, 32)
+    for i in (3, 4):
+        n, sha16, w, h, fmt = decode_meta(blobs[i])
+        assert (meta[i]["n_bytes"], meta[i]["sha16"], meta[i]["format"]) == (n, sha16, "unknown")
 
 
 def test_connected_components_chain_transitivity(spark):
