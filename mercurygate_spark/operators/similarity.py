@@ -162,28 +162,143 @@ def duck_bucket_sql(vec_expr: str) -> str:
 
 N_CENTROIDS = 16
 N_PROBE = 2
+KMEANS_ITERS = 3       # fixed Lloyd iterations — part of the deterministic spec
+QUANT = 1000           # embedding quantization grid (3 decimal places)
+EMBED_DIMS = 64        # testdata embedding width (oracle SQL is generated for it)
+
+
+def _quantize(vecs):
+    """float64 matrix → int64 grid: floor(x*QUANT + 0.5). One IEEE
+    multiply-add + floor — bit-identical in numpy and DuckDB, which is
+    why ALL k-means arithmetic below happens on this integer grid:
+    integer squared distances and integer centroid updates are exact
+    on both engines, so the oracle replays training bit-for-bit
+    (double-precision distance sums would differ in the last ulp and
+    cascade into different cluster assignments)."""
+    import numpy as np
+
+    return np.floor(vecs * QUANT + 0.5).astype(np.int64)
+
+
+def _int_sq_dists(qvecs, cmat):
+    """(n, k) integer squared euclidean distances — exact int64."""
+    import numpy as np
+
+    out = np.empty((qvecs.shape[0], cmat.shape[0]), dtype=np.int64)
+    for c in range(cmat.shape[0]):
+        diff = qvecs - cmat[c]
+        out[:, c] = (diff * diff).sum(axis=1)
+    return out
+
+
+def kmeans_seeds(corpus: DataFrame, id_col: str, vec_col: str, k: int = N_CENTROIDS):
+    """Deterministic seed-free init: the k corpus vectors ranked first
+    by (md5(id), id) — a content-hash shuffle both engines compute
+    identically, unbiased by insertion order (the classic 'first k
+    rows' init degenerates when the corpus is sorted by topic).
+    Returns the quantized (k, dims) int64 seed matrix."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return _quantize(np.array([list(r[vec_col]) for r in rows], dtype=np.float64))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+):
+    """Distributed Lloyd's k-means on the quantized grid, fixed
+    ``iters`` iterations (no convergence test — determinism over the
+    last fraction of a percent of inertia). Per iteration the cluster
+    travels ONE Spark job: an Arrow-batched assignment pass emitting
+    per-batch partial sums (k×dims rows each), a groupBy reduction,
+    and a driver-side centroid recompute on ≤ k×dims collected longs —
+    the corpus itself is never collected. Update rule per dimension:
+    floor((2·sum + cnt) / (2·cnt)) = round-half-up of the mean, exact
+    in IEEE double at these magnitudes (numerator ≪ 2^53), so numpy,
+    Python, and DuckDB agree bit-for-bit. Empty clusters keep their
+    previous centroid."""
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    cent = kmeans_seeds(corpus, id_col, vec_col, k)
+    dims = cent.shape[1]
+    part_schema = StructType(
+        [
+            StructField("cidx", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("s", LongType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    for _ in range(iters):
+        cmat = cent  # closure-captured (broadcast-small pattern)
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+                d = _int_sq_dists(qv, cmat)
+                nearest = np.lexsort(
+                    (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
+                )[:, 0]
+                rows = []
+                for c in range(cmat.shape[0]):
+                    members = qv[nearest == c]
+                    if len(members) == 0:
+                        continue
+                    sums = members.sum(axis=0)
+                    for j in range(dims):
+                        rows.append((c, j, int(sums[j]), len(members)))
+                yield pd.DataFrame(rows, columns=["cidx", "j", "s", "cnt"])
+
+        agg = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, part_schema)
+            .groupBy("cidx", "j")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        new = cent.copy()
+        for r in agg:
+            new[r["cidx"], r["j"]] = math.floor(
+                (2 * r["s"] + r["cnt"]) / (2.0 * r["cnt"])
+            )
+        cent = new
+    return cent
 
 
 def ivf_assign(
     df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    cmat,
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids
-    (euclidean, tie-break by centroid id) via one numpy distance
-    matrix per Arrow batch. ``centroids`` is a small driver-side list
-    (the broadcast-dim pattern — closure-captured, sent once per
-    executor)."""
+    (integer squared euclidean on the quantized grid, tie-break by
+    centroid index) via numpy per Arrow batch. ``cmat`` is the small
+    (k, dims) int64 centroid matrix — closure-captured, sent once per
+    executor (the broadcast-dim pattern)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
-
-    cids = np.array([c[0] for c in centroids], dtype=np.int64)
-    cmat = np.array([c[1] for c in centroids], dtype=np.float64)
 
     in_schema = df.select(id_col, vec_col).schema
     schema = StructType(
@@ -195,19 +310,16 @@ def ivf_assign(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            # ||v-c||² = ||v||² - 2v·c + ||c||²; argsort with cid tiebreak
-            d2 = (
-                (vecs**2).sum(axis=1, keepdims=True)
-                - 2 * vecs @ cmat.T
-                + (cmat**2).sum(axis=1)
-            )
-            order = np.lexsort((np.broadcast_to(cids, d2.shape), d2), axis=1)[:, :n_probe]
+            qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            d = _int_sq_dists(qv, cmat)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
+            )[:, :n_probe]
             rows = []
             for i in range(len(pdf)):
                 for r in range(order.shape[1]):
                     rows.append(
-                        (*pdf.iloc[i][[id_col, vec_col]], int(cids[order[i, r]]), r + 1)
+                        (*pdf.iloc[i][[id_col, vec_col]], int(order[i, r]), r + 1)
                     )
             yield pd.DataFrame(rows, columns=[id_col, vec_col, "centroid_id", "probe_rank"])
 
@@ -222,26 +334,16 @@ def cosine_topk_ivf(
     k: int = 10,
     round_scale: int = 4,
 ) -> DataFrame:
-    """IVF-style ANN: corpus vectors partitioned into N_CENTROIDS
-    inverted lists (nearest-centroid assignment); each query probes its
-    N_PROBE nearest lists and scores exact cosine only there.
-
-    Centroids here are the first N_CENTROIDS corpus vectors — a
-    deterministic, training-free choice so the DuckDB oracle can
-    replay assignment exactly; swap in k-means centroids on a real
-    corpus (the plumbing is identical). Candidate work per query is
-    |corpus| * n_probe / n_centroids."""
-    spark = corpus.sparkSession  # noqa: F841 — documents that no extra session state is needed
-    cent_rows = (
-        corpus.where(F.col(id_col) < N_CENTROIDS)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    centroids = [(r[id_col], list(r[vec_col])) for r in cent_rows]
-    corpus_assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+    """IVF ANN with TRAINED centroids: deterministic quantized-grid
+    k-means (train_ivf_centroids) partitions the corpus into
+    N_CENTROIDS inverted lists; each query probes its N_PROBE nearest
+    lists and scores exact cosine only there. Candidate work per query
+    is |corpus| * n_probe / n_centroids."""
+    cmat = train_ivf_centroids(corpus, id_col, vec_col)
+    corpus_assigned = ivf_assign(corpus, cmat, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
-    query_probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=N_PROBE).select(
+    query_probes = ivf_assign(queries, cmat, id_col, vec_col, n_probe=N_PROBE).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
     )
     scored = (
@@ -256,6 +358,63 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def duck_ivf_kmeans_sql(
+    iters: int = KMEANS_ITERS,
+    k: int = N_CENTROIDS,
+    dims: int = EMBED_DIMS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Generated DuckDB CTE chain replaying train_ivf_centroids()
+    bit-for-bit: quantized embeddings (qemb), md5-ordered seeds
+    (cent0), then one unrolled Lloyd iteration per CTE pair
+    (assign{i}/cent{i}). All arithmetic is integer (or the one exact
+    round-half-up double division), so Spark and DuckDB agree on every
+    assignment. Ends with cent{iters} = the trained centroids."""
+    q = (
+        f"list_transform({vec_col}::DOUBLE[], "
+        f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    parts = [
+        f"""qemb AS (
+      SELECT {id_col}, {vec_col}, {q} AS qe FROM {table}
+    ), cent0 AS (
+      SELECT cidx, qe AS qc FROM (
+        SELECT CAST(row_number() OVER (
+                 ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS INT) - 1 AS cidx,
+               qe
+        FROM qemb
+      ) WHERE cidx < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""assign{i} AS (
+      SELECT {id_col}, qe, cidx FROM (
+        SELECT e.{id_col}, e.qe, c.cidx,
+               row_number() OVER (PARTITION BY e.{id_col}
+                                  ORDER BY {dist}, c.cidx) AS rn
+        FROM qemb e CROSS JOIN cent{i - 1} c
+      ) WHERE rn = 1
+    ), sums{i} AS (
+      SELECT cidx, j, sum(qe[j + 1]) AS s, count(*) AS cnt
+      FROM assign{i}, (SELECT unnest(range({dims})) AS j)
+      GROUP BY cidx, j
+    ), cent{i} AS (
+      SELECT p.cidx, coalesce(n.qc, p.qc) AS qc
+      FROM cent{i - 1} p LEFT JOIN (
+        SELECT cidx,
+               list(CAST(floor((2 * s + cnt) / (2.0 * cnt)) AS BIGINT) ORDER BY j) AS qc
+        FROM sums{i} GROUP BY cidx
+      ) n ON p.cidx = n.cidx
+    )""")
+    return ",\n    ".join(parts)
 
 
 def cosine_pairs_blocked(

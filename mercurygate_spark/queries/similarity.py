@@ -11,12 +11,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mercurygate_spark.operators.similarity import (
+    EMBED_DIMS,
+    KMEANS_ITERS,
     N_CENTROIDS,
     N_PROBE,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
     duck_bucket_sql,
+    duck_ivf_kmeans_sql,
 )
 from mercurygate_spark.queries.registry import load_tables, query
 
@@ -96,20 +99,22 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_cosine_ivf",
     oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
-    ), assign AS (
-      SELECT e.vec_id, e.embedding, c.cid,
+    WITH {duck_ivf_kmeans_sql()},
+    assign_final AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), c.cid
+               ORDER BY list_sum(list_transform(range(1, {EMBED_DIMS + 1}),
+                          j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))),
+                        c.cidx
              ) AS probe_rank
-      FROM embeddings e CROSS JOIN cent c
+      FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
     ), corpus_lists AS (
-      SELECT vec_id AS candidate_id, embedding AS cv, cid FROM assign WHERE probe_rank = 1
+      SELECT vec_id AS candidate_id, embedding AS cv, cidx
+      FROM assign_final WHERE probe_rank = 1
     ), query_probes AS (
-      SELECT vec_id AS query_id, embedding AS qv, cid
-      FROM assign WHERE vec_id < {N_QUERIES} AND probe_rank <= {N_PROBE}
+      SELECT vec_id AS query_id, embedding AS qv, cidx
+      FROM assign_final WHERE vec_id < {N_QUERIES} AND probe_rank <= {N_PROBE}
     ), scored AS (
       SELECT p.query_id, c.candidate_id,
              round(
@@ -118,7 +123,7 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
                4) AS cos
       FROM query_probes p JOIN corpus_lists c
-        ON p.cid = c.cid AND p.query_id <> c.candidate_id
+        ON p.cidx = c.cidx AND p.query_id <> c.candidate_id
     ), ranked AS (
       SELECT *, row_number() OVER (
                PARTITION BY query_id ORDER BY cos DESC, candidate_id
@@ -129,11 +134,13 @@ def sim_cosine_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: corpus split into {N_CENTROIDS} inverted lists
-    by nearest centroid; queries probe their {N_PROBE} nearest lists.
-    Deterministic training-free centroids (first {N_CENTROIDS} vectors)
-    so the oracle replays assignment; swap in k-means offline centroids
-    at scale — the plumbing is identical."""
+    """IVF-bucketed ANN with TRAINED centroids: deterministic Lloyd's
+    k-means on a quantized integer grid (md5-ordered init, fixed
+    {KMEANS_ITERS} iterations — operators.similarity.train_ivf_centroids)
+    partitions the corpus into {N_CENTROIDS} inverted lists; queries
+    probe their {N_PROBE} nearest lists. The oracle replays the whole
+    training loop in SQL (unrolled CTE per iteration) — possible
+    because every training step is integer-exact on both engines."""
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     q = e.where(F.col("vec_id") < N_QUERIES)

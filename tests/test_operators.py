@@ -314,3 +314,28 @@ def test_connected_components_star_and_reversed_edges(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     out = connected_components(empty)
     assert out.columns == ["node", "component"] and out.count() == 0
+
+
+def test_ivf_trained_centroids_recall_and_determinism(spark):
+    """Trained-k-means IVF: recall@10 vs brute force must beat random
+    probing (n_probe/n_centroids = 1/8 of the corpus → random recall
+    ~0.125; trained lists cluster genuinely similar vectors together),
+    and two training runs must give identical results (quantized
+    integer k-means has no nondeterminism)."""
+    from mercurygate_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from mercurygate_spark.queries.registry import load_tables
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["candidate_id"]): r["cos"]
+          for r in cosine_topk(q, e, k=10).collect()}
+    ivf = {(r["query_id"], r["candidate_id"]): r["cos"]
+           for r in cosine_topk_ivf(q, e, k=10).collect()}
+    recall = len(bf.keys() & ivf.keys()) / len(bf)
+    assert recall >= 0.3
+    # scores for shared pairs are the same exact cosine
+    for pair in bf.keys() & ivf.keys():
+        assert bf[pair] == ivf[pair]
+    again = {(r["query_id"], r["candidate_id"]): r["cos"]
+             for r in cosine_topk_ivf(q, e, k=10).collect()}
+    assert again == ivf
