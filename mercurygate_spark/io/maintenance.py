@@ -21,22 +21,19 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Rewrite a parquet dir into ~target-sized files. Returns the new
-    file count. Size estimate comes from the existing footprint —
-    no data scan before the rewrite job itself."""
-    import os
+    file count. Size estimate comes from the existing footprint via the
+    Hadoop FileSystem API (one listing, scheme-aware — io.fs) — no data
+    scan before the rewrite job itself."""
+    from mercurygate_spark.io.fs import delete_path, dir_size_bytes
 
-    total = 0
-    for root, _, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    total = dir_size_bytes(spark, path)
     n_files = max(1, round(total / target_file_bytes))
     df = read_delta_or_parquet(spark, path)
     staging = path.rstrip("/") + "__compact"
     write_delta_or_parquet(df.repartition(n_files), staging, mode="overwrite")
     final = read_delta_or_parquet(spark, staging)
     write_delta_or_parquet(final, path, mode="overwrite")
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    delete_path(spark, staging)
     return n_files
 
 
@@ -51,13 +48,15 @@ def cluster_by(
     a disjoint key range, so parquet row-group min/max stats make
     key-range filters skip whole files/row groups — the plain-parquet
     analogue of Delta ZORDER for one clustering dimension."""
+    from mercurygate_spark.io.fs import delete_path
+
     df = read_delta_or_parquet(spark, path)
-    parts = n_files or df.rdd.getNumPartitions()
+    # file-count default from scan metadata, not df.rdd (which would
+    # force a logical→RDD conversion and hide the plan from AQE)
+    parts = n_files or max(1, len(df.inputFiles()))
     clustered = df.repartitionByRange(parts, *sort_cols).sortWithinPartitions(*sort_cols)
     staging = path.rstrip("/") + "__cluster"
     write_delta_or_parquet(clustered, staging, mode="overwrite")
     final = read_delta_or_parquet(spark, staging)
     write_delta_or_parquet(final, path, mode="overwrite")
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    delete_path(spark, staging)

@@ -48,6 +48,14 @@ class SftpConfig:
     retry_sleep_s: float = 5.0
     keepalive_s: int = 30
     timeout_s: float = 200.0
+    # Host-key verification. The reference uses AutoAddPolicy
+    # (mm_source_to_bronze.py:38) — trusting any key on first contact,
+    # a MITM exposure amplified by password auth. Default here is
+    # REJECT unknown hosts (system known_hosts are loaded); opt into
+    # the reference behavior explicitly, or pin the expected key
+    # fingerprint (hex sha256) which is checked post-connect.
+    host_key_policy: str = "reject"  # 'reject' | 'auto_add'
+    host_key_fingerprint: str | None = None
 
 
 class LocalFetcher:
@@ -88,7 +96,11 @@ class SftpFetcher:
         for attempt in range(self.cfg.retries):
             try:
                 client = paramiko.SSHClient()
-                client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+                client.load_system_host_keys()
+                if self.cfg.host_key_policy == "auto_add":
+                    client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+                else:
+                    client.set_missing_host_key_policy(paramiko.RejectPolicy())
                 client.connect(
                     self.cfg.host,
                     port=self.cfg.port,
@@ -96,6 +108,18 @@ class SftpFetcher:
                     password=self.cfg.password,
                     timeout=self.cfg.timeout_s,
                 )
+                if self.cfg.host_key_fingerprint is not None:
+                    import hashlib
+
+                    got = hashlib.sha256(
+                        client.get_transport().get_remote_server_key().asbytes()
+                    ).hexdigest()
+                    if got != self.cfg.host_key_fingerprint.lower():
+                        client.close()
+                        raise ConnectionError(
+                            f"host key fingerprint mismatch: expected "
+                            f"{self.cfg.host_key_fingerprint}, got {got}"
+                        )
                 transport = client.get_transport()
                 transport.set_keepalive(self.cfg.keepalive_s)
                 # socket-level timeout bounds every blocking op — no

@@ -65,8 +65,10 @@ def write_delta_or_parquet(
 
 
 def read_delta_or_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read back whatever ``write_delta_or_parquet`` produced."""
-    import os
+    """Read back whatever ``write_delta_or_parquet`` produced. The
+    _delta_log probe uses the Hadoop FileSystem API (io.fs) so it works
+    on object-store URIs, not just driver-local paths."""
+    from mercurygate_spark.io.fs import path_exists
 
-    fmt = "delta" if os.path.isdir(os.path.join(path, "_delta_log")) else "parquet"
+    fmt = "delta" if path_exists(spark, path.rstrip("/") + "/_delta_log") else "parquet"
     return spark.read.format(fmt).load(path)

@@ -67,7 +67,22 @@ def skew_isolated_join(
     appears after a filter AQE can't see through, or the dim side of
     a shuffle join is what skews). The hot-key set is collected to the
     driver — by construction it is tiny (keys above a count threshold).
+
+    Only inner/left/left_semi/left_anti are supported: the plan splits
+    the FACT side disjointly but joins BOTH branches against dim rows
+    for hot keys (broadcast slice + full dim), so for right/full outer
+    joins an unmatched hot dim row would surface from both branches —
+    duplicated or spuriously unmatched output. Rejected explicitly
+    rather than silently wrong.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"skew_isolated_join supports {sorted(allowed)}, got how={how!r}: "
+            "right/full outer joins would duplicate unmatched hot dim rows "
+            "across the hot and cold branches"
+        )
     hot_keys_df = (
         fact.groupBy(on).agg(F.count("*").alias("__n")).where(F.col("__n") > hot_key_threshold)
     ).select(on)

@@ -69,12 +69,16 @@ def merge_upsert_scd(
     Plan: union(existing, dedupe(incoming)) → latest-per-pk dedupe
     (order_by decides between existing and incoming — a late-arriving
     OLDER row can never regress the table; incoming wins exact ties) →
-    soft-delete flagging. One shuffle per side; no driver-side state."""
-    import os
-    import shutil
+    soft-delete flagging. One shuffle per side; no driver-side state.
+
+    Path probes and staging cleanup go through the Hadoop FileSystem
+    API (io.fs) so the first-load/refresh routing works on s3a://,
+    abfss://, hdfs:// — not just the driver's local disk (the
+    reference's os.path.exists bug, SURVEY.md §2d-3)."""
+    from mercurygate_spark.io.fs import delete_path, path_exists
 
     incoming_latest = dedupe_latest(incoming, spec.primary_key, spec.order_by)
-    if not os.path.exists(path):
+    if not path_exists(spark, path):
         write_delta_or_parquet(incoming_latest, path, mode="overwrite")
         return incoming_latest
     existing = read_delta_or_parquet(spark, path)
@@ -96,5 +100,5 @@ def merge_upsert_scd(
     write_delta_or_parquet(current, staging, mode="overwrite")
     final = read_delta_or_parquet(spark, staging)
     write_delta_or_parquet(final, path, mode="overwrite")
-    shutil.rmtree(staging, ignore_errors=True)
+    delete_path(spark, staging)
     return read_delta_or_parquet(spark, path)

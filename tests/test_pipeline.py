@@ -257,3 +257,71 @@ def test_merge_upsert_late_arriving_older_row_does_not_regress(spark, tmp_path):
                            soft_delete_missing=False)
     got = {r["claim_number"]: r for r in cur.collect()}
     assert got["CLM-1"]["status_code"] == "CLOSED"  # newer row survives
+
+
+def test_hadoop_fs_helpers(spark, tmp_path):
+    """io.fs routes probes/deletes/sizing through Hadoop FileSystem —
+    verified here on file:// (the API contract is scheme-independent)."""
+    from mercurygate_spark.io.fs import delete_path, dir_size_bytes, path_exists
+
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x" * 1000)
+    (d / "b.bin").write_bytes(b"y" * 500)
+    p = str(d)
+    assert path_exists(spark, p)
+    assert not path_exists(spark, p + "_missing")
+    assert dir_size_bytes(spark, p) == 1500
+    assert delete_path(spark, p)
+    assert not path_exists(spark, p)
+    assert delete_path(spark, p) is False  # already gone
+
+
+def test_skew_isolated_join_rejects_outer_variants(spark):
+    """right/full outer joins would duplicate unmatched hot dim rows
+    across the hot/cold branches — rejected, not silently wrong."""
+    import pytest as _pytest
+
+    from mercurygate_spark.operators.skew import skew_isolated_join
+
+    fact = spark.createDataFrame([(1, 1)], "k long, v long")
+    dim = spark.createDataFrame([(1, "d")], "k long, name string")
+    for how in ("right", "full", "full_outer", "right_outer", "outer"):
+        with _pytest.raises(ValueError, match="skew_isolated_join supports"):
+            skew_isolated_join(fact, dim, "k", hot_key_threshold=1, how=how)
+
+
+def test_delta_merge_branch_when_available(spark, tmp_path):
+    """Exercises the REAL Delta write path (overwriteSchema + merge on
+    a Delta table) when delta-spark is on the classpath; skipped (and
+    honestly reported) in environments without it. The probe itself is
+    asserted either way — Class.forName, not py4j's lazy fake."""
+    from mercurygate_spark.io.writers import delta_available, write_delta_or_parquet
+
+    available = delta_available(spark)
+    assert available in (True, False)  # probe never raises
+    if not available:
+        pytest.skip("delta-spark not on classpath — parquet fallback covered elsewhere")
+
+    from pyspark.sql import functions as F
+
+    spec = TABLES["claim"]
+    target = str(tmp_path / "delta_claim")
+    day1 = spark.createDataFrame(
+        [("CLM-1", "OPEN", datetime(2026, 1, 1))],
+        schema="claim_number string, status_code string, updated_on timestamp",
+    ).withColumn("active", F.lit("Y"))
+    fmt = write_delta_or_parquet(day1, target, mode="overwrite")
+    assert fmt == "delta"
+    # overwriteSchema: widen with a new column and overwrite
+    day2 = day1.withColumn("new_col", F.lit(1))
+    assert write_delta_or_parquet(day2, target, mode="overwrite") == "delta"
+    cur = merge_upsert_scd(
+        spark,
+        day2.withColumn("status_code", F.lit("CLOSED"))
+            .withColumn("updated_on", F.lit(datetime(2026, 1, 2))),
+        spec,
+        target,
+    )
+    got = {r["claim_number"]: r for r in cur.collect()}
+    assert got["CLM-1"]["status_code"] == "CLOSED"
