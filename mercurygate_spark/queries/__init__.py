@@ -16,6 +16,7 @@ from mercurygate_spark.queries.registry import REGISTRY, load_tables, query  # n
 from mercurygate_spark.queries import (  # noqa: F401,E402
     aggregates,
     analytics,
+    corpus,
     dedup,
     joins,
     multimodal,

@@ -1,0 +1,123 @@
+"""End-to-end LLM-corpus curation pipeline (north-star surface): the
+composed query a pretraining-data user runs on day one —
+
+    quality filter → exact dedup → transitive near-dup removal →
+    deterministic train/val/test split
+
+— as ONE oracle-checked key. Each stage is an operator that is already
+individually oracle-checked (text_quality_score, dedup_exact,
+dedup_connected_components, split_train_val_test); this key proves
+they COMPOSE: stage N runs on exactly the survivors of stage N-1.
+
+Scale shape: quality filter and fingerprinting are linear scans; the
+exact-dedup shuffle moves (16-byte hash, id); minhash candidates are
+band-bucketed (never all-pairs); connected components is O(log²)
+rounds over candidate edges only; the split is a pure hash of the id.
+No stage collects the corpus to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mercurygate_spark.operators.dedup import (
+    connected_components,
+    duck_connected_components_sql,
+    duck_minhash_pairs_sql,
+    minhash_candidate_pairs,
+)
+from mercurygate_spark.operators.text import fingerprint, quality_features
+from mercurygate_spark.queries.registry import load_tables, query
+from mercurygate_spark.queries.sampling import hash_bucket
+
+# Quality gates (integer arithmetic only — exact on both engines):
+# enough tokens to be text, and punctuation under 30% of characters.
+MIN_TOKENS = 5
+MAX_PUNCT_PCT = 30
+
+_SURVIVORS_SQL = f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS char_len
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, text, n_tokens FROM feat
+      WHERE n_tokens >= {MIN_TOKENS} AND n_punct * 100 <= char_len * {MAX_PUNCT_PCT}
+    )
+    SELECT doc_id, text, n_tokens FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id
+             ) AS rn
+      FROM quality
+    ) WHERE rn = 1
+"""
+
+_PAIRS_OVER_SURVIVORS_SQL = (
+    "SELECT id_a, id_b FROM ("
+    + duck_minhash_pairs_sql(id_col="doc_id", table="(" + _SURVIVORS_SQL + ") __survivors")
+    + ") WHERE n_shared_bands >= 2"
+)
+
+
+@query(
+    "pipeline_corpus_curate",
+    oracle=f"""
+    WITH survivors AS (
+      {_SURVIVORS_SQL}
+    ), removed AS (
+      SELECT node AS doc_id FROM (
+        {duck_connected_components_sql(_PAIRS_OVER_SURVIVORS_SQL)}
+      ) WHERE node <> component
+    )
+    SELECT s.doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+                THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split,
+           s.n_tokens
+    FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM removed)
+    """,
+)
+def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline. Returns one row per
+    SURVIVING document: (doc_id, split, n_tokens)."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+
+    # 1. quality gate (integer comparisons — no float boundary risk)
+    feat = quality_features(docs, "text")
+    quality = feat.where(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_punct") * 100 <= F.col("char_len") * MAX_PUNCT_PCT)
+    )
+
+    # 2. exact dedup: keeper = min doc_id per normalized-text fingerprint
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    survivors = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text", "n_tokens")
+    )
+
+    # 3. transitive near-dup removal over the survivors only
+    pairs = minhash_candidate_pairs(survivors, "doc_id").where(
+        F.col("n_shared_bands") >= 2
+    )
+    removed = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = survivors.join(removed, "doc_id", "left_anti")
+
+    # 4. leakage-safe deterministic split
+    b = hash_bucket(F.col("doc_id"))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return kept.select("doc_id", split.alias("split"), "n_tokens")
