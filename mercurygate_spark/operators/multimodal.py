@@ -114,6 +114,100 @@ def decode_meta(payload: bytes) -> tuple[int, str, int, int, str]:
     return n, h[:16], w, ht, "unknown"
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha16", StringType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bits_per_sample", LongType()),
+    ]
+)
+
+
+def parse_audio_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """(format, sample_rate, channels, bits_per_sample) parsed from raw
+    bytes for canonical WAV / FLAC containers, or None. Pure byte
+    arithmetic from the public format specs:
+
+    - WAV: 'RIFF' + size + 'WAVE', with the 'fmt ' chunk REQUIRED at
+      offset 12 (canonical layout; written by virtually every encoder).
+      LE u16 channels at 22, LE u32 sample rate at 24, LE u16 bits at
+      34. Non-canonical chunk orders fall through to the placeholder
+      branch on purpose — the strict layout keeps the decode exactly
+      replayable by the DuckDB oracle.
+    - FLAC: 'fLaC' magic, then the STREAMINFO block (type 0,
+      mandatory-first): 20-bit sample rate starting at byte 18,
+      3-bit channels-1 and 5-bit bits-1 packed after it.
+    """
+    n = len(payload)
+    if (
+        n >= 36
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and payload[12:16] == b"fmt "
+    ):
+        ch = int.from_bytes(payload[22:24], "little")
+        sr = int.from_bytes(payload[24:28], "little")
+        bits = int.from_bytes(payload[34:36], "little")
+        return "wav", sr, ch, bits
+    if n >= 22 and payload[:4] == b"fLaC" and (payload[4] & 0x7F) == 0:
+        b18, b19, b20, b21 = payload[18], payload[19], payload[20], payload[21]
+        sr = (b18 << 12) | (b19 << 4) | (b20 >> 4)
+        ch = ((b20 >> 1) & 0x7) + 1
+        bits = (((b20 & 1) << 4) | (b21 >> 4)) + 1
+        return "flac", sr, ch, bits
+    return None
+
+
+def decode_audio_meta(payload: bytes) -> tuple[int, str, str, int, int, int]:
+    """(n_bytes, sha16, format, sample_rate, channels, bits) for any
+    payload: real header fields for WAV/FLAC; deterministic
+    sha256-derived placeholders (format 'unknown') otherwise, so the
+    pipeline is total and the DuckDB oracle replays every branch."""
+    h = hashlib.sha256(payload).hexdigest()
+    n = len(payload)
+    parsed = parse_audio_header(payload)
+    if parsed is not None:
+        fmt, sr, ch, bits = parsed
+        return n, h[:16], fmt, sr, ch, bits
+    sr = (int(h[8:12], 16) % 48000) + 4000
+    ch = (int(h[12], 16) % 2) + 1
+    bits = 8 * ((int(h[13], 16) % 2) + 1)
+    return n, h[:16], "unknown", sr, ch, bits
+
+
+def extract_audio_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(id, binary) → audio metadata via mapInPandas (Arrow-batched,
+    same template as extract_binary_meta — nothing on the driver)."""
+    import pandas as pd
+
+    def audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *decode_audio_meta(bytes(p)))
+                for i, p in zip(pdf[id_col], pdf[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "sha16",
+                    "format",
+                    "sample_rate",
+                    "channels",
+                    "bits_per_sample",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        audio_batches, AUDIO_META_SCHEMA
+    )
+
+
 def extract_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """(id, binary) → typed metadata via mapInPandas (Arrow-batched).
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from mercurygate_spark.operators.multimodal import (
     documents_as_binary,
+    extract_audio_meta,
     extract_binary_meta,
     sample_frames,
 )
@@ -92,6 +93,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset arithmetic on the same bytes."""
     t = load_tables(spark, sf_dir, "documents")
     return sample_frames(documents_as_binary(t["documents"]))
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, encode(text) AS p,
+             hex(encode(text)) AS ph,
+             octet_length(encode(text)) AS n, sha256(text) AS sh
+      FROM documents
+    ), f AS (
+      -- byte k (1-indexed) of the payload = substr(ph, (k-1)*2+1, 2);
+      -- all container checks are done on byte offsets (NOT character
+      -- offsets: multi-byte utf-8 chars would misalign them)
+      SELECT doc_id, n, sh, ph,
+             (n >= 36
+              AND substr(ph, 1, 8) = '52494646'    -- 'RIFF'
+              AND substr(ph, 17, 8) = '57415645'   -- 'WAVE'
+              AND substr(ph, 25, 8) = '666D7420')  -- 'fmt '
+               AS is_wav,
+             (n >= 22
+              AND substr(ph, 1, 8) = '664C6143'    -- 'fLaC'
+              AND ('0x' || substr(ph, 9, 2))::BIGINT % 128 = 0)
+               AS is_flac
+      FROM b
+    )
+    SELECT doc_id,
+           n AS n_bytes,
+           substr(sh, 1, 16) AS sha16,
+           CASE WHEN is_wav THEN 'wav'
+                WHEN is_flac THEN 'flac'
+                ELSE 'unknown' END AS format,
+           CASE WHEN is_wav  -- LE u32 at bytes 25-28
+                THEN ('0x' || substr(ph, 55, 2) || substr(ph, 53, 2)
+                           || substr(ph, 51, 2) || substr(ph, 49, 2))::BIGINT
+                WHEN is_flac  -- 20 bits starting at byte 19
+                THEN ('0x' || substr(ph, 37, 2))::BIGINT * 4096
+                     + ('0x' || substr(ph, 39, 2))::BIGINT * 16
+                     + ('0x' || substr(ph, 41, 2))::BIGINT // 16
+                ELSE ('0x' || substr(sh, 9, 4))::BIGINT % 48000 + 4000
+           END AS sample_rate,
+           CASE WHEN is_wav  -- LE u16 at bytes 23-24
+                THEN ('0x' || substr(ph, 47, 2) || substr(ph, 45, 2))::BIGINT
+                WHEN is_flac  -- 3 bits of byte 21
+                THEN (('0x' || substr(ph, 41, 2))::BIGINT // 2) % 8 + 1
+                ELSE ('0x' || substr(sh, 13, 1))::BIGINT % 2 + 1
+           END AS channels,
+           CASE WHEN is_wav  -- LE u16 at bytes 35-36
+                THEN ('0x' || substr(ph, 71, 2) || substr(ph, 69, 2))::BIGINT
+                WHEN is_flac  -- 1+4 bits spanning bytes 21-22
+                THEN (('0x' || substr(ph, 41, 2))::BIGINT % 2) * 16
+                     + ('0x' || substr(ph, 43, 2))::BIGINT // 16 + 1
+                ELSE 8 * (('0x' || substr(sh, 14, 1))::BIGINT % 2 + 1)
+           END AS bits_per_sample
+    FROM f
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column metadata extraction: WAV (canonical RIFF layout)
+    and FLAC STREAMINFO headers parsed from raw bytes — no codec
+    libraries — with sha256-derived placeholders for everything else.
+    Same mapInPandas template as multimodal_meta; the oracle replays
+    every branch byte-for-byte off the hex dump. Real-container
+    parsing is additionally unit-tested on crafted WAV/FLAC fixture
+    bytes (tests/test_operators.py::test_audio_header_parsing)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return extract_audio_meta(documents_as_binary(t["documents"]))
 
 
 @query(

@@ -260,5 +260,187 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns: identical Java-regex / RE2 behavior by construction —
+# greedy character-class quantifiers only, no ambiguous alternation
+# (both engines use leftmost-first matching; these patterns make
+# leftmost-first and leftmost-longest coincide).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d() -]{5,}\d"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             length(text) AS char_len_before,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}')) AS n_ip,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+      FROM documents
+    )
+    SELECT doc_id, char_len_before, n_email, n_ip,
+           len(regexp_extract_all(t2, '<PHONE>')) AS n_phone,
+           length(t2) AS char_len_after,
+           md5(t2) AS scrubbed_md5
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pretraining-corpus scrub step:
+    emails, then IPv4s, then phone-shaped digit runs replaced with
+    typed placeholders, in that fixed order (so the phone pattern can
+    never re-match digits inside an already-redacted IP). Per-doc
+    match counts + md5 of the scrubbed text (the full text round-trips
+    through md5 so the oracle hash-checks every replacement without
+    shipping 5k long strings through the compare). Pure codegen
+    regexp_replace — a linear scan, no shuffle at all."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        F.length("text").alias("char_len_before"),
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>").alias("t1"),
+    )
+    d = d.select(
+        "doc_id",
+        "char_len_before",
+        "n_email",
+        F.regexp_count("t1", F.lit(_PII_IP)).alias("n_ip"),
+        F.regexp_replace(
+            F.regexp_replace("t1", _PII_IP, "<IP>"), _PII_PHONE, "<PHONE>"
+        ).alias("t2"),
+    )
+    return d.select(
+        "doc_id",
+        "char_len_before",
+        "n_email",
+        "n_ip",
+        F.regexp_count("t2", F.lit("<PHONE>")).alias("n_phone"),
+        F.length("t2").alias("char_len_after"),
+        F.md5("t2").alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      FROM tok WHERE len(ts) >= 2
+    ), cnt AS (
+      SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+    ), rk AS (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      FROM cnt
+    )
+    SELECT lang, bigram, n, rk FROM rk WHERE rk <= 10
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-10 token bigrams per language,
+    deterministic tie-break (count desc, bigram asc). The groupBy
+    shuffles once on (lang, bigram) with map-side partial counts; the
+    per-lang top-10 is a rank window whose WindowGroupLimit pushes
+    below the shuffle — k rows per partition move, not the whole
+    bigram vocabulary."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "documents")
+    from mercurygate_spark.functions import tokens
+
+    ts = tokens("text")
+    bg = t["documents"].select(
+        "lang",
+        F.explode(
+            F.when(
+                F.size(ts) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return cnt.select("lang", "bigram", "n", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= 10
+    )
+
+
+@query(
+    "dedup_contamination_ngram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts) - 6),
+                                   i -> array_to_string(ts[i:i+7], ' '))) AS g
+      FROM tok WHERE len(ts) >= 8
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT sh.doc_id, count(DISTINCT sh.g) AS n_shared_ngrams
+    FROM sh JOIN bench USING (g)
+    WHERE sh.doc_id % 50 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def dedup_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any token
+    8-gram with the held-out benchmark set (stand-in: every 50th
+    doc_id) are flagged with their shared-shingle count — the standard
+    n-gram-overlap contamination check run before pretraining. The
+    benchmark side is DISTINCT, tiny by construction (eval suites are
+    small even when the corpus is 100 TB) and broadcast, so the corpus
+    side never shuffles — one linear pass over exploded shingles plus
+    the final per-doc count."""
+    t = load_tables(spark, sf_dir, "documents")
+    from mercurygate_spark.functions import tokens
+
+    ts = tokens("text")
+    sh = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ts) >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - 7),
+                    lambda i: F.array_join(F.slice(ts, i, 8), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bench = sh.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_ngrams"))
+    )
+
+
 # lang_scores imported for reuse by tests; reference it so linters keep it.
 _ = lang_scores

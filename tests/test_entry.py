@@ -21,8 +21,10 @@ def test_contract_shape():
     assert set(o) <= set(q)
     # oracles are non-trivial SQL
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
-    # rows-only keys are the two engine-specific sketches
-    assert set(q) - set(o) == {"agg_approx_distinct", "agg_approx_quantile"}
+    # every key is oracle-checked — the sketches via bound-check
+    # contracts (booleans the oracle pins to TRUE), everything else
+    # via full value oracles
+    assert set(q) == set(o)
 
 
 def test_queries_are_lazy(spark, sf_dir):

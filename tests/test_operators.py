@@ -131,6 +131,62 @@ def test_image_header_parsing():
     assert decode_meta(b"hello world") == (n, sha16, w, h, fmt)  # deterministic
 
 
+def _wav_bytes(sample_rate: int, channels: int, bits: int) -> bytes:
+    """Minimal canonical WAV: RIFF header + fmt chunk + empty data."""
+    block_align = channels * bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + (0).to_bytes(4, "little")
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _flac_bytes(sample_rate: int, channels: int, bits: int) -> bytes:
+    """'fLaC' magic + a minimal STREAMINFO block (type 0)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | 0  # total samples
+    ).to_bytes(8, "big")
+    streaminfo = bytes(10) + packed + bytes(16)  # blocksizes/framesizes/md5 zeroed
+    return b"fLaC" + b"\x00" + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def test_audio_header_parsing():
+    """Real WAV RIFF / FLAC STREAMINFO parsing from raw bytes — no
+    codec library involved."""
+    from mercurygate_spark.operators.multimodal import (
+        decode_audio_meta,
+        parse_audio_header,
+    )
+
+    assert parse_audio_header(_wav_bytes(44100, 2, 16)) == ("wav", 44100, 2, 16)
+    assert parse_audio_header(_wav_bytes(16000, 1, 8)) == ("wav", 16000, 1, 8)
+    assert parse_audio_header(_flac_bytes(44100, 2, 16)) == ("flac", 44100, 2, 16)
+    assert parse_audio_header(_flac_bytes(96000, 8, 24)) == ("flac", 96000, 8, 24)
+    # non-audio / truncated / non-canonical falls through to None
+    assert parse_audio_header(b"hello world") is None
+    assert parse_audio_header(b"") is None
+    assert parse_audio_header(b"RIFF1234WAVEjunk" + bytes(32)) is None  # fmt not at 12
+    assert parse_audio_header(b"fLaC\x01" + bytes(30)) is None  # not STREAMINFO
+    # decode: real fields for audio, sha-derived placeholders otherwise
+    n, sha16, fmt, sr, ch, bits = decode_audio_meta(_wav_bytes(48000, 2, 24))
+    assert (fmt, sr, ch, bits) == ("wav", 48000, 2, 24)
+    n, sha16, fmt, sr, ch, bits = decode_audio_meta(b"hello world")
+    assert n == 11 and len(sha16) == 16 and fmt == "unknown"
+    assert 4000 <= sr < 52000 and ch in (1, 2) and bits in (8, 16)
+    assert decode_audio_meta(b"hello world") == (n, sha16, fmt, sr, ch, bits)
+
+
 def test_setop_bag_semantics(spark):
     """exceptAll/intersectAll (bag) vs subtract/intersect (set)."""
     a = spark.createDataFrame([(1,), (1,), (2,)], "x long")
