@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mercurygate_spark.queries.registry import query
 from mercurygate_spark.streaming.windows import (
     distinct_pairs_stream,
+    interval_join_streams,
     read_events_stream,
     run_to_memory,
     session_windows,
@@ -125,6 +126,38 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         (F.floor(F.col("sum_value") * 100 + F.lit(0.5)) / 100).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id,
+           epoch_us(a.ts) AS click_ts_us,
+           epoch_us(b.ts) AS purchase_ts_us,
+           b.value AS purchase_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     -- range compared in microseconds: Spark sees ns→µs-truncated
+     -- timestamps, so the oracle must compare at the same precision
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    10 minutes, per user): two event streams joined in append mode
+    with watermarks bounding both sides' join state. On the bounded
+    availableNow input the emitted set equals the batch theta join —
+    the oracle."""
+    clicks = read_events_stream(spark, sf_dir).where("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
+    return run_to_memory(
+        interval_join_streams(clicks, purchases), output_mode="append"
     )
 
 

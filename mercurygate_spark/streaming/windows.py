@@ -175,6 +175,47 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    clicks: DataFrame, purchases: DataFrame, minutes: int = 10
+) -> DataFrame:
+    """Stream-stream interval join: click events joined to the same
+    user's purchase events that happen within `minutes` AFTER the
+    click — the canonical attribution shape. Both sides carry
+    watermarks (required for append-mode stream-stream joins: they
+    bound how long each side's rows are buffered in state; a purchase
+    can only match clicks ≤10 min older, so watermark + range
+    condition let Spark evict state as time advances).
+
+    Batch twin: the same equi+range theta join, which is the oracle.
+    """
+    a = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    b = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", "1 hour")
+    joined = a.join(
+        b,
+        (a["user_id"] == b["p_user_id"])
+        & (b["purchase_ts"] >= a["click_ts"])
+        & (b["purchase_ts"] <= a["click_ts"] + F.expr(f"INTERVAL {minutes} MINUTES")),
+        "inner",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
 def distinct_pairs_stream(events: DataFrame) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type) — the
     incremental-dedupe shape; output restricted to the key columns so

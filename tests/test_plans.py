@@ -85,6 +85,27 @@ def test_unigram_logprob_never_hints_vocabulary_broadcast(spark):
     assert o.count("strategy=broadcast") == 1
 
 
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    """The benchmark shingle set (tiny by construction) is broadcast;
+    the corpus side of the join must NOT be exchanged — at 100 TB the
+    corpus shingles are unbounded while eval suites stay small."""
+    s = _plan(spark, "dedup_contamination_ngram")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_ngram_topk_pushes_window_group_limit(spark):
+    s = _plan(spark, "text_ngram_topk")
+    assert "WindowGroupLimit" in s  # top-10 limits before full window eval
+
+
+def test_pii_scrub_is_scan_only(spark):
+    """PII redaction is a linear projection — any Exchange in its plan
+    means someone added an accidental shuffle to a map-only job."""
+    s = _plan(spark, "text_pii_scrub")
+    assert "Exchange" not in s
+
+
 def test_minhash_pairs_no_global_cache_interleaving(spark):
     """Two interleaved minhash_candidate_pairs calls must not disturb
     each other's materialized bands frame (regression: a module-global
