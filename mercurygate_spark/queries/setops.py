@@ -72,10 +72,49 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics): nations with customers but no
-    suppliers. (exceptAll/intersectAll cover the bag-semantics
-    variants — exercised in unit tests.)"""
+    suppliers."""
     t = load_tables(spark, sf_dir, "customer", "supplier")
     return (
         t["customer"].select(F.col("c_nationkey").alias("nation_key"))
         .subtract(t["supplier"].select(F.col("s_nationkey").alias("nation_key")))
+    )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nation_key FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each nation key kept
+    min(customer-count, supplier-count) times — the multiset overlap,
+    distinct from setop_intersect's set overlap. Spark plans this as a
+    single aggregate-style shuffle on the key (no n² anything)."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nation_key"))
+        .intersectAll(t["supplier"].select(F.col("s_nationkey").alias("nation_key")))
+    )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey AS nation_key FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each nation key kept
+    max(0, customer-count − supplier-count) times — multiset
+    difference, the shape used to diff two delivery batches with
+    legitimate duplicate rows."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nation_key"))
+        .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nation_key")))
     )
