@@ -391,7 +391,7 @@ def duck_simhash_sql(id_col: str = "doc_id", table: str = "documents") -> str:
       SELECT {id_col}, i, sum(contrib) AS s FROM bits GROUP BY {id_col}, i
     )
     SELECT {id_col},
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
     FROM sums GROUP BY {id_col}
     """
 

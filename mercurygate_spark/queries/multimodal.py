@@ -169,7 +169,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT format,
            width // 480 AS width_bucket,
            count(*) AS n_payloads,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            max(n_bytes) AS max_bytes
     FROM meta GROUP BY 1, 2
     """,

@@ -151,7 +151,7 @@ def fn_math_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n_rows,
-           sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS n_low,
+           CAST(sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
            round(sum(coalesce(nullif(o_totalprice, 0), 0)), 2) AS sum_total,
            count(nullif(o_orderpriority, '5-LOW')) AS n_not_low
     FROM orders
@@ -179,7 +179,7 @@ def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
     FROM events
     GROUP BY user_id

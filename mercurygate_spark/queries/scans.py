@@ -88,7 +88,7 @@ def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_json_lines",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )

@@ -43,9 +43,9 @@ _STOP_PAT = r"(^| )(" + "|".join(STOPWORDS_EN) + r")( |$)"
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 6) AS avg_tokens,
-           sum(n_distinct) AS total_distinct
+           CAST(sum(n_distinct) AS BIGINT) AS total_distinct
     FROM tok GROUP BY lang
     """,
 )

@@ -24,3 +24,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def duck_con(sf_dir):
+    from tests.oracle_harness import duck_connection
+
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()

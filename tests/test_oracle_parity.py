@@ -24,3 +24,30 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_dtypes_strict(duck_con, name):
+    """Strict driver-hash guard: the driver serializes DuckDB results
+    as-is, so an oracle output column typed HUGEINT (int128 — DuckDB's
+    default for integer sum()) or DECIMAL hashes differently from
+    Spark's BIGINT/DOUBLE even when every value is equal. This caught
+    3 hash-red driver rows in round 2 (dedup_simhash,
+    multimodal_partition_stats, scan_json_lines); the fix is
+    CAST(sum(...) AS BIGINT) in the oracle. Checked via the arrow
+    schema — value normalization in oracle_harness masks this, hence
+    the separate strict mode."""
+    import pyarrow as pa
+
+    tbl = duck_con.execute(ORACLES[name]).fetch_arrow_table()
+    offending = []
+    for f in tbl.schema:
+        ty = f.type
+        if pa.types.is_decimal(ty):
+            offending.append(f"{f.name}: {ty}")
+        elif pa.types.is_integer(ty) and ty.bit_width > 64:
+            offending.append(f"{f.name}: {ty}")
+    assert not offending, (
+        f"{name}: oracle output columns would hash-mismatch the driver "
+        f"(cast to BIGINT/DOUBLE in the oracle SQL): {offending}"
+    )
