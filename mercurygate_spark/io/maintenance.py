@@ -24,9 +24,15 @@ def compact_parquet(
     file count. Size estimate comes from the existing footprint via the
     Hadoop FileSystem API (one listing, scheme-aware — io.fs) — no data
     scan before the rewrite job itself."""
-    from mercurygate_spark.io.fs import delete_path, dir_size_bytes
+    from mercurygate_spark.io.fs import delete_path, dir_size_bytes, path_exists
 
     total = dir_size_bytes(spark, path)
+    # ContentSummary counts everything under the dir; exclude the Delta
+    # transaction log (JSON commits + checkpoints), which is metadata,
+    # not data — else Delta tables overshoot the target file count.
+    log_dir = path.rstrip("/") + "/_delta_log"
+    if path_exists(spark, log_dir):
+        total = max(0, total - dir_size_bytes(spark, log_dir))
     n_files = max(1, round(total / target_file_bytes))
     df = read_delta_or_parquet(spark, path)
     staging = path.rstrip("/") + "__compact"

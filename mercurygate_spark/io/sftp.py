@@ -37,6 +37,29 @@ except ImportError:  # pragma: no cover
 CHUNK_SIZE = 5_000_000  # reference parity: 5 MB blocks (mm_source_to_bronze.py:57)
 
 
+class HostKeyMismatch(ConnectionError):
+    """Pinned host-key fingerprint did not match; raised pre-auth and
+    never retried (retrying would re-offer the password to the MITM)."""
+
+
+def _pinned_key_policy(expected_hex: str):
+    """MissingHostKeyPolicy verifying sha256(key) == pin during
+    connect()'s key exchange — i.e. before password auth begins."""
+    import hashlib
+
+    class _Pinned(paramiko.MissingHostKeyPolicy):
+        def missing_host_key(self, client, hostname, key):
+            got = hashlib.sha256(key.asbytes()).hexdigest()
+            if got != expected_hex:
+                raise HostKeyMismatch(
+                    f"host key fingerprint mismatch for {hostname}: "
+                    f"expected {expected_hex}, got {got}"
+                )
+            # match → accept for this session only (not persisted)
+
+    return _Pinned()
+
+
 @dataclass
 class SftpConfig:
     host: str
@@ -51,9 +74,11 @@ class SftpConfig:
     # Host-key verification. The reference uses AutoAddPolicy
     # (mm_source_to_bronze.py:38) — trusting any key on first contact,
     # a MITM exposure amplified by password auth. Default here is
-    # REJECT unknown hosts (system known_hosts are loaded); opt into
-    # the reference behavior explicitly, or pin the expected key
-    # fingerprint (hex sha256) which is checked post-connect.
+    # REJECT unknown hosts (system known_hosts are loaded). A pinned
+    # fingerprint (hex sha256 of the key blob) takes precedence over
+    # the policy and is verified BEFORE authentication — the password
+    # is never sent to a host whose key doesn't match the pin — and a
+    # mismatch is terminal, never retried.
     host_key_policy: str = "reject"  # 'reject' | 'auto_add'
     host_key_fingerprint: str | None = None
 
@@ -96,11 +121,19 @@ class SftpFetcher:
         for attempt in range(self.cfg.retries):
             try:
                 client = paramiko.SSHClient()
-                client.load_system_host_keys()
-                if self.cfg.host_key_policy == "auto_add":
-                    client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+                if self.cfg.host_key_fingerprint is not None:
+                    # Pin governs: skip known_hosts so the policy is
+                    # ALWAYS consulted, and verify during connect()'s
+                    # key exchange — before the password is sent.
+                    client.set_missing_host_key_policy(
+                        _pinned_key_policy(self.cfg.host_key_fingerprint.lower())
+                    )
                 else:
-                    client.set_missing_host_key_policy(paramiko.RejectPolicy())
+                    client.load_system_host_keys()
+                    if self.cfg.host_key_policy == "auto_add":
+                        client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
+                    else:
+                        client.set_missing_host_key_policy(paramiko.RejectPolicy())
                 client.connect(
                     self.cfg.host,
                     port=self.cfg.port,
@@ -108,18 +141,6 @@ class SftpFetcher:
                     password=self.cfg.password,
                     timeout=self.cfg.timeout_s,
                 )
-                if self.cfg.host_key_fingerprint is not None:
-                    import hashlib
-
-                    got = hashlib.sha256(
-                        client.get_transport().get_remote_server_key().asbytes()
-                    ).hexdigest()
-                    if got != self.cfg.host_key_fingerprint.lower():
-                        client.close()
-                        raise ConnectionError(
-                            f"host key fingerprint mismatch: expected "
-                            f"{self.cfg.host_key_fingerprint}, got {got}"
-                        )
                 transport = client.get_transport()
                 transport.set_keepalive(self.cfg.keepalive_s)
                 # socket-level timeout bounds every blocking op — no
@@ -127,6 +148,8 @@ class SftpFetcher:
                 transport.sock.settimeout(self.cfg.timeout_s)
                 self._client, self._sftp = client, client.open_sftp()
                 return
+            except HostKeyMismatch:
+                raise  # terminal: never re-offer credentials on a bad pin
             except Exception as e:  # noqa: BLE001 — retry any connect error
                 last_err = e
                 time.sleep(self.cfg.retry_sleep_s)

@@ -70,10 +70,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     100 TB table the scan already yields thousands of files/partitions
     and this is a no-op. Gate on ``inputFiles()`` (scan metadata, no
     job) rather than ``df.rdd.getNumPartitions()``: touching ``df.rdd``
-    forces a logical→RDD plan conversion that hides the plan from AQE."""
+    forces a logical→RDD plan conversion that hides the plan from AQE.
+
+    ``inputFiles()`` is empty for non-file-backed frames
+    (createDataFrame, shuffle/checkpoint outputs) — those are already
+    partitioned by their producer (defaultParallelism slices or
+    spark.sql.shuffle.partitions), so leave them alone rather than
+    inserting an unconditional extra shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
     n_files = len(df.inputFiles())
-    if n_files >= target:
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)
 
@@ -297,6 +303,7 @@ def connected_components(
         )
 
     edges = edges.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
         converged = (
@@ -305,6 +312,15 @@ def connected_components(
         edges = new_edges
         if converged:
             break
+    if not converged:
+        # A non-fixpoint labeling would silently drop/keep documents on
+        # wrong components downstream — fail loudly instead. O(log² n)
+        # convergence means 25 rounds covers any realistic graph; hitting
+        # this indicates a bug or a pathological input worth inspecting.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"large-star/small-star rounds; raise max_iter or inspect the pair graph"
+        )
     # Fixpoint = star graphs: every edge is (component_min, node).
     return (
         edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
