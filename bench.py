@@ -5,8 +5,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count).
-A warmup query amortizes JVM/session startup out of the numbers.
+Each query is timed end-to-end (plan + execute + collect-to-count),
+best-of-N runs (N = $SPARK_GRAFT_BENCH_RUNS, default 3) so a transient
+stall on a contended machine can't masquerade as a code regression
+(round 2 lost 2.2x to exactly that). A warmup pass amortizes
+JVM/session startup; the 1-minute load average is stamped into the
+JSON so environmental noise is self-diagnosing.
 """
 
 from __future__ import annotations
@@ -54,12 +58,16 @@ def main() -> None:
         except Exception:
             pass
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        n = queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = queries[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: best-of-{runs} {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -70,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -208,12 +208,37 @@ def kmeans_seeds(corpus: DataFrame, id_col: str, vec_col: str, k: int = N_CENTRO
     return _quantize(np.array([list(r[vec_col]) for r in rows], dtype=np.float64))
 
 
+TRAIN_SAMPLE_KEEP = 3   # default training sample: 3 of every
+TRAIN_SAMPLE_MOD = 10   # 10 md5 buckets (~30% of the corpus)
+
+
+def training_sample(
+    corpus: DataFrame,
+    id_col: str,
+    keep: int = TRAIN_SAMPLE_KEEP,
+    mod: int = TRAIN_SAMPLE_MOD,
+) -> DataFrame:
+    """Deterministic md5-bucket sample for k-means training: keep rows
+    whose 60-bit md5(id) lands in the first ``keep`` of ``mod``
+    buckets. Content-hash based — reproducible across runs/engines (a
+    DuckDB oracle replays the predicate), no RNG, unbiased by insertion
+    order. localCheckpoint materializes the sample once so the
+    (iters+1) training passes scan the small materialized sample, not
+    the full corpus — at 100 TB that turns k-means training from
+    (iters+1) full-corpus scans into one scan plus cheap re-reads."""
+    from mercurygate_spark.functions import md5_long
+
+    sampled = corpus.where((md5_long(F.col(id_col)) % mod) < keep)
+    return sampled.localCheckpoint(eager=True)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = N_CENTROIDS,
     iters: int = KMEANS_ITERS,
+    sample: tuple[int, int] | None = None,
 ):
     """Distributed Lloyd's k-means on the quantized grid, fixed
     ``iters`` iterations (no convergence test — determinism over the
@@ -225,7 +250,12 @@ def train_ivf_centroids(
     floor((2·sum + cnt) / (2·cnt)) = round-half-up of the mean, exact
     in IEEE double at these magnitudes (numerator ≪ 2^53), so numpy,
     Python, and DuckDB agree bit-for-bit. Empty clusters keep their
-    previous centroid."""
+    previous centroid.
+
+    ``sample=(keep, mod)`` trains on the deterministic md5-bucket
+    sample instead of the full corpus — the 100 TB path (centroid
+    quality needs a representative sample, not every row; the sample
+    is materialized once instead of (iters+1) full scans)."""
     import math
     from collections.abc import Iterator
 
@@ -233,6 +263,8 @@ def train_ivf_centroids(
     import pandas as pd
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+    if sample is not None:
+        corpus = training_sample(corpus, id_col, keep=sample[0], mod=sample[1])
     cent = kmeans_seeds(corpus, id_col, vec_col, k)
     dims = cent.shape[1]
     part_schema = StructType(
@@ -333,13 +365,16 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 10,
     round_scale: int = 4,
+    train_sample: tuple[int, int] | None = None,
 ) -> DataFrame:
     """IVF ANN with TRAINED centroids: deterministic quantized-grid
     k-means (train_ivf_centroids) partitions the corpus into
     N_CENTROIDS inverted lists; each query probes its N_PROBE nearest
     lists and scores exact cosine only there. Candidate work per query
-    is |corpus| * n_probe / n_centroids."""
-    cmat = train_ivf_centroids(corpus, id_col, vec_col)
+    is |corpus| * n_probe / n_centroids. ``train_sample=(keep, mod)``
+    trains centroids on the md5-bucket sample (the 100 TB path);
+    assignment and scoring always cover the full corpus."""
+    cmat = train_ivf_centroids(corpus, id_col, vec_col, sample=train_sample)
     corpus_assigned = ivf_assign(corpus, cmat, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )

@@ -15,6 +15,9 @@ from mercurygate_spark.operators.similarity import (
     KMEANS_ITERS,
     N_CENTROIDS,
     N_PROBE,
+    QUANT,
+    TRAIN_SAMPLE_KEEP,
+    TRAIN_SAMPLE_MOD,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -145,3 +148,70 @@ def sim_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     q = e.where(F.col("vec_id") < N_QUERIES)
     return cosine_topk_ivf(q, e, k=TOP_K)
+
+
+# The 100 TB training path: centroids learned on the deterministic
+# md5-bucket sample (~30%), assignment/scoring over the full corpus.
+_SAMPLE_TABLE = (
+    "(SELECT * FROM embeddings WHERE "
+    f"(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT "
+    f"% {TRAIN_SAMPLE_MOD}) < {TRAIN_SAMPLE_KEEP})"
+)
+
+
+@query(
+    "sim_cosine_ivf_sampled",
+    oracle=f"""
+    WITH {duck_ivf_kmeans_sql(table=_SAMPLE_TABLE)},
+    qemb_full AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT)) AS qe
+      FROM embeddings
+    ), assign_final AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(range(1, {EMBED_DIMS + 1}),
+                          j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))),
+                        c.cidx
+             ) AS probe_rank
+      FROM qemb_full e CROSS JOIN cent{KMEANS_ITERS} c
+    ), corpus_lists AS (
+      SELECT vec_id AS candidate_id, embedding AS cv, cidx
+      FROM assign_final WHERE probe_rank = 1
+    ), query_probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cidx
+      FROM assign_final WHERE vec_id < {N_QUERIES} AND probe_rank <= {N_PROBE}
+    ), scored AS (
+      SELECT p.query_id, c.candidate_id,
+             round(
+               list_dot_product(p.qv::DOUBLE[], c.cv::DOUBLE[]) /
+               (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+                sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
+               4) AS cos
+      FROM query_probes p JOIN corpus_lists c
+        ON p.cidx = c.cidx AND p.query_id <> c.candidate_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose k-means runs on the deterministic md5-bucket
+    training sample ({TRAIN_SAMPLE_KEEP}/{TRAIN_SAMPLE_MOD} buckets,
+    ~30%) instead of the full corpus — the 100 TB training path: the
+    sample is materialized once (localCheckpoint) and the (iters+1)
+    training passes scan it, not the corpus. Full corpus is still
+    assigned and scored. The oracle replays the sampled training
+    bit-for-bit (same md5 bucket predicate in SQL)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk_ivf(
+        q, e, k=TOP_K, train_sample=(TRAIN_SAMPLE_KEEP, TRAIN_SAMPLE_MOD)
+    )
