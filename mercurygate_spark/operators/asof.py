@@ -27,6 +27,8 @@ def asof_join(
     right_cols: list[str],
     how: str = "inner",
     left_key: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Window-based as-of join.
 
@@ -34,14 +36,44 @@ def asof_join(
     on collision. ``left_key`` is a unique key of the left side (falls
     back to all left columns) — the ranking window partitions on it.
     Deterministic tie-break: equal right timestamps resolve by the
-    remaining ``right_cols`` descending.
+    remaining ``right_cols`` (descending for backward, ascending for
+    forward — always toward the same deterministic pick).
+
+    ``direction`` (pd.merge_asof vocabulary):
+    - ``backward``: latest right with right_ts <= left_ts (default);
+    - ``forward``: earliest right with right_ts >= left_ts.
+    ``tolerance_seconds`` bounds the match distance: backward matches
+    within [left_ts - tol, left_ts], forward within [left_ts, left_ts
+    + tol]. A tolerance turns the range predicate into a band — the
+    same pushdown-friendly shape as ts_proximity_join, and at scale it
+    caps per-key fan-in (an unbounded as-of against a year of history
+    joins every older row; a tolerance joins a bounded window).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lcols = left.columns
     r = right.select(on, right_ts, *[c for c in right_cols if c not in (on, right_ts)])
-    j = left.join(r, on=on, how="inner").where(F.col(right_ts) <= F.col(left_ts))
-    order = [F.col(right_ts).desc()] + [
-        F.col(c).desc() for c in right_cols if c not in (on, right_ts)
-    ]
+    j = left.join(r, on=on, how="inner")
+    if direction == "backward":
+        j = j.where(F.col(right_ts) <= F.col(left_ts))
+        if tolerance_seconds is not None:
+            j = j.where(
+                F.col(right_ts)
+                >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance_seconds} SECOND")
+            )
+        order = [F.col(right_ts).desc()] + [
+            F.col(c).desc() for c in right_cols if c not in (on, right_ts)
+        ]
+    else:
+        j = j.where(F.col(right_ts) >= F.col(left_ts))
+        if tolerance_seconds is not None:
+            j = j.where(
+                F.col(right_ts)
+                <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance_seconds} SECOND")
+            )
+        order = [F.col(right_ts).asc()] + [
+            F.col(c).asc() for c in right_cols if c not in (on, right_ts)
+        ]
     w = Window.partitionBy(*(left_key or lcols)).orderBy(*order)
     matched = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     if how == "left":

@@ -227,3 +227,77 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_orders") >= 12) & (F.col("__raw_spend") > 1000000))
         .select("o_custkey", "n_orders", r2(F.col("__raw_spend")).alias("total_spend"))
     )
+
+
+# --- Count-Min Sketch (Cormode-Muthukrishnan 2005) -------------------
+# Built from the md5-affine hash family, so every counter is
+# deterministic and the oracle replays the sketch EXACTLY in SQL —
+# a stronger gate than the HLL/GK bound-check oracles.
+
+CMS_PROBE_MAX = 20  # probe the low part keys (present at every SF)
+
+
+def _duck_cms_cells(key_sql: str, depth: int, width: int, p: int) -> str:
+    h0 = f"(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % {p})"
+    aff = f"((((2 * r + 1) * {h0} + (97 * r + 31)) % {p}) % {width})"
+    return f"""
+    keys AS (SELECT {key_sql} AS k FROM lineitem),
+    cells AS (
+      SELECT rr.r AS r, {aff} AS c, count(*) AS cnt
+      FROM keys, (SELECT unnest(range({depth})) AS r) rr
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT {key_sql} AS k FROM lineitem WHERE {key_sql} <= {CMS_PROBE_MAX}
+    ),
+    pcells AS (
+      SELECT k, rr.r AS r, {aff} AS c
+      FROM probes, (SELECT unnest(range({depth})) AS r) rr
+    ),
+    est AS (
+      SELECT p.k, min(c2.cnt) AS cms_est
+      FROM pcells p JOIN cells c2 ON p.r = c2.r AND p.c = c2.c
+      GROUP BY p.k
+    ),
+    exact AS (
+      SELECT {key_sql} AS k, count(*) AS n_exact
+      FROM lineitem WHERE {key_sql} <= {CMS_PROBE_MAX} GROUP BY 1
+    )"""
+
+
+def _cms_oracle() -> str:
+    from mercurygate_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, P_HASH
+
+    return f"""
+    WITH {_duck_cms_cells("l_partkey", CMS_DEPTH, CMS_WIDTH, P_HASH)}
+    SELECT e.k AS l_partkey,
+           est.cms_est,
+           e.n_exact,
+           est.cms_est >= e.n_exact AS no_underestimate
+    FROM exact e JOIN est ON e.k = est.k
+    """
+
+
+@query("agg_count_min_sketch", oracle=_cms_oracle())
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation over l_partkey: a D x W
+    counter grid (one map-side-combinable groupBy; the shuffle carries
+    at most D x W rows per partition regardless of input size), probed
+    for the low part keys. Output pins the CMS one-sided guarantee
+    (estimate never underestimates) AND the exact counter values —
+    the md5-affine hashes make the whole sketch replayable in DuckDB
+    (operators/sketches.py)."""
+    from mercurygate_spark.operators.sketches import cms_build, cms_probe
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    sketch = cms_build(li, "l_partkey")
+    low = li.where(F.col("l_partkey") <= CMS_PROBE_MAX)
+    probes = low.select("l_partkey").distinct()
+    est = cms_probe(sketch, probes, "l_partkey")
+    exact = low.groupBy("l_partkey").agg(F.count("*").alias("n_exact"))
+    return est.join(exact, "l_partkey").select(
+        "l_partkey",
+        "cms_est",
+        "n_exact",
+        (F.col("cms_est") >= F.col("n_exact")).alias("no_underestimate"),
+    )

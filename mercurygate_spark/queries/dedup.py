@@ -166,3 +166,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"], "vec_id", "embedding", "label", threshold=0.3, round_scale=4
     )
     return pairs.select("id_a", "id_b", "label", "cos")
+
+
+def _bloom_oracle() -> str:
+    from mercurygate_spark.operators.sketches import BLOOM_BITS, BLOOM_HASHES, P_HASH
+
+    fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    h0 = f"(('0x' || substr(md5(CAST(fp AS VARCHAR)), 1, 15))::BIGINT % {P_HASH})"
+    aff = f"((((2 * jj.j + 1) * {h0} + (97 * jj.j + 31)) % {P_HASH}) % {BLOOM_BITS})"
+    return f"""
+    WITH ref AS (
+      SELECT DISTINCT {fp} AS fp FROM documents WHERE length(source) = 4
+    ), bits AS (
+      SELECT DISTINCT {aff} AS bit, 1 AS one
+      FROM ref, (SELECT unnest(range({BLOOM_HASHES})) AS j) jj
+    ), corpus AS (
+      SELECT doc_id, {fp} AS fp FROM documents
+    ), pbits AS (
+      SELECT doc_id, {aff} AS bit
+      FROM corpus, (SELECT unnest(range({BLOOM_HASHES})) AS j) jj
+    ), hits AS (
+      SELECT p.doc_id, count(b.one) = {BLOOM_HASHES} AS bloom_hit
+      FROM pbits p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY p.doc_id
+    ), exact AS (
+      SELECT c.doc_id, (c.fp IN (SELECT fp FROM ref)) AS exact_hit
+      FROM corpus c
+    )
+    SELECT h.doc_id, h.bloom_hit, e.exact_hit
+    FROM hits h JOIN exact e ON h.doc_id = e.doc_id
+    """
+
+
+@query("dedup_bloom_prefilter", oracle=_bloom_oracle())
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter (Bloom 1970): the fingerprints of
+    the already-ingested half of the corpus (sources src0-src9, i.e.
+    length(source)=4) populate an M-bit filter; every document is then
+    probed for membership. bloom_hit marks exact-dedup CANDIDATES (no
+    false negatives — every true member hits); exact_hit is the ground
+    truth, so the pair of columns also pins the filter's false-positive
+    behavior at this geometry. At 100 TB the bit table (<= M rows) is
+    broadcast and the corpus is scanned once, never shuffled — only
+    candidates proceed to the exact fingerprint join
+    (operators/sketches.py)."""
+    from mercurygate_spark.operators.sketches import bloom_bits, bloom_probe
+    from mercurygate_spark.operators.text import fingerprint
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ref = (
+        docs.where(F.length("source") == 4)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    corpus = docs.select("doc_id", fingerprint("text").alias("fp"))
+    bits = bloom_bits(ref, "fp")
+    hits = bloom_probe(bits, corpus, "doc_id", hash_col="fp")
+    exact = corpus.join(
+        ref.withColumn("__in", F.lit(1)), "fp", "left"
+    ).select("doc_id", F.col("__in").isNotNull().alias("exact_hit"))
+    return hits.join(exact, "doc_id").select("doc_id", "bloom_hit", "exact_hit")

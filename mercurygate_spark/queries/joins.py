@@ -258,3 +258,119 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         ts_us("click_ts").alias("click_ts_us"),
     )
+
+
+def _purchase_click_sides(spark: SparkSession, sf_dir: str):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return purchases, clicks
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.click_ts ASC, c.click_id ASC
+             ) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.click_ts >= p.purchase_ts
+    )
+    SELECT user_id, purchase_id,
+           epoch_us(purchase_ts) AS purchase_ts_us,
+           click_id,
+           epoch_us(click_ts) AS click_ts_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST click by the
+    same user at-or-after the purchase (next-touch attribution shape —
+    pd.merge_asof direction='forward'). Ties broken by click_id asc."""
+    purchases, clicks = _purchase_click_sides(spark, sf_dir)
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        left_key=["purchase_id"],
+        direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        ts_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        ts_us("click_ts").alias("click_ts_us"),
+    )
+
+
+ASOF_TOLERANCE_S = 3600  # 1-hour attribution window
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.click_ts DESC, c.click_id DESC
+             ) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
+    )
+    SELECT user_id, purchase_id,
+           epoch_us(purchase_ts) AS purchase_ts_us,
+           click_id,
+           epoch_us(click_ts) AS click_ts_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 1-hour tolerance: the latest click
+    within [purchase_ts - 1h, purchase_ts] — pd.merge_asof
+    tolerance semantics. At scale the tolerance is what keeps the
+    pre-rank fan-in bounded: an unbounded as-of joins every older
+    click per purchase; the band joins at most an hour's worth."""
+    purchases, clicks = _purchase_click_sides(spark, sf_dir)
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        left_key=["purchase_id"],
+        tolerance_seconds=ASOF_TOLERANCE_S,
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        ts_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        ts_us("click_ts").alias("click_ts_us"),
+    )

@@ -397,3 +397,67 @@ def test_ivf_trained_centroids_recall_and_determinism(spark):
     again = {(r["query_id"], r["candidate_id"]): r["cos"]
              for r in cosine_topk_ivf(q, e, k=10).collect()}
     assert again == ivf
+
+
+def test_asof_forward_and_tolerance(spark):
+    """direction='forward' picks the earliest at-or-after match;
+    tolerance bounds the backward match distance."""
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10), 100), (2, datetime(2026, 1, 1, 9), 200)],
+        schema="k long, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 9, 30), 7.0), (1, datetime(2026, 1, 1, 11), 8.0),
+         (1, datetime(2026, 1, 1, 12), 9.0), (2, datetime(2026, 1, 1, 6), 10.0)],
+        schema="k long, rts timestamp, rv double",
+    )
+    fwd = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rts", "rv"], left_key=["lid"], direction="forward")
+    frows = {r["lid"]: r["rv"] for r in fwd.collect()}
+    # lid=100 → earliest right at/after 10:00 is 11:00 (8.0); k=2 has none
+    assert frows == {100: 8.0}
+
+    tol = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rts", "rv"], left_key=["lid"],
+                    tolerance_seconds=3600)
+    trows = {r["lid"]: r["rv"] for r in tol.collect()}
+    # lid=100 → 9:30 within [9:00, 10:00] (7.0); lid=200 → 6:00 outside 1h
+    assert trows == {100: 7.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                  right_cols=["rts", "rv"], direction="nearest")
+
+
+def test_cms_never_underestimates_and_bounds(spark):
+    """CMS one-sided error: est >= exact always; with D=4,W=512 and a
+    small key set, collisions are rare so most estimates are exact."""
+    from mercurygate_spark.operators.sketches import cms_build, cms_probe
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(2000)], schema="k long"
+    )
+    sketch = cms_build(df, "k")
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["cms_est"] for r in cms_probe(sketch, probes, "k").collect()}
+    assert set(est) == set(range(50))
+    for k, e in est.items():
+        assert e >= 40  # every key occurs 40x
+    assert sum(1 for e in est.values() if e == 40) >= 45  # mostly exact
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must hit; non-members mostly miss."""
+    from mercurygate_spark.operators.sketches import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(100)], schema="k string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(200)], schema="k string")
+    bits = bloom_bits(members, "k")
+    mem_hits = bloom_probe(bits, members, "k").collect()
+    assert all(r["bloom_hit"] for r in mem_hits) and len(mem_hits) == 100
+    other_hits = bloom_probe(bits, others, "k").collect()
+    fp = sum(1 for r in other_hits if r["bloom_hit"])
+    # 100 keys * 3 hashes in 4096 bits → ~7% bits set → FP ~ 0.04%
+    assert fp <= 5

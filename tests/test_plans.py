@@ -60,13 +60,28 @@ def test_column_pruning(spark):
         assert col not in read_schema
 
 
-@pytest.mark.parametrize(
-    "name", ["agg_group_sum_avg_minmax", "join_inner_equi", "window_dedupe_latest"]
-)
+# Keys whose plans contain a BroadcastNestedLoopJoin ON PURPOSE, with a
+# broadcast side bounded by construction (safe at any corpus size):
+# - sim_cosine_topk: the documented brute-force baseline — the ≤
+#   N_QUERIES query vectors are broadcast and crossed with the corpus
+#   (one corpus pass, no corpus shuffle).
+# - text_unigram_logprob: per-token logprob normalizes by the corpus
+#   total token count — a 1-row scalar broadcast-crossed into freq.
+_BOUNDED_BNLJ_OK = {"sim_cosine_topk", "text_unigram_logprob"}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_cartesian_anywhere(spark, name):
+    """Every registered key's physical plan must be free of cartesian
+    products and nested-loop joins — the two shapes that are silently
+    fine at sf0.001 and fatal at 100 TB. Sweeps the WHOLE registry so
+    a new key can't ship with an accidental cross join; the only
+    exemptions are nested loops whose broadcast side is bounded by
+    construction (_BOUNDED_BNLJ_OK)."""
     s = _plan(spark, name)
     assert "CartesianProduct" not in s
-    assert "BroadcastNestedLoopJoin" not in s
+    if name not in _BOUNDED_BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in s
 
 
 def test_unigram_logprob_never_hints_vocabulary_broadcast(spark):
