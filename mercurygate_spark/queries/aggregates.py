@@ -301,3 +301,29 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.col("cms_est") >= F.col("n_exact")).alias("no_underestimate"),
     )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity::DOUBLE), 2) AS med_qty,
+           round(median(l_extendedprice::DOUBLE), 2) AS med_price,
+           round(quantile_cont(l_discount::DOUBLE, 0.5), 6) AS med_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (continuous 50th percentile, interpolated on even
+    counts — F.median == DuckDB median/quantile_cont on DOUBLE). Exact
+    medians need the full value multiset per group (sort-based agg) —
+    the 100 TB guidance is agg_approx_quantile; this key pins the exact
+    semantics the sketch is measured against."""
+    from mercurygate_spark.functions import r6
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        r2(F.median("l_quantity")).alias("med_qty"),
+        r2(F.median("l_extendedprice")).alias("med_price"),
+        r6(F.median("l_discount")).alias("med_discount"),
+    )

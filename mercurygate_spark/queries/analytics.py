@@ -219,3 +219,40 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sessionize(t["events"], key="user_id", ts_col="ts", gap_seconds=1800,
                    order_tiebreak="event_id")
     return s.select("user_id", ts_us("session_start").alias("session_start_us"), "n_events")
+
+
+@query(
+    "project_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             round(sum(o_totalprice), 2) AS total_spend,
+             round(avg(o_totalprice), 2) AS avg_spend,
+             round(max(o_totalprice), 2) AS max_spend
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'total_spend' AS metric, total_spend AS v FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'avg_spend', avg_spend FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'max_spend', max_spend FROM wide
+    """,
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-status KPI row folded into
+    (status, metric, value) long form — the inverse of
+    agg_pivot_event_types, and the shape metric stores ingest. Uses the
+    native DataFrame.unpivot (Spark's UNPIVOT/stack), which is a
+    zero-shuffle projection: each wide row expands in place."""
+    t = load_tables(spark, sf_dir, "orders")
+    wide = t["orders"].groupBy("o_orderstatus").agg(
+        r2(F.sum("o_totalprice")).alias("total_spend"),
+        r2(F.avg("o_totalprice")).alias("avg_spend"),
+        r2(F.max("o_totalprice")).alias("max_spend"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["total_spend", "avg_spend", "max_spend"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )

@@ -196,3 +196,33 @@ def fn_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
     )
+
+
+@query(
+    "fn_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           regexp_replace(text, '[aeiou]', '_', 'g')[1:20] AS censored_prefix
+    FROM documents
+    """,
+)
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: capture-group extract, match counting
+    (regexp_extract_all), boolean match (rlike), global replace — the
+    string-mangling surface every log/text pipeline leans on. All four
+    compile to JVM codegen regex ops (single pass per doc, no shuffle);
+    both engines use non-backtracking-compatible patterns so semantics
+    agree."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)")).alias("n_vowel_runs"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.substring(F.regexp_replace("text", "[aeiou]", "_"), 1, 20).alias(
+            "censored_prefix"
+        ),
+    )

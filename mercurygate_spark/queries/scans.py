@@ -197,3 +197,66 @@ def source_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("EMEA", "DEU", "mm"),
     ]
     return spark.createDataFrame(rows, schema="region string, country string, database string")
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs_seen
+    FROM documents
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source round-trip: one line per document → text sink
+    → text source (each line back as `value`). The lang marker is
+    prefixed tab-separated and split back out, proving the codec
+    preserves bytes. At 100 TB the text source is the cheapest scan
+    there is (no footer/stats) — the format raw corpus dumps arrive in."""
+    t = load_tables(spark, sf_dir, "documents")
+    path = _tmp("text_roundtrip")
+    t["documents"].select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.substring_index("value", "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs_seen"),
+    )
+
+
+@query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip (native in Spark 4 — no external
+    package): orders → row-tagged XML → read back with explicit schema
+    → aggregate. Matching the parquet-based oracle proves the XML codec
+    round-trips values. Schema is explicit: XML inference at scale is
+    a full extra pass, same rule as scan_json_lines."""
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("xml_roundtrip")
+    t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").write.format(
+        "xml"
+    ).option("rowTag", "order").mode("overwrite").save(path)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .load(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("sum_total"),
+    )

@@ -158,3 +158,37 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_us(F.lead("ts").over(w)).alias("next_ts_us"),
         r2(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS order_day,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs the ROWS frames elsewhere): per customer,
+    total spend over the trailing 30 DAYS — a value-based frame, so
+    same-day orders aggregate together and gaps widen the reach, which
+    a ROWS frame cannot express. Ordered on epoch-day int on both
+    engines (identical frame boundaries; no interval-type drift)."""
+    t = load_tables(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("order_day"),
+        r2(F.sum("o_totalprice").over(w)).alias("spend_30d"),
+    )
