@@ -374,3 +374,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         ts_us("click_ts").alias("click_ts_us"),
     )
+
+
+@query(
+    "join_asof_cogrouped",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.click_ts DESC, c.click_id DESC
+             ) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+    )
+    SELECT user_id, purchase_id,
+           epoch_us(purchase_ts) AS purchase_ts_us,
+           click_id,
+           epoch_us(click_ts) AS click_ts_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as join_asof via the other physical
+    strategy: cogrouped applyInPandas running pd.merge_asof per user
+    (operators.asof.asof_join_pandas). Linear after the per-group sort
+    instead of materializing left x matching-right before ranking —
+    the right choice when one key has deep right-side history. Oracle
+    is identical to join_asof: both strategies must agree (ties on
+    click_ts resolve to max click_id, matching merge_asof's last-wins
+    on the sorted frame)."""
+    from mercurygate_spark.operators.asof import asof_join_pandas
+
+    purchases, clicks = _purchase_click_sides(spark, sf_dir)
+    j = asof_join_pandas(
+        purchases.select("purchase_id", "user_id", "purchase_ts"),
+        clicks.orderBy("click_ts", "click_id"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        ts_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        ts_us("click_ts").alias("click_ts_us"),
+    )
