@@ -226,3 +226,34 @@ def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "censored_prefix"
         ),
     )
+
+
+@query(
+    "fn_bitwise_ops",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xored,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r,
+           bit_count(event_id) AS pop_count
+    FROM events
+    """,
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount over the id columns —
+    the primitives flag-packing and hash-partitioning schemes lean on.
+    All codegen scalar expressions (DuckDB's bit_count returns the same
+    BIGINT popcount Spark's bit_count does on BIGINT inputs)."""
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"]
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(F.col("event_id"), 2).alias("shifted_l"),
+        F.shiftright(F.col("event_id"), 3).alias("shifted_r"),
+        F.bit_count("event_id").cast("long").alias("pop_count"),
+    )

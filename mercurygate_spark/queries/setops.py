@@ -118,3 +118,26 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"].select(F.col("c_nationkey").alias("nation_key"))
         .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nation_key")))
     )
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT n_nationkey AS nation_key FROM nation WHERE n_regionkey <= 2
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nation keys from the low regions merged with
+    the nations suppliers live in, duplicates collapsed — the set-union
+    complement of setop_union_all's bag union. Spark's union().
+    distinct() compiles to one hash aggregate after the concat; at
+    scale that's a single shuffle on the (narrow) output columns, so
+    always project BEFORE the distinct union."""
+    t = load_tables(spark, sf_dir, "nation", "supplier")
+    a = t["nation"].where(F.col("n_regionkey") <= 2).select(
+        F.col("n_nationkey").alias("nation_key")
+    )
+    b = t["supplier"].select(F.col("s_nationkey").alias("nation_key"))
+    return a.union(b).distinct()

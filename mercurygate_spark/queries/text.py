@@ -444,3 +444,59 @@ def dedup_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # lang_scores imported for reuse by tests; reference it so linters keep it.
 _ = lang_scores
+
+
+_DUCK_TK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id,
+             CASE WHEN len({_DUCK_TK}) >= 3
+                  THEN list_transform(range(1, len({_DUCK_TK}) - 1),
+                       i -> {_DUCK_TK}[i] || ' ' || {_DUCK_TK}[i+1] || ' ' || {_DUCK_TK}[i+2])
+                  ELSE [] END AS tg
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tg) AS n_trigrams,
+           len(list_distinct(tg)) AS n_distinct_trigrams,
+           round(CASE WHEN len(tg) > 0
+                      THEN (len(tg) - len(list_distinct(tg))) / len(tg)
+                      ELSE 0.0 END, 6) AS dup_ratio,
+           CASE WHEN len(tg) > 0
+                THEN (len(tg) - len(list_distinct(tg))) / len(tg)
+                ELSE 0.0 END > 0.2 AS is_repetitive
+    FROM tri
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio per document — the Gopher-rules
+    repetition signal corpus filters gate on (a doc whose trigrams are
+    mostly copies of each other is boilerplate/spam). Pure codegen
+    array expressions, one linear scan, no shuffle; the 0.2 threshold
+    is the published Gopher duplicate-n-gram cut."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__tk", tokens("text"))
+    tg = F.when(
+        F.size("__tk") >= 3,
+        F.expr(
+            "transform(sequence(0, size(__tk) - 3), "
+            "i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("__tg", tg)
+    n = F.size("__tg")
+    nd = F.size(F.array_distinct("__tg"))
+    ratio = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        nd.alias("n_distinct_trigrams"),
+        r6(ratio).alias("dup_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )

@@ -192,3 +192,46 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.alias("order_day"),
         r2(F.sum("o_totalprice").over(w)).alias("spend_30d"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS ts_us,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value: each event annotated with
+    the user's first, latest-overall, and second event type. The
+    last_value frame is explicitly UNBOUNDED FOLLOWING — the default
+    frame ends at CURRENT ROW, the classic silent-wrong-answer;
+    ordering (ts, event_id) is total so both engines agree."""
+    t = load_tables(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        F.first("event_type").over(w_run).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w_run).alias("second_type"),
+    )
