@@ -327,3 +327,45 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.median("l_extendedprice")).alias("med_price"),
         r6(F.median("l_discount")).alias("med_discount"),
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a genuinely skewed key space
+    (3 return flags carry the whole fact table): salt into 16 subkeys,
+    partial-agg on (key, salt) — spreading each hot key over 16
+    reducers — then final-agg on key. The oracle is the PLAIN group-by:
+    salting must be semantically invisible, which also pins that every
+    aggregate used decomposes correctly (count→sum, min→min, ...).
+    operators/skew.py; at 100 TB this is the shape for skewed
+    AGGREGATION keys, which AQE's skew-join splitting does not cover."""
+    from mercurygate_spark.operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    agg = salted_agg(
+        t["lineitem"].select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        {
+            "n_items": (F.count("*"), F.sum("n_items").cast("long")),
+            "__sum": (F.sum("l_extendedprice"), F.sum("__sum")),
+            "__min": (F.min("l_extendedprice"), F.min("__min")),
+            "__max": (F.max("l_extendedprice"), F.max("__max")),
+        },
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_items",
+        r2(F.col("__sum")).alias("sum_price"),
+        r2(F.col("__min")).alias("min_price"),
+        r2(F.col("__max")).alias("max_price"),
+    )

@@ -428,3 +428,43 @@ def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         ts_us("click_ts").alias("click_ts_us"),
     )
+
+
+@query(
+    "join_skew_isolated",
+    oracle="""
+    SELECT n_nationkey AS nation_key,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def join_skew_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold isolated join: fact keys above the hot threshold join a
+    BROADCAST slice of the dim (a broadcast cannot skew), the cold
+    remainder sort-merge joins normally, branches unioned. The oracle
+    is the PLAIN join + rollup — the mitigation must be invisible in
+    values. The hot-key collect is bounded by construction (keys above
+    a count threshold). operators/skew.py:54; for the skew AQE can't
+    see (post-filter, or dim-side)."""
+    from mercurygate_spark.operators.skew import skew_isolated_join
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    fact = t["lineitem"].select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    dim = t["supplier"].select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = skew_isolated_join(fact, dim, on="suppkey", hot_key_threshold=120)
+    j = j.join(
+        F.broadcast(t["nation"].select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return j.groupBy(F.col("n_nationkey").alias("nation_key")).agg(
+        F.count("*").alias("n_items"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+    )

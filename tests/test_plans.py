@@ -188,3 +188,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The CMS counter grid (≤ D×W rows by construction) must reach the
+    probe join as a broadcast — shuffling probes against it would add a
+    pointless exchange on the corpus-derived side."""
+    s = _plan(spark, "agg_count_min_sketch")
+    assert "BroadcastHashJoin" in s
+
+
+def test_bloom_bit_table_broadcasts(spark):
+    """The Bloom set-bit table (≤ M_BITS rows) must broadcast to the
+    corpus probe — the corpus side is scanned once and only aggregated
+    on its own key, never shuffled against the bits."""
+    s = _plan(spark, "dedup_bloom_prefilter")
+    assert "BroadcastHashJoin" in s
+
+
+def test_salted_agg_is_two_hash_aggregates(spark):
+    """Salted aggregation must show the two-phase shape: partial+final
+    hash agg on (key, salt), then a second partial+final on key — four
+    HashAggregate nodes total, and no single exchange keyed on the bare
+    hot key before the salted phase."""
+    s = _plan(spark, "agg_salted_skew")
+    assert s.count("HashAggregate") >= 4
