@@ -101,3 +101,91 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 25)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+_H6 = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_H6} < CAST(floor(least(1.0, n_chars / 2000.0) * 1000000) AS BIGINT)
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling: each document keeps with
+    probability proportional to a per-row weight (here the length proxy
+    n_chars/2000, capped at 1) by comparing md5(doc_id) mod 1e6 against
+    the weight scaled to the same grid — quality-weighted corpus
+    downsampling with zero RNG. Integer comparison on both engines
+    (floor of the same IEEE double), so membership replays exactly."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    threshold = F.floor(
+        F.least(F.lit(1.0), F.col("n_chars") / 2000.0) * 1000000
+    ).cast("long")
+    return d.where(
+        (md5_long(F.col("doc_id").cast("string")) % 1000000) < threshold
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "sample_mixture_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, n_orig,
+             min(n_orig) OVER () AS target_n,
+             min(n_orig) OVER () / n_orig AS keep_rate
+      FROM counts
+    ), kept AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE {_H6} < CAST(floor(r.keep_rate * 1000000) AS BIGINT)
+    )
+    SELECT r.lang, r.n_orig,
+           round(r.keep_rate, 6) AS keep_rate,
+           coalesce(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN (
+      SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
+    ) k ON r.lang = k.lang
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language stratum
+    toward the SMALLEST stratum's size by a per-stratum deterministic
+    hash rate — the corpus-mixture construction step (balance domains
+    before training, reproducibly). The per-stratum rates are a tiny
+    aggregate joined back broadcast; each doc's membership is a pure
+    function of (doc_id, its stratum's rate). Expected kept counts
+    concentrate around target_n (binomial, not exact — the quota
+    variant gives exactness; this one never shuffles the corpus)."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    w = Window.partitionBy()
+    rates = counts.select(
+        "lang",
+        "n_orig",
+        (F.min("n_orig").over(w) / F.col("n_orig")).alias("keep_rate"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .where(
+            (md5_long(F.col("doc_id").cast("string")) % 1000000)
+            < F.floor(F.col("keep_rate") * 1000000).cast("long")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    from mercurygate_spark.functions import r6
+
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_orig",
+        r6(F.col("keep_rate")).alias("keep_rate"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
