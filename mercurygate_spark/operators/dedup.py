@@ -303,13 +303,16 @@ def connected_components(
         )
 
     edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        converged = (
-            new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty()
-        )
-        edges = new_edges
+        # Both frames are distinct by construction, so set equality is
+        # |new| == |old| plus new ⊆ old — one exceptAll job instead of
+        # two, on already-materialized (checkpointed) inputs.
+        n_new = new_edges.count()
+        converged = n_new == n_edges and new_edges.exceptAll(edges).isEmpty()
+        edges, n_edges = new_edges, n_new
         if converged:
             break
     if not converged:

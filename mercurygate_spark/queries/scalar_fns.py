@@ -257,3 +257,64 @@ def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 3).alias("shifted_r"),
         F.bit_count("event_id").cast("long").alias("pop_count"),
     )
+
+
+@query(
+    "fn_calendar_ops",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS order_quarter,
+           weekofyear(o_orderdate) AS iso_week,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def fn_calendar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar family: quarter, ISO week, day-of-week, month-clamped
+    add_months, last_day. Cross-engine contracts handled explicitly:
+    DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday (+1 in the oracle);
+    date outputs rendered as strings so no date-type hash ambiguity;
+    both engines clamp Jan 31 + 1 month to Feb end."""
+    t = load_tables(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return t["orders"].select(
+        "o_orderkey",
+        F.quarter(d).alias("order_quarter"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS top_price
+    FROM orders o
+    WHERE o.o_totalprice = (
+      SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front door: each
+    customer's maximum-price order(s). Catalyst DECORRELATES this into
+    an aggregate + join (no per-row re-execution — the plan is the
+    same one the DataFrame API would build), which is what makes the
+    construct usable at 100 TB. max, not avg, keeps the comparison
+    exact (no accumulation-order boundary flips)."""
+    t = load_tables(spark, sf_dir, "orders")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               floor(o.o_totalprice * 100 + 0.5) / 100 AS top_price
+        FROM orders o
+        WHERE o.o_totalprice = (
+          SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

@@ -171,3 +171,50 @@ def stream_dedupe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         distinct_pairs_stream(read_events_stream(spark, sf_dir)), output_mode="append"
     )
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink pattern: the stream drains via availableNow
+    and every microbatch is appended to a parquet table by custom sink
+    code — the canonical shape for sinks streaming can't express
+    natively (MERGE, multi-table writes; pipeline/streaming_silver.py
+    uses it for SCD merges). The key then reads the LANDED table back
+    and aggregates; matching the batch oracle proves exactly-once
+    landing of the whole backlog. Fresh checkpoint per run keeps the
+    query deterministic."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.functions import r2
+    from mercurygate_spark.streaming.windows import read_events_stream
+
+    run = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), f"mercurygate_febatch_{os.getpid()}_{run}")
+    out_dir, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), r2(F.sum("value")).alias("sum_value")
+    )

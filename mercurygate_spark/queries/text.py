@@ -500,3 +500,35 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(ratio).alias("dup_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+@query(
+    "sql_lateral_explode",
+    oracle=f"""
+    SELECT doc_id, tk[ii.i + 1] AS token, CAST(ii.i AS INT) AS pos
+    FROM (SELECT doc_id, {_DUCK_TK} AS tk FROM documents) d,
+         (SELECT unnest(range(3)) AS i) ii
+    WHERE ii.i < len(tk)
+    """,
+)
+def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function through the SQL front door: LATERAL
+    VIEW posexplode of the token array, first 3 tokens per document
+    (the oracle replays by indexing a bounded range cross-product —
+    DuckDB has no WITH ORDINALITY).
+    Generate/explode is a map-side row expansion — no shuffle; the
+    pos <= 2 filter lands inside the Generate, not after a blow-up."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    t["documents"].select("doc_id", tokens("text").alias("tk")).createOrReplaceTempView(
+        "doc_tokens"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, token, pos
+        FROM doc_tokens
+        LATERAL VIEW posexplode(tk) AS pos, token
+        WHERE pos <= 2
+        """
+    )
