@@ -369,3 +369,29 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.col("__min")).alias("min_price"),
         r2(F.col("__max")).alias("max_price"),
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and (every) / bool_or
+    (some) — the predicate-rollup surface audit dashboards use. Same
+    partial+final hash-agg shape as every grouped aggregate; count_if
+    cast BIGINT on the oracle side (DuckDB returns HUGEINT-free BIGINT
+    for count_if, but the explicit cast pins it)."""
+    t = load_tables(spark, sf_dir, "orders")
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )

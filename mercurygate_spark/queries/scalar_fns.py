@@ -318,3 +318,42 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_TK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@query(
+    "fn_higher_order_array",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TK_SQL}) AS n_tokens,
+           len(list_filter({_TK_SQL}, t -> len(t) > 4)) AS n_long_tokens,
+           CAST(coalesce(list_sum(list_transform({_TK_SQL}, t -> len(t))), 0) AS BIGINT)
+             AS total_token_chars,
+           list_max({_TK_SQL}) AS max_token
+    FROM documents
+    """,
+)
+def fn_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a user surface (transform /
+    filter / aggregate — the same primitives the engine's dot products
+    and shingles are built from): per-document token-length stats
+    computed entirely inside the array, no explode, no shuffle. At
+    100 TB explode-then-aggregate for per-row array stats is a 100×
+    row amplification; the lambda forms stay one-row-in one-row-out."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__tk", tokens("text"))
+    return d.select(
+        "doc_id",
+        F.size("__tk").alias("n_tokens"),
+        F.size(F.filter("__tk", lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform("__tk", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.array_max("__tk").alias("max_token"),
+    )
