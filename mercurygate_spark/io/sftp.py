@@ -134,13 +134,19 @@ class SftpFetcher:
                         client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
                     else:
                         client.set_missing_host_key_policy(paramiko.RejectPolicy())
-                client.connect(
-                    self.cfg.host,
-                    port=self.cfg.port,
-                    username=self.cfg.username,
-                    password=self.cfg.password,
-                    timeout=self.cfg.timeout_s,
-                )
+                try:
+                    client.connect(
+                        self.cfg.host,
+                        port=self.cfg.port,
+                        username=self.cfg.username,
+                        password=self.cfg.password,
+                        timeout=self.cfg.timeout_s,
+                    )
+                except HostKeyMismatch:
+                    # the transport negotiated during key exchange is
+                    # live — don't leak an open socket to the suspect host
+                    client.close()
+                    raise
                 transport = client.get_transport()
                 transport.set_keepalive(self.cfg.keepalive_s)
                 # socket-level timeout bounds every blocking op — no

@@ -111,7 +111,15 @@ def asof_join_pandas(
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
-        rpdf = rpdf.sort_values(right_ts, kind="mergesort")
+        # Tie-break INSIDE the group: rows arrive in arbitrary
+        # post-shuffle order (a pre-cogroup orderBy does not survive),
+        # so sorting only by right_ts would leave equal-timestamp picks
+        # nondeterministic. Sorting ascending by (ts, other right cols)
+        # makes merge_asof's last-wins pick the MAX of the remaining
+        # columns — the same tie-break as the window strategy's
+        # descending order.
+        r_order = [right_ts] + [c for c in right_cols if c not in (on, right_ts)]
+        rpdf = rpdf.sort_values(r_order, kind="mergesort")
         merged = pd.merge_asof(
             lpdf, rpdf.drop(columns=[on]), left_on=left_ts, right_on=right_ts
         )

@@ -57,7 +57,10 @@ def _affine(h0: Column, j: int, width: int) -> Column:
     return ((F.lit(2 * j + 1) * h0 + F.lit(97 * j + 31)) % P_HASH) % width
 
 
-def _duck_h0(expr: str) -> str:
+def duck_h0_sql(expr: str) -> str:
+    """DuckDB twin of _h0 — the single source of truth for the base
+    hash; every sketch oracle must build on this (and duck_affine_sql)
+    rather than hand-writing the hash family."""
     return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT % {P_HASH})"
 
 
@@ -85,7 +88,11 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
 def cms_probe(sketch: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
     """Estimate each probe key's frequency: min over the D counters the
     key hashes to. The sketch side is broadcast (≤ D×W rows by
-    construction). Returns (key_col, cms_est)."""
+    construction). The sketch table is SPARSE (untouched cells have no
+    row), so the join is LEFT with missing counters read as 0 — an
+    unseen probe key correctly estimates ~0 instead of being dropped
+    (or inheriting a colliding heavy hitter's count) as an inner join
+    would. Returns (key_col, cms_est)."""
     ph = probes.select(key_col, _h0(F.col(key_col)).alias("__h0"))
     pcells = ph.select(
         key_col,
@@ -93,8 +100,10 @@ def cms_probe(sketch: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
             F.array(*[_affine(F.col("__h0"), r, CMS_WIDTH) for r in range(CMS_DEPTH)])
         ).alias("r", "c"),
     )
-    joined = pcells.join(F.broadcast(sketch), ["r", "c"])
-    return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_est"))
+    joined = pcells.join(F.broadcast(sketch), ["r", "c"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+    )
 
 
 def bloom_bits(df: DataFrame, key_col: str) -> DataFrame:
@@ -129,6 +138,10 @@ def bloom_probe(
     marked = pbits.join(
         F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
     )
+    # Compare matched bits against the group's OWN row count, not the
+    # constant K: a key appearing n times in probes contributes n*K bit
+    # rows, and requiring == K would false-negative a true member —
+    # violating the Bloom contract.
     return marked.groupBy(key_col).agg(
-        (F.count("__set") == BLOOM_HASHES).alias("bloom_hit")
+        (F.count("__set") == F.count("*")).alias("bloom_hit")
     )

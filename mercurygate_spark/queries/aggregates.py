@@ -237,9 +237,10 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_PROBE_MAX = 20  # probe the low part keys (present at every SF)
 
 
-def _duck_cms_cells(key_sql: str, depth: int, width: int, p: int) -> str:
-    h0 = f"(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % {p})"
-    aff = f"((((2 * r + 1) * {h0} + (97 * r + 31)) % {p}) % {width})"
+def _duck_cms_cells(key_sql: str, depth: int, width: int) -> str:
+    from mercurygate_spark.operators.sketches import duck_affine_sql, duck_h0_sql
+
+    aff = duck_affine_sql(duck_h0_sql("k"), "r", width)
     return f"""
     keys AS (SELECT {key_sql} AS k FROM lineitem),
     cells AS (
@@ -266,10 +267,10 @@ def _duck_cms_cells(key_sql: str, depth: int, width: int, p: int) -> str:
 
 
 def _cms_oracle() -> str:
-    from mercurygate_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, P_HASH
+    from mercurygate_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
 
     return f"""
-    WITH {_duck_cms_cells("l_partkey", CMS_DEPTH, CMS_WIDTH, P_HASH)}
+    WITH {_duck_cms_cells("l_partkey", CMS_DEPTH, CMS_WIDTH)}
     SELECT e.k AS l_partkey,
            est.cms_est,
            e.n_exact,

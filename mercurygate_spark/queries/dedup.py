@@ -169,11 +169,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_oracle() -> str:
-    from mercurygate_spark.operators.sketches import BLOOM_BITS, BLOOM_HASHES, P_HASH
+    from mercurygate_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        duck_affine_sql,
+        duck_h0_sql,
+    )
 
     fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-    h0 = f"(('0x' || substr(md5(CAST(fp AS VARCHAR)), 1, 15))::BIGINT % {P_HASH})"
-    aff = f"((((2 * jj.j + 1) * {h0} + (97 * jj.j + 31)) % {P_HASH}) % {BLOOM_BITS})"
+    aff = duck_affine_sql(duck_h0_sql("fp"), "jj.j", BLOOM_BITS)
     return f"""
     WITH ref AS (
       SELECT DISTINCT {fp} AS fp FROM documents WHERE length(source) = 4

@@ -408,14 +408,14 @@ def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of materializing left x matching-right before ranking —
     the right choice when one key has deep right-side history. Oracle
     is identical to join_asof: both strategies must agree (ties on
-    click_ts resolve to max click_id, matching merge_asof's last-wins
-    on the sorted frame)."""
+    click_ts resolve to max click_id inside the merge's per-group
+    sort — a pre-shuffle orderBy would not survive the cogroup)."""
     from mercurygate_spark.operators.asof import asof_join_pandas
 
     purchases, clicks = _purchase_click_sides(spark, sf_dir)
     j = asof_join_pandas(
         purchases.select("purchase_id", "user_id", "purchase_ts"),
-        clicks.orderBy("click_ts", "click_id"),
+        clicks,
         on="user_id",
         left_ts="purchase_ts",
         right_ts="click_ts",

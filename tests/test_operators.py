@@ -447,6 +447,13 @@ def test_cms_never_underestimates_and_bounds(spark):
         assert e >= 40  # every key occurs 40x
     assert sum(1 for e in est.values() if e == 40) >= 45  # mostly exact
 
+    # Unseen probe keys must estimate ~0 (sparse cells read as 0 via
+    # the left join), never be dropped or inherit a collision's count.
+    unseen = spark.createDataFrame([(10_000 + i,) for i in range(20)], "k long")
+    ue = {r["k"]: r["cms_est"] for r in cms_probe(sketch, unseen, "k").collect()}
+    assert len(ue) == 20  # nothing dropped
+    assert sum(1 for e in ue.values() if e == 0) >= 15  # mostly exact zeros
+
 
 def test_bloom_no_false_negatives(spark):
     """Every inserted key must hit; non-members mostly miss."""
@@ -461,3 +468,9 @@ def test_bloom_no_false_negatives(spark):
     fp = sum(1 for r in other_hits if r["bloom_hit"])
     # 100 keys * 3 hashes in 4096 bits → ~7% bits set → FP ~ 0.04%
     assert fp <= 5
+
+    # Duplicate probe rows must not break the no-false-negative
+    # contract (the per-key bit count is n*K, not K).
+    dup_members = members.union(members).union(members)
+    dup_hits = bloom_probe(bits, dup_members, "k").collect()
+    assert len(dup_hits) == 100 and all(r["bloom_hit"] for r in dup_hits)

@@ -69,8 +69,23 @@ def test_column_pruning(spark):
 #   total token count — a 1-row scalar broadcast-crossed into freq.
 _BOUNDED_BNLJ_OK = {"sim_cosine_topk", "text_unigram_logprob"}
 
+# Keys whose BUILDER performs an eager side effect (sink write or a
+# full streaming drain) before returning a trivial read-back aggregate:
+# sweeping their plans would re-run the whole round-trip per test for a
+# frame with no join surface. Their correctness is gated by
+# test_oracle_parity; nothing cartesian can hide in a groupBy-over-scan.
+_EAGER_ROUNDTRIP_KEYS = {
+    name
+    for name in all_queries()
+    if name.startswith(("sink_", "stream_")) or name in {
+        "scan_csv_infer", "scan_json_lines", "scan_text_lines",
+    }
+}
 
-@pytest.mark.parametrize("name", sorted(all_queries()))
+
+@pytest.mark.parametrize(
+    "name", sorted(set(all_queries()) - _EAGER_ROUNDTRIP_KEYS)
+)
 def test_no_cartesian_anywhere(spark, name):
     """Every registered key's physical plan must be free of cartesian
     products and nested-loop joins — the two shapes that are silently
