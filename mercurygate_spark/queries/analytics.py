@@ -256,3 +256,49 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="v",
     )
+
+
+@query(
+    "project_dense_grid",
+    oracle="""
+    WITH grid AS (
+      SELECT r_name, p.o_orderpriority
+      FROM region, (SELECT DISTINCT o_orderpriority FROM orders) p
+    ), actual AS (
+      SELECT r_name, o_orderpriority, count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, o_orderpriority
+    )
+    SELECT g.r_name, g.o_orderpriority,
+           coalesce(a.n_orders, 0) AS n_orders
+    FROM grid g LEFT JOIN actual a
+      ON g.r_name = a.r_name AND g.o_orderpriority = a.o_orderpriority
+    """,
+)
+def project_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension densification: the full region × priority grid (a
+    DELIBERATE cross join of two bounded dims, 5×5) left-joined with
+    the actual rollup, empty cells zero-filled — the dense-axes shape
+    every reporting layer needs (missing group cells must render as 0,
+    not vanish). The cross join is safe by construction: both sides
+    are tiny dimension domains, never facts."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    grid = t["region"].select("r_name").crossJoin(
+        t["orders"].select("o_orderpriority").distinct()
+    )
+    actual = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("*").alias("__n"))
+    )
+    return grid.join(actual, ["r_name", "o_orderpriority"], "left").select(
+        "r_name",
+        "o_orderpriority",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+    )

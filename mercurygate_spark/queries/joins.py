@@ -468,3 +468,49 @@ def join_skew_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         r2(F.sum("l_extendedprice")).alias("sum_price"),
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), segment AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT coalesce(s.c_custkey, p.o_custkey) AS custkey,
+           s.c_mktsegment,
+           p.n_orders,
+           p.total_spend
+    FROM segment s FULL OUTER JOIN spend p ON s.c_custkey = p.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: the BUILDING-segment customer list against the
+    finished-order spend rollup — unmatched rows survive from BOTH
+    sides (customers with no finished orders, spenders outside the
+    segment), the reconciliation shape. Both sides shuffle on the key
+    once; coalesce fuses the two key columns."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    spend = (
+        t["orders"]
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("total_spend"),
+        )
+    )
+    segment = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = segment.join(spend, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_mktsegment",
+        "n_orders",
+        "total_spend",
+    )

