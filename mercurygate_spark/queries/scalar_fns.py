@@ -357,3 +357,33 @@ def fn_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_token_chars"),
         F.array_max("__tk").alias("max_token"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_long,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
+           TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) IS NOT NULL AS date_ok,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS bad_double
+    FROM orders
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting (try_cast): unparseable values become NULL
+    instead of failing the job — non-negotiable at 100 TB, where a
+    single dirty row must not kill a 1000-executor stage (ANSI mode's
+    hard-error cast is the alternative failure mode). '1-URGENT' as a
+    whole fails to parse, its leading digit succeeds; both engines
+    agree on every case."""
+    t = load_tables(spark, sf_dir, "orders")
+    return t["orders"].select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("long").alias("bad_long"),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("priority_rank"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").try_cast("date").isNotNull().alias(
+            "date_ok"
+        ),
+        F.col("o_orderstatus").try_cast("double").alias("bad_double"),
+    )

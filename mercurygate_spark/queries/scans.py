@@ -319,3 +319,42 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "o_orderkey", "o_orderstatus", r2(F.col("o_totalprice")).alias("o_totalprice")
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT count(*) AS n_good,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resilient CSV ingestion: a landing file where every 10th row has
+    a corrupted numeric field, read with an explicit schema in
+    DROPMALFORMED mode — bad rows are skipped, the job survives. The
+    oracle counts exactly the clean rows, so the key pins BOTH that
+    malformed rows are dropped AND that no good row is lost. (The
+    PERMISSIVE/_corrupt_record alternative keeps bad rows for
+    quarantine — dq_expectations is that path's audit.)"""
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("csv_malformed")
+    line = F.when(
+        F.col("o_orderkey") % 10 == 0,
+        F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("not_a_number")),
+    ).otherwise(
+        # double→string is Java shortest-round-trip, so the CSV parse
+        # recovers the exact same double (sci notation parses fine too)
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    t["orders"].select(line.alias("value")).write.mode("overwrite").text(path)
+    df = spark.read.csv(
+        path, schema="o_orderkey long, o_totalprice double", mode="DROPMALFORMED"
+    )
+    return df.agg(
+        F.count("*").alias("n_good"), r2(F.sum("o_totalprice")).alias("sum_total")
+    )

@@ -235,3 +235,34 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_full).alias("last_type"),
         F.nth_value("event_type", 2).over(w_run).alias("second_type"),
     )
+
+
+@query(
+    "window_rows_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 2) AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: 3-order moving average per customer —
+    the count-based complement of window_range_frame's value-based
+    frame (exactly 3 rows regardless of date gaps; the RANGE variant
+    is time-based regardless of row count). Total order (date, key)
+    makes frames identical across engines."""
+    t = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        r2(F.avg("o_totalprice").over(w)).alias("moving_avg_3"),
+    )

@@ -81,6 +81,7 @@ _EAGER_ROUNDTRIP_KEYS = {
     for name in all_queries()
     if name.startswith(("sink_", "stream_")) or name in {
         "scan_csv_infer", "scan_json_lines", "scan_text_lines",
+        "scan_csv_malformed",
     }
 }
 

@@ -84,3 +84,86 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         ).collect()
     }
     assert plain == salted
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    probes=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_cms_one_sided_error_property(spark, keys, probes):
+    """Count-Min guarantee for ANY multiset: est(k) >= true_count(k),
+    including unseen probe keys (true count 0)."""
+    from collections import Counter
+
+    from mercurygate_spark.operators.sketches import cms_build, cms_probe
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = cms_build(df, "k")
+    pdf = spark.createDataFrame([(p,) for p in set(probes)], "k long")
+    est = {r["k"]: r["cms_est"] for r in cms_probe(sketch, pdf, "k").collect()}
+    truth = Counter(keys)
+    assert set(est) == set(probes)  # every probe answered
+    for k, e in est.items():
+        assert e >= truth.get(k, 0)
+
+
+@given(
+    members=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+)
+@settings(**SETTINGS)
+def test_bloom_no_false_negatives_property(spark, members):
+    """Bloom guarantee for ANY key set: every inserted key hits."""
+    from mercurygate_spark.operators.sketches import bloom_bits, bloom_probe
+
+    mdf = spark.createDataFrame([(m,) for m in members], "k string")
+    bits = bloom_bits(mdf, "k")
+    hits = bloom_probe(bits, mdf, "k").collect()
+    assert len(hits) == len(members)
+    assert all(r["bloom_hit"] for r in hits)
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
+    rights=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
+    tol=st.integers(min_value=1, max_value=50),
+)
+@settings(**SETTINGS)
+def test_asof_tolerance_subset_property(spark, lefts, rights, tol):
+    """For ANY inputs: the tolerance-bounded as-of result is a subset
+    of the unbounded result (same matches, minus out-of-window ones),
+    and every surviving match distance is within tolerance."""
+    from datetime import datetime, timedelta
+
+    from mercurygate_spark.operators.asof import asof_join
+
+    base = datetime(2026, 1, 1)
+    ldf = spark.createDataFrame(
+        [(1, base + timedelta(seconds=s), i) for i, s in enumerate(lefts)],
+        "k long, lts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, base + timedelta(seconds=s), float(i)) for i, s in enumerate(rights)],
+        "k long, rts timestamp, rv double",
+    )
+    full = {
+        r["lid"]: r["rts"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rts", "rv"], left_key=["lid"],
+        ).collect()
+    }
+    bounded = {
+        r["lid"]: r["rts"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rts", "rv"], left_key=["lid"], tolerance_seconds=tol,
+        ).collect()
+    }
+    lts_by_id = {i: base + timedelta(seconds=s) for i, s in enumerate(lefts)}
+    for lid, rts in bounded.items():
+        assert full[lid] == rts  # same pick where both match
+        assert (lts_by_id[lid] - rts).total_seconds() <= tol
+    # anything dropped by the tolerance was out of window
+    for lid in set(full) - set(bounded):
+        assert (lts_by_id[lid] - full[lid]).total_seconds() > tol
