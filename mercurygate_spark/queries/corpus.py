@@ -121,3 +121,106 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("doc_id"))
     split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     return kept.select("doc_id", split.alias("split"), "n_tokens")
+
+
+# ---- round-3 composition: repetition filter → exact dedup → ----------
+# ---- domain-mixture rebalance → split (per-stratum counts)  ----------
+
+_TK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_H6 = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
+_H100 = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)"
+
+
+@query(
+    "pipeline_corpus_mixture",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang, text,
+             len({_TK}) AS n_tokens,
+             CASE WHEN len({_TK}) >= 3
+                  THEN list_transform(range(1, len({_TK}) - 1),
+                       i -> {_TK}[i] || ' ' || {_TK}[i+1] || ' ' || {_TK}[i+2])
+                  ELSE [] END AS tg
+      FROM documents
+    ), clean AS (
+      -- Gopher repetition gate, integer-exact: (n - nd)/n <= 0.2  <=>  5(n - nd) <= n
+      SELECT doc_id, lang, text, n_tokens FROM tri
+      WHERE n_tokens >= {MIN_TOKENS}
+        AND 5 * (len(tg) - len(list_distinct(tg))) <= len(tg)
+    ), deduped AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ), rates AS (
+      SELECT lang, min(count(*)) OVER () / count(*) AS keep_rate
+      FROM deduped GROUP BY lang
+    ), rebalanced AS (
+      SELECT d.doc_id, d.lang
+      FROM deduped d JOIN rates r ON d.lang = r.lang
+      WHERE {_H6} < CAST(floor(r.keep_rate * 1000000) AS BIGINT)
+    )
+    SELECT CASE WHEN {_H100} < 80 THEN 'train'
+                WHEN {_H100} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs
+    FROM rebalanced
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 composed pipeline: Gopher repetition filter →
+    exact dedup → domain-mixture rebalance toward the smallest language
+    stratum → leakage-safe split, reported as per-(split, lang) counts.
+    Proves the new operators COMPOSE (each stage runs on exactly the
+    survivors of the previous). The repetition gate is integer-exact
+    (5·(n−nd) ≤ n ⟺ ratio ≤ 0.2); the rebalance rates are a tiny
+    broadcast; nothing collects the corpus."""
+    from mercurygate_spark.functions import md5_long, tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].withColumn("__tk", tokens("text"))
+
+    # 1. repetition + length gate (integer-exact)
+    tg = F.when(
+        F.size("__tk") >= 3,
+        F.expr(
+            "transform(sequence(0, size(__tk) - 3), "
+            "i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.withColumn("__tg", tg)
+    clean = d.where(
+        (F.size("__tk") >= MIN_TOKENS)
+        & (5 * (F.size("__tg") - F.size(F.array_distinct("__tg"))) <= F.size("__tg"))
+    )
+
+    # 2. exact dedup: keeper = min doc_id per fingerprint
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+    # 3. mixture rebalance toward the smallest lang stratum
+    counts = deduped.groupBy("lang").agg(F.count("*").alias("__n"))
+    rates = counts.select(
+        "lang",
+        (F.min("__n").over(Window.partitionBy()) / F.col("__n")).alias("__rate"),
+    )
+    rebalanced = deduped.join(F.broadcast(rates), "lang").where(
+        (md5_long(F.col("doc_id").cast("string")) % 1000000)
+        < F.floor(F.col("__rate") * 1000000).cast("long")
+    )
+
+    # 4. leakage-safe split, rolled up per stratum
+    b = hash_bucket(F.col("doc_id"))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return rebalanced.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
