@@ -35,6 +35,12 @@ HEADLINE = [
     "join_asof",                  # as-of join
     "dedup_minhash_lsh",          # north-star: minhash LSH dedup
     "sim_cosine_topk",            # north-star: similarity search
+    # heavy LLM-pipeline path (r3 verdict item 2): the expensive keys,
+    # so regressions in the multi-stage path are visible round-over-round
+    "dedup_connected_components", # iterative star-contraction CC
+    "sim_cosine_ivf_sampled",     # sampled-training IVF ANN (scale path)
+    "pipeline_corpus_curate",     # capstone: quality→dedup→CC→split
+    "pipeline_corpus_mixture",    # capstone: repetition→dedup→rebalance→split
 ]
 
 
@@ -60,13 +66,18 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        best, n = float("inf"), 0
+        per_run, n = [], 0
         for _ in range(runs):
             t0 = time.perf_counter()
             n = queries[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            per_run.append(round(time.perf_counter() - t0, 3))
+        # headline stays best-of-N (rejects transient stalls); the raw
+        # runs + mean are recorded too so a sustained tail regression
+        # (2 of 3 runs slow) is still visible in the JSON (ADVICE r3)
+        timings[name] = min(per_run)
+        all_runs[name] = per_run
         print(f"# {name}: best-of-{runs} {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -77,6 +88,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": all_runs,
+                "query_means": {
+                    k: round(sum(v) / len(v), 3) for k, v in all_runs.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": runs,
                 "load_avg_1m": round(os.getloadavg()[0], 2),

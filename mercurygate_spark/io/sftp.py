@@ -158,6 +158,13 @@ class SftpFetcher:
                 raise  # terminal: never re-offer credentials on a bad pin
             except Exception as e:  # noqa: BLE001 — retry any connect error
                 last_err = e
+                try:
+                    # auth failures / post-kex timeouts leave a live
+                    # transport on the client — close before retrying
+                    # or each failed attempt leaks a socket until GC
+                    client.close()
+                except Exception:  # noqa: BLE001
+                    pass
                 time.sleep(self.cfg.retry_sleep_s)
         raise ConnectionError(f"sftp connect failed after {self.cfg.retries} tries") from last_err
 

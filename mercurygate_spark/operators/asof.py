@@ -51,15 +51,21 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if tolerance_seconds is not None:
+        tolerance_seconds = float(tolerance_seconds)
+        if not tolerance_seconds >= 0:  # also rejects NaN
+            raise ValueError(f"tolerance_seconds must be >= 0, got {tolerance_seconds!r}")
     lcols = left.columns
     r = right.select(on, right_ts, *[c for c in right_cols if c not in (on, right_ts)])
     j = left.join(r, on=on, how="inner")
     if direction == "backward":
         j = j.where(F.col(right_ts) <= F.col(left_ts))
         if tolerance_seconds is not None:
+            # fixed-point format: repr(1e-05) would yield an unparseable
+            # 'INTERVAL 1e-05 SECOND'; micros is timestamp resolution
             j = j.where(
                 F.col(right_ts)
-                >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance_seconds} SECOND")
+                >= F.col(left_ts) - F.expr(f"INTERVAL '{tolerance_seconds:.6f}' SECOND")
             )
         order = [F.col(right_ts).desc()] + [
             F.col(c).desc() for c in right_cols if c not in (on, right_ts)
@@ -69,7 +75,7 @@ def asof_join(
         if tolerance_seconds is not None:
             j = j.where(
                 F.col(right_ts)
-                <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance_seconds} SECOND")
+                <= F.col(left_ts) + F.expr(f"INTERVAL '{tolerance_seconds:.6f}' SECOND")
             )
         order = [F.col(right_ts).asc()] + [
             F.col(c).asc() for c in right_cols if c not in (on, right_ts)

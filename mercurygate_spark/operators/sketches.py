@@ -75,8 +75,13 @@ def duck_affine_sql(h0_expr: str, j_expr: str, width: int) -> str:
 def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     """Build the D×W Count-Min counter table: (r, c, cnt). One
     partial+final hash aggregation; the shuffle carries at most D×W
-    rows per map partition regardless of input size."""
-    h = df.select(_h0(F.col(key_col)).alias("__h0"))
+    rows per map partition regardless of input size.
+
+    NULL keys are excluded: md5_long(NULL) is NULL, which would
+    accumulate an unreachable (r, NULL) cell that cms_probe could
+    never read back. Both ends of the contract (build and probe)
+    drop NULLs, so the sketch counts exactly the non-null keys."""
+    h = df.where(F.col(key_col).isNotNull()).select(_h0(F.col(key_col)).alias("__h0"))
     cells = h.select(
         F.posexplode(
             F.array(*[_affine(F.col("__h0"), r, CMS_WIDTH) for r in range(CMS_DEPTH)])
@@ -92,8 +97,11 @@ def cms_probe(sketch: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
     row), so the join is LEFT with missing counters read as 0 — an
     unseen probe key correctly estimates ~0 instead of being dropped
     (or inheriting a colliding heavy hitter's count) as an inner join
-    would. Returns (key_col, cms_est)."""
-    ph = probes.select(key_col, _h0(F.col(key_col)).alias("__h0"))
+    would. NULL probe keys are dropped (never counted at build time —
+    see cms_build). Returns (key_col, cms_est)."""
+    ph = probes.where(F.col(key_col).isNotNull()).select(
+        key_col, _h0(F.col(key_col)).alias("__h0")
+    )
     pcells = ph.select(
         key_col,
         F.posexplode(
@@ -108,8 +116,10 @@ def cms_probe(sketch: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
 
 def bloom_bits(df: DataFrame, key_col: str) -> DataFrame:
     """Set-bit table of the Bloom filter over ``df[key_col]``:
-    single-column (bit) DataFrame with ≤ BLOOM_BITS distinct rows."""
-    h = df.select(_h0(F.col(key_col)).alias("__h0"))
+    single-column (bit) DataFrame with ≤ BLOOM_BITS distinct rows.
+    NULL keys are excluded (hash of NULL is NULL, settable to no bit);
+    the membership contract is over non-null keys only."""
+    h = df.where(F.col(key_col).isNotNull()).select(_h0(F.col(key_col)).alias("__h0"))
     return (
         h.select(
             F.explode(
@@ -127,8 +137,14 @@ def bloom_probe(
     set. Hashes ``hash_col`` (default: the key itself), reports per
     ``key_col``. The bit table is broadcast; the probe side is scanned
     once and aggregated on its own key — no shuffle of the corpus
-    beyond the per-key count. Returns (key_col, bloom_hit)."""
-    ph = probes.select(key_col, _h0(F.col(hash_col or key_col)).alias("__h0"))
+    beyond the per-key count. Probe rows whose hashed value is NULL
+    are dropped rather than reported as bloom_hit=false — a NULL was
+    never inserted at build time (see bloom_bits), and a fabricated
+    false would read as a false negative, which the Bloom contract
+    forbids. Returns (key_col, bloom_hit)."""
+    ph = probes.where(F.col(hash_col or key_col).isNotNull()).select(
+        key_col, _h0(F.col(hash_col or key_col)).alias("__h0")
+    )
     pbits = ph.select(
         key_col,
         F.explode(

@@ -210,19 +210,26 @@ def source_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text source round-trip: one line per document → text sink
-    → text source (each line back as `value`). The lang marker is
-    prefixed tab-separated and split back out, proving the codec
-    preserves bytes. At 100 TB the text source is the cheapest scan
-    there is (no footer/stats) — the format raw corpus dumps arrive in."""
+    → text source (each line back as `value`). Both fields are hex-
+    wrapped on the line (hex digits contain neither tab nor newline;
+    Spark's base64 is MIME-chunked with embedded CRLF, so it can NOT
+    be used here), so the one-line-per-record invariant holds for
+    ARBITRARY document content — a text containing '\\n' or a lang
+    containing '\\t' round-trips exactly instead of silently splitting
+    the line (ADVICE r3). At 100 TB the text source is the cheapest
+    scan there is (no footer/stats) — the format raw corpus dumps
+    arrive in."""
     t = load_tables(spark, sf_dir, "documents")
     path = _tmp("text_roundtrip")
     t["documents"].select(
-        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+        F.concat_ws(
+            "\t", F.hex(F.col("lang").cast("binary")), F.hex(F.col("text").cast("binary"))
+        ).alias("value")
     ).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     parsed = lines.select(
-        F.substring_index("value", "\t", 1).alias("lang"),
-        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        F.unhex(F.substring_index("value", "\t", 1)).cast("string").alias("lang"),
+        F.unhex(F.expr("substring(value, instr(value, '\t') + 1)")).cast("string").alias("text"),
     )
     return parsed.agg(
         F.count("*").alias("n_lines"),
