@@ -89,6 +89,37 @@ def md5_hex(c: Column) -> Column:
     return F.md5(c.cast("string"))
 
 
+def let1(expr: Column, body) -> Column:
+    """Evaluate `expr` exactly once per row by binding it as a
+    higher-order-function lambda variable: transform(array(expr),
+    x -> body(x))[0].
+
+    Why: Catalyst's filter pushdown (PushPredicateThroughNonJoin)
+    substitutes project aliases into predicates with no cost guard, so
+    a filter referencing an expensive derived column (e.g. a regex
+    token split) re-evaluates the full expression at every reference —
+    and when the reference sits inside an array lambda, once per
+    element. Binding through a lambda variable is opaque to alias
+    substitution and stays pure whole-stage codegen (no UDF), so the
+    expression is computed once regardless of how the plan collapses.
+    """
+    return F.transform(F.array(expr), body).getItem(0)
+
+
+def trigram_array(tk: Column) -> Column:
+    """Word-trigram array ("a b c") from a token-array column. Empty
+    when fewer than 3 tokens. DuckDB twin:
+    CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END."""
+    return F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.concat_ws(" ", tk[i], tk[i + 1], tk[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def md5_long(c: Column) -> Column:
     """First 60 bits of md5 as a non-negative bigint. Cross-engine
     deterministic base hash for minhash/simhash/LSH, where Spark's

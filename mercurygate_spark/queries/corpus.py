@@ -179,32 +179,37 @@ def pipeline_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Proves the new operators COMPOSE (each stage runs on exactly the
     survivors of the previous). The repetition gate is integer-exact
     (5·(n−nd) ≤ n ⟺ ratio ≤ 0.2); the rebalance rates are a tiny
-    broadcast; nothing collects the corpus."""
-    from mercurygate_spark.functions import md5_long, tokens
+    broadcast; nothing collects the corpus.
+
+    Scale notes: the repetition gate is ONE let1-bound boolean so the
+    token split and trigram build run once per row (alias substitution
+    would otherwise re-evaluate the regex split per trigram element —
+    see functions.let1); the exact dedup is min_by over the text
+    fingerprint so the shuffle carries (md5, doc_id, lang) and the
+    document text never leaves the scan stage."""
+    from mercurygate_spark.functions import let1, md5_long, tokens, trigram_array
 
     t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].withColumn("__tk", tokens("text"))
+    docs = t["documents"]
 
-    # 1. repetition + length gate (integer-exact)
-    tg = F.when(
-        F.size("__tk") >= 3,
-        F.expr(
-            "transform(sequence(0, size(__tk) - 3), "
-            "i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2]))"
+    # 1. repetition + length gate (integer-exact), single-eval gate
+    keep = let1(
+        tokens("text"),
+        lambda tk: (F.size(tk) >= MIN_TOKENS)
+        & let1(
+            trigram_array(tk),
+            lambda tg: 5 * (F.size(tg) - F.size(F.array_distinct(tg)))
+            <= F.size(tg),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = docs.withColumn("__tg", tg)
-    clean = d.where(
-        (F.size("__tk") >= MIN_TOKENS)
-        & (5 * (F.size("__tg") - F.size(F.array_distinct("__tg"))) <= F.size("__tg"))
     )
+    clean = docs.where(keep)
 
-    # 2. exact dedup: keeper = min doc_id per fingerprint
-    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    # 2. exact dedup: keeper = min doc_id per fingerprint. min_by keeps
+    # the full shuffle payload to (fingerprint, doc_id, lang).
     deduped = (
-        clean.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("doc_id", "lang")
+        clean.groupBy(fingerprint("text").alias("__fp"))
+        .agg(F.min_by(F.struct("doc_id", "lang"), F.col("doc_id")).alias("__k"))
+        .select(F.col("__k.doc_id").alias("doc_id"), F.col("__k.lang").alias("lang"))
     )
 
     # 3. mixture rebalance toward the smallest lang stratum

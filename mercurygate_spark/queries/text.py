@@ -477,21 +477,28 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition signal corpus filters gate on (a doc whose trigrams are
     mostly copies of each other is boilerplate/spam). Pure codegen
     array expressions, one linear scan, no shuffle; the 0.2 threshold
-    is the published Gopher duplicate-n-gram cut."""
-    from mercurygate_spark.functions import tokens
+    is the published Gopher duplicate-n-gram cut.
+
+    The token split and trigram build are let1-bound so each runs
+    exactly once per row — alias substitution would otherwise
+    re-evaluate the regex split inside the trigram lambda per element
+    (see functions.let1)."""
+    from mercurygate_spark.functions import let1, tokens, trigram_array
 
     t = load_tables(spark, sf_dir, "documents")
-    d = t["documents"].withColumn("__tk", tokens("text"))
-    tg = F.when(
-        F.size("__tk") >= 3,
-        F.expr(
-            "transform(sequence(0, size(__tk) - 3), "
-            "i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2]))"
+    stats = let1(
+        tokens("text"),
+        lambda tk: let1(
+            trigram_array(tk),
+            lambda tg: F.struct(
+                F.size(tg).alias("n"),
+                F.size(F.array_distinct(tg)).alias("nd"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = d.withColumn("__tg", tg)
-    n = F.size("__tg")
-    nd = F.size(F.array_distinct("__tg"))
+    )
+    d = t["documents"].select("doc_id", stats.alias("__s"))
+    n = F.col("__s.n")
+    nd = F.col("__s.nd")
     ratio = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
