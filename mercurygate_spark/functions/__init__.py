@@ -110,14 +110,56 @@ def trigram_array(tk: Column) -> Column:
     """Word-trigram array ("a b c") from a token-array column. Empty
     when fewer than 3 tokens. DuckDB twin:
     CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
-    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END."""
+    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END.
+
+    NULL semantics match the twin's ``||`` exactly: ``F.concat``
+    propagates a NULL element to a NULL trigram (``concat_ws`` would
+    silently skip it and diverge from the oracle if this helper were
+    ever fed a nullable token array — tokens() can't produce NULL
+    elements, but don't rely on that here)."""
     return F.when(
         F.size(tk) >= 3,
         F.transform(
             F.sequence(F.lit(0), F.size(tk) - 3),
-            lambda i: F.concat_ws(" ", tk[i], tk[i + 1], tk[i + 2]),
+            lambda i: F.concat(
+                tk[i], F.lit(" "), tk[i + 1], F.lit(" "), tk[i + 2]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# events.ts epoch magnitude guard: 2024-era nanos ≈ 1.7e18, micros ≈
+# 1.7e15. Spark's parquet contract for TIMESTAMP(NANOS) under an
+# explicit LongType schema has drifted across versions (raw nanos under
+# legacy nanosAsLong vs micros under 4.1.x), so normalize by magnitude,
+# never by assumed unit. 4e17 µs ≈ year 14646; 4e17 ns ≈ 1982-09 — no
+# real event timestamp sits on the wrong side.
+_NANOS_THRESHOLD = 4 * 10**17
+
+
+def epoch_long_to_ts(colname: str) -> Column:
+    """Long epoch column (nanos OR micros, disambiguated by magnitude)
+    → timestamp. Integer `div` (not float /) keeps full precision at
+    1e18 scale; DuckDB twin: its native ns→µs truncating reader."""
+    c = F.col(colname)
+    micros = F.when(
+        c > F.lit(_NANOS_THRESHOLD), F.expr(f"`{colname}` div 1000")
+    ).otherwise(c)
+    return F.timestamp_micros(micros)
+
+
+def normalize_event_ts(df, colname: str = "ts"):
+    """Normalize an event-time column to TimestampType regardless of
+    how the reader surfaced it: long nanos (legacy nanosAsLong), long
+    micros (Spark 4.1.x explicit-schema), or an already-converted
+    timestamp (inferred read). The single choke point shared by the
+    batch loader (queries/registry.py) and the streaming reader
+    (streaming/windows.py) so the two paths cannot drift apart."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[colname].dataType, LongType):
+        return df.withColumn(colname, epoch_long_to_ts(colname))
+    return df
 
 
 def md5_long(c: Column) -> Column:

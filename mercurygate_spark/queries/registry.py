@@ -94,13 +94,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     predicate pushdown from whatever the query selects/filters.
 
     Nanosecond-timestamp normalization: parquet TIMESTAMP(NANOS)
-    columns (events.ts) are read as long nanos (session conf
-    ``spark.sql.legacy.parquet.nanosAsLong``) and converted here to
-    proper timestamps by truncating ns→µs — exactly what DuckDB's
-    reader does, so oracle comparisons agree.
+    columns (events.ts) may surface as long nanos (legacy
+    ``nanosAsLong``), long micros (Spark 4.1.x), or an inferred
+    timestamp; ``functions.normalize_event_ts`` disambiguates by
+    magnitude and lands on the same µs truncation DuckDB's reader
+    performs, so oracle comparisons agree on any Spark version.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from mercurygate_spark.functions import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -110,7 +110,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     out: dict[str, DataFrame] = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if n == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if n == "events":
+            df = normalize_event_ts(df)
         out[n] = df
     return out

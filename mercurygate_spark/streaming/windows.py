@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (nanosAsLong) — normalized below
+        StructField("ts", LongType()),  # epoch long (ns or µs — see normalize_event_ts)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -59,8 +59,13 @@ def _as_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events parquet as a stream, ts normalized ns→µs timestamp
-    (same conversion as the batch reader, registry.load_tables)."""
+    """events parquet as a stream, ts normalized to timestamp via the
+    same magnitude-guarded normalizer as the batch reader
+    (functions.normalize_event_ts) — Spark version drift in the
+    TIMESTAMP(NANOS)+explicit-LongType contract (raw ns in ≤4.0 legacy
+    mode, µs in 4.1.x) cannot silently compress the timeline."""
+    from mercurygate_spark.functions import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
@@ -68,7 +73,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(_as_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

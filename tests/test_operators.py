@@ -474,3 +474,44 @@ def test_bloom_no_false_negatives(spark):
     dup_members = members.union(members).union(members)
     dup_hits = bloom_probe(bits, dup_members, "k").collect()
     assert len(dup_hits) == 100 and all(r["bloom_hit"] for r in dup_hits)
+
+
+def test_let1_and_trigram_semantics(spark):
+    """Direct unit coverage of the let1/trigram_array helpers (ADVICE
+    r5): let1 must be value-transparent, and trigram_array must match
+    its DuckDB twin's `||` NULL semantics (NULL element → NULL
+    trigram, never silently skipped)."""
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.functions import let1, tokens, trigram_array
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("a b",), ("",)], schema="text string"
+    )
+    # let1(e, identity-ish body) == e
+    direct = [r["n"] for r in df.select(F.size(tokens("text")).alias("n")).collect()]
+    bound = [
+        r["n"]
+        for r in df.select(
+            let1(tokens("text"), lambda tk: F.size(tk)).alias("n")
+        ).collect()
+    ]
+    assert direct == bound == [4, 2, 0]
+
+    # trigram windows: n tokens → n-2 trigrams; <3 tokens → empty
+    tri = [
+        r["t"]
+        for r in df.select(trigram_array(tokens("text")).alias("t")).collect()
+    ]
+    assert tri == [["the quick brown", "quick brown fox"], [], []]
+
+    # NULL element propagates to NULL trigram (|| semantics), and a
+    # NULL array stays NULL
+    ndf = spark.createDataFrame(
+        [(["a", None, "b", "c"],), (None,)], schema="tk array<string>"
+    )
+    out = [r["t"] for r in ndf.select(trigram_array(F.col("tk")).alias("t")).collect()]
+    assert out[0] == [None, None]  # (a,NULL,b) and (NULL,b,c) both NULL
+    # NULL array → [] on BOTH engines (the guard predicate is NULL, so
+    # Spark's when(...).otherwise and DuckDB's CASE both take ELSE [])
+    assert out[1] == []

@@ -231,3 +231,19 @@ def test_salted_agg_is_two_hash_aggregates(spark):
     hot key before the salted phase."""
     s = _plan(spark, "agg_salted_skew")
     assert s.count("HashAggregate") >= 4
+
+
+def test_repetition_ratio_single_tokenize_eval(spark):
+    """Pins let1's once-per-row guarantee (ADVICE r5): the repetition
+    query filters on trigram stats derived from a regex tokenize, and
+    Catalyst's alias substitution would otherwise re-evaluate the
+    split per reference (per array element, once inside a lambda) —
+    the r4 25 s blowup. let1 binds it through a higher-order-function
+    lambda variable, which today has no inlining rewrite. If a future
+    optimizer rule learns to inline transform(array(e), f)[0], this
+    counts the regexp splits in the optimized plan and fails before
+    the perf cliff ships."""
+    df = all_queries()["text_repetition_ratio"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_splits = opt.count("split(")
+    assert n_splits == 1, f"tokenize evaluated {n_splits}× in optimized plan"

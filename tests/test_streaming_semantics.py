@@ -173,3 +173,69 @@ def test_checkpoint_resume_is_incremental_exactly_once(spark, tmp_path):
     assert landed.count() == 10
     ids = sorted(r["event_id"] for r in landed.collect())
     assert ids == list(range(6)) + [100, 101, 102, 103]
+
+
+def test_ts_reader_contract_canary(spark, sf_dir):
+    """Version-drift canary (VERDICT r5 item 2): Spark's contract for
+    parquet TIMESTAMP(NANOS) read under an explicit LongType schema
+    silently changed between versions (raw nanos under legacy
+    nanosAsLong in ≤4.0 vs micros in 4.1.x), which compressed the
+    event timeline 1000× and broke four streaming keys in round 5.
+
+    Reads events.ts through all three reader paths — batch inferred,
+    batch explicit-LongType (normalized), and streaming
+    explicit-LongType (normalized) — and asserts each agrees with
+    DuckDB's min/max(ts) to the exact microsecond. If a future Spark
+    upgrade drifts any path, this fails loudly instead of shipping
+    garbage windows."""
+    import duckdb
+
+    from mercurygate_spark.functions import normalize_event_ts
+    from mercurygate_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    lo, hi = duckdb.sql(
+        f"select min(ts), max(ts) from read_parquet('{path}')"
+    ).fetchone()
+    expect = (lo.replace(tzinfo=None), hi.replace(tzinfo=None))
+
+    def min_max(df):
+        r = df.select(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        return (r["lo"].replace(tzinfo=None), r["hi"].replace(tzinfo=None))
+
+    # 1. batch inferred (registry path)
+    inferred = normalize_event_ts(spark.read.parquet(path))
+    assert min_max(inferred) == expect, "batch-inferred path drifted"
+
+    # 2. batch explicit LongType + magnitude-guarded normalizer
+    explicit = normalize_event_ts(
+        spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    )
+    assert min_max(explicit) == expect, "batch-explicit-schema path drifted"
+
+    # 3. streaming explicit LongType (the path that broke in round 5)
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy()
+        .agg(
+            F.unix_micros(F.min("ts")).alias("lo_us"),
+            F.unix_micros(F.max("ts")).alias("hi_us"),
+        )
+    )
+    row = run_to_memory(agg, output_mode="complete").collect()[0]
+    import calendar
+
+    # integer µs on both sides — float .timestamp() math can lose a µs
+    def to_us(dt):
+        return calendar.timegm(dt.timetuple()) * 10**6 + dt.microsecond
+
+    assert (row["lo_us"], row["hi_us"]) == (to_us(expect[0]), to_us(expect[1])), (
+        f"streaming path drifted: got ({row['lo_us']}, {row['hi_us']}) µs, "
+        f"want {expect}"
+    )
