@@ -109,9 +109,246 @@ def decode_meta(payload: bytes) -> tuple[int, str, int, int, str]:
     if parsed is not None:
         fmt, w, ht = parsed
         return n, h[:16], w, ht, fmt
+    mp4 = parse_mp4_header(payload)
+    if mp4 is not None:  # real container dims for video payloads too
+        _, w, ht, _ = mp4
+        return n, h[:16], w, ht, "mp4"
     w = (int(h[:4], 16) % 1920) + 1
     ht = (int(h[4:8], 16) % 1080) + 1
     return n, h[:16], w, ht, "unknown"
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO-BMFF box in
+    buf[start:end] (ISO/IEC 14496-12 §4.2: u32be size + 4-byte type;
+    size==1 → u64 largesize followsheader; size==0 → box extends to
+    end). Stops silently on any malformed size — callers treat a
+    truncated walk as 'not a parseable container'."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        typ = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def _find_box(buf: bytes, start: int, end: int, typ: bytes):
+    """(body_start, box_end) of the first child box of the given type."""
+    for t, b, e in _iter_boxes(buf, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def parse_mp4_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """(brand, width, height, duration_ms) parsed from an MP4/ISO-BMFF
+    container, or None. Pure byte arithmetic from the public spec
+    (ISO/IEC 14496-12) — no codec libraries, same pattern as the
+    PNG/WAV parsers above:
+
+    - detection: first box is 'ftyp' with a sane size (< 64 KiB, so
+      the leading two size bytes are 0x0000 — which also makes this
+      branch provably unreachable from NUL-free utf-8 text payloads,
+      keeping the multimodal_meta oracle exact);
+    - brand: ftyp major_brand (4 ASCII bytes at body start);
+    - duration: moov/mvhd — version 0 carries u32 timescale+duration
+      at body+12, version 1 u64 duration after u32 timescale at
+      body+16; duration_ms = duration * 1000 // timescale;
+    - dimensions: moov/trak/tkhd — 16.16 fixed-point width/height in
+      the last 8 bytes of the box body (version-independent tail,
+      after the 36-byte matrix).
+    """
+    n = len(payload)
+    if n < 20 or payload[4:8] != b"ftyp" or payload[0] != 0 or payload[1] != 0:
+        return None
+    ftyp_size = int.from_bytes(payload[:4], "big")
+    if ftyp_size < 16 or ftyp_size > n:
+        return None
+    brand = payload[8:12].decode("ascii", errors="replace")
+
+    moov = _find_box(payload, 0, n, b"moov")
+    if moov is None:
+        return None
+    mvhd = _find_box(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return None
+    b, e = mvhd
+    version = payload[b]
+    if version == 0:
+        if b + 24 > e:
+            return None
+        timescale = int.from_bytes(payload[b + 12 : b + 16], "big")
+        duration = int.from_bytes(payload[b + 16 : b + 20], "big")
+    else:
+        if b + 32 > e:
+            return None
+        timescale = int.from_bytes(payload[b + 20 : b + 24], "big")
+        duration = int.from_bytes(payload[b + 24 : b + 32], "big")
+    if timescale == 0:
+        return None
+    duration_ms = duration * 1000 // timescale
+
+    width = height = 0
+    trak = _find_box(payload, moov[0], moov[1], b"trak")
+    if trak is not None:
+        tkhd = _find_box(payload, trak[0], trak[1], b"tkhd")
+        if tkhd is not None:
+            tb, te = tkhd
+            # width/height are the fixed-position 8-byte tail of tkhd
+            # (v0 body = 84 bytes, v1 = 96; both end matrix+w+h)
+            if te - tb >= 84:
+                width = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
+                height = int.from_bytes(payload[te - 4 : te], "big") >> 16
+    return brand, width, height, duration_ms
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def build_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    brand: bytes = b"isom",
+    version: int = 0,
+    mdat: bytes = b"\x00" * 8,
+) -> bytes:
+    """Deterministic minimal-but-spec-complete MP4 container (ftyp +
+    moov[mvhd + trak[tkhd]] + mdat), timescale fixed at 1000 so mvhd
+    duration == duration_ms. Used by the oracle-checked round-trip key
+    (queries/multimodal.py:multimodal_video_meta) and fixture tests —
+    sizes are version-deterministic: v0 = 252 bytes, v1 = 276."""
+    ts = (1000).to_bytes(4, "big")
+    matrix = (
+        (0x00010000).to_bytes(4, "big") + b"\x00" * 12
+        + (0x00010000).to_bytes(4, "big") + b"\x00" * 12
+        + (0x40000000).to_bytes(4, "big")
+    )
+    if version == 0:
+        mvhd_body = (
+            b"\x00\x00\x00\x00"  # version 0 + flags
+            + b"\x00" * 8  # creation/modification
+            + ts
+            + duration_ms.to_bytes(4, "big")
+            + (0x00010000).to_bytes(4, "big")  # rate 1.0
+            + (0x0100).to_bytes(2, "big")  # volume 1.0
+            + b"\x00" * 10  # reserved
+            + matrix
+            + b"\x00" * 24  # pre_defined
+            + (2).to_bytes(4, "big")  # next_track_ID
+        )
+        tkhd_body = (
+            b"\x00\x00\x00\x07"  # version 0 + flags (enabled|in_movie|in_preview)
+            + b"\x00" * 8  # creation/modification
+            + (1).to_bytes(4, "big")  # track_ID
+            + b"\x00" * 4  # reserved
+            + duration_ms.to_bytes(4, "big")
+            + b"\x00" * 16  # reserved + layer + alt_group + volume + reserved
+            + matrix
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big")
+        )
+    else:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"
+            + b"\x00" * 16  # 64-bit creation/modification
+            + ts
+            + duration_ms.to_bytes(8, "big")
+            + (0x00010000).to_bytes(4, "big")
+            + (0x0100).to_bytes(2, "big")
+            + b"\x00" * 10
+            + matrix
+            + b"\x00" * 24
+            + (2).to_bytes(4, "big")
+        )
+        tkhd_body = (
+            b"\x01\x00\x00\x07"
+            + b"\x00" * 16
+            + (1).to_bytes(4, "big")
+            + b"\x00" * 4
+            + duration_ms.to_bytes(8, "big")
+            + b"\x00" * 16
+            + matrix
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big")
+        )
+    ftyp = _box(b"ftyp", brand + (0).to_bytes(4, "big") + brand)
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + _box(b"trak", _box(b"tkhd", tkhd_body)))
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("brand", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_video_meta(payload: bytes) -> tuple[int, str, str, int, int, int]:
+    """(n_bytes, format, brand, width, height, duration_ms): real
+    ISO-BMFF container fields when the payload parses as MP4,
+    deterministic sha256-derived placeholders otherwise (total
+    function, oracle-replayable either way)."""
+    n = len(payload)
+    parsed = parse_mp4_header(payload)
+    if parsed is not None:
+        brand, w, ht, dur = parsed
+        return n, "mp4", brand, w, ht, dur
+    h = hashlib.sha256(payload).hexdigest()
+    return (
+        n,
+        "unknown",
+        "",
+        (int(h[:4], 16) % 1920) + 1,
+        (int(h[4:8], 16) % 1080) + 1,
+        (int(h[8:14], 16) % 3_600_000) + 1,
+    )
+
+
+def extract_video_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(id, binary) → video container metadata via mapInPandas
+    (Arrow-batched, same template as extract_binary_meta)."""
+    import pandas as pd
+
+    def video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *decode_video_meta(bytes(p)))
+                for i, p in zip(pdf[id_col], pdf[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "format",
+                    "brand",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        video_batches, VIDEO_META_SCHEMA
+    )
 
 
 AUDIO_META_SCHEMA = StructType(

@@ -186,3 +186,64 @@ def multimodal_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+@query(
+    "multimodal_video_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 276 ELSE 252 END AS n_bytes,
+           'mp4' AS format,
+           CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                           WHEN 2 THEN 'avc1' ELSE 'dash' END AS brand,
+           160 * (2 + doc_id % 8) AS width,
+           120 * (2 + doc_id % 6) AS height,
+           5000 + (doc_id * 37) % 3600000 AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata, proven end-to-end: deterministic
+    MP4/ISO-BMFF containers are BUILT per doc_id (operators.multimodal
+    .build_mp4 — real ftyp/moov/mvhd/tkhd boxes, both mvhd versions,
+    four brands), then PARSED back by the no-codec box walker
+    (parse_mp4_header) via Arrow-batched mapInPandas. The oracle
+    replays the synthesis arithmetic directly, so any parser drift
+    (box walking, 16.16 fixed point, v0-vs-v1 field offsets,
+    version-dependent container size) breaks the hash match. Payload
+    bytes never leave the executors."""
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from mercurygate_spark.operators.multimodal import (
+        VIDEO_META_SCHEMA,
+        build_mp4,
+        decode_video_meta,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    brands = [b"isom", b"mp42", b"avc1", b"dash"]
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payload = build_mp4(
+                    width=160 * (2 + d % 8),
+                    height=120 * (2 + d % 6),
+                    duration_ms=5000 + (d * 37) % 3_600_000,
+                    brand=brands[d % 4],
+                    version=1 if d % 5 == 0 else 0,
+                )
+                rows.append((d, *decode_video_meta(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "format", "brand",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return t["documents"].select("doc_id").mapInPandas(roundtrip, VIDEO_META_SCHEMA)

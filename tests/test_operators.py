@@ -515,3 +515,52 @@ def test_let1_and_trigram_semantics(spark):
     # NULL array → [] on BOTH engines (the guard predicate is NULL, so
     # Spark's when(...).otherwise and DuckDB's CASE both take ELSE [])
     assert out[1] == []
+
+
+def test_mp4_header_parsing():
+    """Pure-fixture coverage of the no-codec ISO-BMFF parser: both
+    mvhd versions, fixed-point dims, 64-bit largesize boxes, and every
+    reject branch (truncation, bad sizes, non-container bytes)."""
+    from mercurygate_spark.operators.multimodal import (
+        build_mp4,
+        decode_meta,
+        parse_mp4_header,
+    )
+
+    # round trip, both versions
+    for v in (0, 1):
+        p = build_mp4(1920, 1080, 90_000, b"isom", version=v)
+        assert parse_mp4_header(p) == ("isom", 1920, 1080, 90_000)
+    assert len(build_mp4(1, 1, 1, version=0)) == 252
+    assert len(build_mp4(1, 1, 1, version=1)) == 276
+
+    # decode_meta picks up the mp4 branch with real dims
+    p = build_mp4(640, 360, 5000, b"mp42")
+    n, sha16, w, h, fmt = decode_meta(p)
+    assert (n, w, h, fmt) == (len(p), 640, 360, "mp4")
+
+    # 64-bit largesize box header is walked correctly: rewrap moov
+    # with size==1 + u64 largesize
+    ftyp_end = 20
+    moov_size = int.from_bytes(p[ftyp_end : ftyp_end + 4], "big")
+    moov = p[ftyp_end : ftyp_end + moov_size]
+    big_moov = (
+        (1).to_bytes(4, "big")
+        + b"moov"
+        + (moov_size + 8).to_bytes(8, "big")
+        + moov[8:]
+    )
+    assert parse_mp4_header(p[:ftyp_end] + big_moov) == ("mp42", 640, 360, 5000)
+
+    # rejects: truncated mid-moov, ftyp size beyond payload, zero
+    # timescale, plain text, and NUL-free utf-8 (oracle guard)
+    assert parse_mp4_header(p[:40]) is None
+    bad = bytearray(p)
+    bad[0:4] = (len(p) + 99).to_bytes(4, "big")
+    assert parse_mp4_header(bytes(bad)) is None
+    zts = bytearray(p)
+    # mvhd timescale bytes: ftyp(20)+moov hdr(8)+mvhd hdr(8)+ver/flags(4)+times(8)
+    zts[20 + 8 + 8 + 12 : 20 + 8 + 8 + 16] = b"\x00\x00\x00\x00"
+    assert parse_mp4_header(bytes(zts)) is None
+    assert parse_mp4_header(b"GIF89a pretending to be a video") is None
+    assert parse_mp4_header("ftyp text cannot start with NUL".encode()) is None
