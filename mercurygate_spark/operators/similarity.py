@@ -366,19 +366,23 @@ def cosine_topk_ivf(
     k: int = 10,
     round_scale: int = 4,
     train_sample: tuple[int, int] | None = None,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVF ANN with TRAINED centroids: deterministic quantized-grid
     k-means (train_ivf_centroids) partitions the corpus into
-    N_CENTROIDS inverted lists; each query probes its N_PROBE nearest
-    lists and scores exact cosine only there. Candidate work per query
-    is |corpus| * n_probe / n_centroids. ``train_sample=(keep, mod)``
+    N_CENTROIDS inverted lists; each query probes its ``n_probe``
+    nearest lists (default N_PROBE — the oracle replays that setting)
+    and scores exact cosine only there. Candidate work per query
+    is |corpus| * n_probe / n_centroids — the recall/cost dial
+    (measured sweep: scripts/ann_recall.py → docs/SCALING.md).
+    ``train_sample=(keep, mod)``
     trains centroids on the md5-bucket sample (the 100 TB path);
     assignment and scoring always cover the full corpus."""
     cmat = train_ivf_centroids(corpus, id_col, vec_col, sample=train_sample)
     corpus_assigned = ivf_assign(corpus, cmat, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
-    query_probes = ivf_assign(queries, cmat, id_col, vec_col, n_probe=N_PROBE).select(
+    query_probes = ivf_assign(queries, cmat, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
     )
     scored = (
