@@ -127,6 +127,135 @@ def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, out: str = "bucket") ->
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+N_TABLES = 4        # multi-table LSH: number of independent hash tables
+N_PLANES_MULTI = 5  # planes per table (32 buckets/table)
+
+
+def seeded_signs(seed_prefix: str, n_planes: int, dims: int = 64):
+    """Seeded hyperplane sign matrix (n_planes × dims) — same md5
+    parity rule as signs_matrix, namespaced by ``seed_prefix`` so each
+    LSH table gets independent planes. Deterministic: both engines
+    (and the oracle literal below) derive the identical matrix."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((n_planes, dims), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dims):
+            first_hex = hashlib.md5(f"{seed_prefix}p{p}:{d}".encode()).hexdigest()[0]
+            m[p, d] = 1.0 if int(first_hex, 16) % 2 == 0 else -1.0
+    return m
+
+
+def duck_bucket_sql_seeded(vec_expr: str, seed_prefix: str, n_planes: int,
+                           dims: int = 64) -> str:
+    """DuckDB twin of a seeded bucket: the ±1 sign vectors are computed
+    HERE (hashlib, same parity rule) and embedded as literal DOUBLE
+    lists — numerically identical to seeded_signs, and keeps the SQL
+    small enough to stack n_tables × n_planes of them."""
+    m = seeded_signs(seed_prefix, n_planes, dims)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product({v}::DOUBLE[], [{s}]::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END)".format(
+            v=vec_expr,
+            s=", ".join(str(x) for x in m[p]),
+        )
+        for p in range(n_planes)
+    )
+    return bits
+
+
+def lsh_bucket_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES_MULTI,
+    out: str = "bucket",
+) -> DataFrame:
+    """Multi-table LSH buckets: one output row per (input row, table)
+    with the table's seeded bucket id. One Arrow pass computes all
+    tables' projections (V @ S_t.T per table on the same batch); the
+    n_tables-fold row expansion is the inherent cost of multi-table
+    LSH (union-of-candidates), paid as one shuffle of n_tables× rows
+    rather than n_tables separate corpus shuffles."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    in_schema = df.select(id_col, vec_col).schema
+    schema = StructType(
+        list(in_schema.fields)
+        + [StructField("lsh_table", IntegerType()), StructField(out, StringType())]
+    )
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        signs = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if signs is None:
+                signs = [
+                    seeded_signs(f"t{t}", n_planes, vecs.shape[1])
+                    for t in range(n_tables)
+                ]
+            frames = []
+            for t in range(n_tables):
+                bits = (vecs @ signs[t].T) >= 0
+                part = pdf[[id_col, vec_col]].copy()
+                part["lsh_table"] = t
+                part[out] = [
+                    "".join("1" if b else "0" for b in row) for row in bits
+                ]
+                frames.append(part)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
+
+
+def cosine_topk_lsh_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_scale: int = 4,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES_MULTI,
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates are the UNION of n_tables
+    independent bucket matches (a pair is scored if ANY table hashes
+    it together — the classical recall amplifier: miss probability
+    decays exponentially in the table count). Candidate pairs are
+    deduped BEFORE the cosine, so each unique pair pays one dot
+    product regardless of how many tables matched it."""
+    q = lsh_bucket_multi(queries, id_col, vec_col, n_tables, n_planes).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        "lsh_table", "bucket",
+    )
+    c = lsh_bucket_multi(corpus, id_col, vec_col, n_tables, n_planes).select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"),
+        "lsh_table", "bucket",
+    )
+    pairs = (
+        q.join(c, ["lsh_table", "bucket"])
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "candidate_id",
+        (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
+         / 10**round_scale).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 def _plane_signs(plane: int) -> Column:
     return F.array(
         *[

@@ -21,6 +21,7 @@ from mercurygate_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_lsh_multi,
     duck_bucket_sql,
     duck_ivf_kmeans_sql,
 )
@@ -215,3 +216,59 @@ def sim_cosine_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         q, e, k=TOP_K, train_sample=(TRAIN_SAMPLE_KEEP, TRAIN_SAMPLE_MOD)
     )
+
+
+def _multi_bucket_union_sql(source: str) -> str:
+    """UNION ALL of per-table seeded buckets over ``source`` — the
+    DuckDB twin of lsh_bucket_multi (literal ±1 sign lists)."""
+    from mercurygate_spark.operators.similarity import (
+        N_PLANES_MULTI,
+        N_TABLES,
+        duck_bucket_sql_seeded,
+    )
+
+    return " UNION ALL ".join(
+        f"SELECT {t} AS lsh_table, vec_id, embedding, "
+        f"{duck_bucket_sql_seeded('embedding', f't{t}', N_PLANES_MULTI)} AS bucket "
+        f"FROM {source}"
+        for t in range(N_TABLES)
+    )
+
+
+@query(
+    "sim_cosine_ann_lsh_multi",
+    oracle=f"""
+    WITH bq AS (
+      {_multi_bucket_union_sql(f'(SELECT * FROM embeddings WHERE vec_id < {N_QUERIES})')}
+    ), bc AS (
+      {_multi_bucket_union_sql('embeddings')}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+      FROM bq q JOIN bc c
+        ON q.lsh_table = c.lsh_table AND q.bucket = c.bucket
+       AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT p.query_id, p.candidate_id, {_DUCK_COS} AS cos
+      FROM cand p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = p.candidate_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (the recall amplifier the single-table
+    variant lacks): candidates are the union of 4 independent 5-plane
+    hash tables' bucket matches, deduped before scoring. Measured at
+    sf0.1 (docs/SCALING.md): recall far above single-table at a still
+    ~10x candidate reduction. Seeded planes are md5-derived constants,
+    so the whole construction replays exactly in DuckDB."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk_lsh_multi(q, e, k=TOP_K)

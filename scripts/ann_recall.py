@@ -30,8 +30,10 @@ from mercurygate_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_lsh_multi,
     ivf_assign,
     lsh_bucket,
+    lsh_bucket_multi,
     train_ivf_centroids,
 )
 from mercurygate_spark.session import get_spark  # noqa: E402
@@ -76,6 +78,23 @@ def main() -> None:
         .count()
     )
     results["sim_cosine_ann_lsh"] = (recall(ann, truth), cand / N_Q)
+
+    # --- multi-table LSH (union of 4 seeded tables) ---
+    ann = topk_sets(cosine_topk_lsh_multi(q, e, k=K))
+    qbm = lsh_bucket_multi(q, "vec_id", "embedding").select(
+        F.col("vec_id").alias("query_id"), "lsh_table", "bucket"
+    )
+    cbm = lsh_bucket_multi(e, "vec_id", "embedding").select(
+        F.col("vec_id").alias("candidate_id"), "lsh_table", "bucket"
+    )
+    cand = (
+        qbm.join(cbm, ["lsh_table", "bucket"])
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id")
+        .distinct()
+        .count()
+    )
+    results["sim_cosine_ann_lsh_multi"] = (recall(ann, truth), cand / N_Q)
 
     # --- IVF, full-corpus training ---
     ann = topk_sets(cosine_topk_ivf(q, e, k=K))
