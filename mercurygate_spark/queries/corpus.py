@@ -229,3 +229,95 @@ def pipeline_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalanced.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), nonempty AS (
+      SELECT * FROM toks WHERE n_tokens > 0
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS token_start
+      FROM nonempty
+    )
+    SELECT doc_id, n_tokens, token_start,
+           token_start // {SEQ_LEN} AS first_seq,
+           (token_start + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+           (token_start + n_tokens - 1) // {SEQ_LEN}
+             - token_start // {SEQ_LEN} + 1 AS n_seqs
+    FROM packed
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in a
+    deterministic md5 order and chunk into {SEQ_LEN}-token training
+    sequences; emit each document's global token offset and the
+    sequence span it lands in.
+
+    Scale design — the global running total is computed as a TWO-PHASE
+    PREFIX SUM, not a single global window: per-shard cumsums run
+    partitioned on the first md5 nibble (16-way parallel shuffle),
+    and the 16 shard totals (a broadcast-size frame) are prefix-summed
+    and joined back. A naive Window.orderBy(...) with no partitionBy
+    would drag the whole corpus through ONE task — the classic
+    100 TB cliff; the plan test pins that no single-partition window
+    exists here. The DuckDB oracle uses the plain global window (its
+    single-node executor doesn't care), proving the two-phase
+    decomposition is value-identical.
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    from mercurygate_spark.functions import tokens
+
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("shard", F.substring("h", 1, 1))
+    )
+    # phase 1: within-shard running totals (16-way parallel)
+    w_shard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    within = toks.withColumn(
+        "shard_cum", F.sum("n_tokens").over(w_shard) - F.col("n_tokens")
+    )
+    # phase 2: shard offsets — 16 rows, prefix-summed and broadcast
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn("shard_offset", F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)))
+        .select("shard", "shard_offset")
+    )
+    packed = within.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("shard_offset") + F.col("shard_cum")).alias("token_start"),
+    )
+    start, end = F.col("token_start"), F.col("token_start") + F.col("n_tokens") - 1
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "token_start",
+        F.expr(f"token_start div {SEQ_LEN}").alias("first_seq"),
+        ((end - end % SEQ_LEN) / SEQ_LEN).cast("long").alias("last_seq"),
+        (
+            ((end - end % SEQ_LEN) / SEQ_LEN).cast("long")
+            - F.expr(f"token_start div {SEQ_LEN}")
+            + 1
+        ).alias("n_seqs"),
+    )

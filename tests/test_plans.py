@@ -247,3 +247,24 @@ def test_repetition_ratio_single_tokenize_eval(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     n_splits = opt.count("split(")
     assert n_splits == 1, f"tokenize evaluated {n_splits}× in optimized plan"
+
+
+def test_pack_sequences_prefix_sum_is_sharded(spark):
+    """pipeline_pack_sequences must compute the global token offset as
+    a two-phase prefix sum: the corpus-sized window runs partitioned
+    on the md5 shard (parallel shuffle), and the only single-partition
+    exchange is fed by a HashAggregate (the 16 shard totals), never by
+    corpus rows. A refactor to a naive global Window.orderBy would
+    drag the whole corpus through one task — the 100 TB cliff this
+    test exists to prevent."""
+    s = _plan(spark, "pipeline_pack_sequences")
+    assert "hashpartitioning(shard" in s  # corpus window is sharded
+    chunks = s.split("Exchange SinglePartition")
+    assert len(chunks) == 2, "expected exactly one single-partition exchange"
+    below = chunks[1]
+    agg_pos = below.find("HashAggregate")
+    scan_pos = below.find("FileScan")
+    assert agg_pos != -1 and agg_pos < scan_pos, (
+        "single-partition exchange must consume the shard-total aggregate, "
+        "not corpus rows"
+    )
