@@ -41,6 +41,10 @@ HEADLINE = [
     "sim_cosine_ivf_sampled",     # sampled-training IVF ANN (scale path)
     "pipeline_corpus_curate",     # capstone: quality→dedup→CC→split
     "pipeline_corpus_mixture",    # capstone: repetition→dedup→rebalance→split
+    # round-6 additions
+    "sim_cosine_ann_lsh_multi",   # multi-table LSH union ANN
+    "pipeline_pack_sequences",    # sharded-prefix-sum sequence packing
+    "multimodal_video_meta",      # MP4 build+parse round trip (Arrow UDF path)
 ]
 
 
