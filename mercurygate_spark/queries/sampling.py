@@ -189,3 +189,99 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("keep_rate")).alias("keep_rate"),
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), counts AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM per_doc GROUP BY lang
+    ), plan AS (
+      SELECT lang, total_tokens,
+             (CAST(sum(total_tokens) OVER () AS BIGINT) // 2)
+               // CAST(count(*) OVER () AS BIGINT) AS target_tokens
+      FROM counts
+    ), rates AS (
+      SELECT lang, total_tokens, target_tokens,
+             target_tokens // total_tokens AS n_full_epochs,
+             ((target_tokens % total_tokens) * 1000000) // total_tokens
+               AS frac_ppm
+      FROM plan
+    ), frac_kept AS (
+      SELECT d.lang, CAST(sum(d.n_tokens) AS BIGINT) AS frac_tokens
+      FROM per_doc d JOIN rates r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < r.frac_ppm
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.total_tokens, r.target_tokens, r.n_full_epochs,
+           r.frac_ppm,
+           r.n_full_epochs * r.total_tokens + coalesce(f.frac_tokens, 0)
+             AS sampled_tokens
+    FROM rates r LEFT JOIN frac_kept f ON r.lang = f.lang
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing step real
+    pretraining pipelines run: give every language domain an equal
+    share of a corpus-level TOKEN budget (half the corpus here), then
+    realize each domain's quota as ``n_full_epochs`` complete passes
+    plus a deterministic fractional hash pass (small domains upsample
+    via epochs > 1, large domains downsample via epochs = 0 + a
+    fractional rate). Counts tokens, not documents — what the training
+    run actually consumes.
+
+    Everything is exact integer arithmetic (integer div, parts-per-
+    million fractional rates), so the oracle replays it bit-for-bit.
+    Scale shape: one token-count scan + a domains-sized plan frame
+    (window over a handful of rows) broadcast back for the fractional
+    membership test; the corpus never shuffles."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    per_doc = t["documents"].select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    counts = per_doc.groupBy("lang").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    w = Window.partitionBy()
+    rates = (
+        counts.withColumn(
+            "target_tokens",
+            F.expr(
+                "(sum(total_tokens) over () div 2) div (count(*) over ())"
+            ),
+        )
+        .withColumn("n_full_epochs", F.expr("target_tokens div total_tokens"))
+        .withColumn(
+            "frac_ppm",
+            F.expr("((target_tokens % total_tokens) * 1000000) div total_tokens"),
+        )
+    )
+    frac_kept = (
+        per_doc.join(F.broadcast(rates.select("lang", "frac_ppm")), "lang")
+        .where(
+            (md5_long(F.col("doc_id").cast("string")) % 1000000)
+            < F.col("frac_ppm")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("frac_tokens"))
+    )
+    return rates.join(frac_kept, "lang", "left").select(
+        "lang",
+        "total_tokens",
+        "target_tokens",
+        "n_full_epochs",
+        "frac_ppm",
+        (
+            F.col("n_full_epochs") * F.col("total_tokens")
+            + F.coalesce(F.col("frac_tokens"), F.lit(0))
+        ).alias("sampled_tokens"),
+    )
