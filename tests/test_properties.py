@@ -167,3 +167,69 @@ def test_asof_tolerance_subset_property(spark, lefts, rights, tol):
     # anything dropped by the tolerance was out of window
     for lid in set(full) - set(bounded):
         assert (lts_by_id[lid] - full[lid]).total_seconds() > tol
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8192),
+    h=st.integers(min_value=1, max_value=8192),
+    dur=st.integers(min_value=0, max_value=10**10),
+    brand=st.sampled_from([b"isom", b"mp42", b"avc1", b"dash", b"M4V "]),
+    version=st.sampled_from([0, 1]),
+)
+@settings(**SETTINGS)
+def test_mp4_build_parse_round_trip(w, h, dur, brand, version):
+    """parse(build(x)) == x for ANY valid dims/duration/brand/version
+    — the no-codec box walker and the builder must stay inverses.
+    (Pure Python, no Spark: runs hundreds of cases cheaply.)"""
+    from mercurygate_spark.operators.multimodal import build_mp4, parse_mp4_header
+
+    p = build_mp4(w, h, dur, brand, version=version)
+    got = parse_mp4_header(p)
+    assert got == (brand.decode("ascii"), w, h, dur)
+
+
+@given(
+    ts=st.datetimes(
+        min_value=datetime(1990, 1, 1), max_value=datetime(2200, 1, 1)
+    ),
+)
+@settings(**SETTINGS)
+def test_epoch_normalizer_unit_invariant(spark, ts):
+    """normalize_event_ts must land on the SAME timestamp whether the
+    reader surfaced nanos or micros — the magnitude guard that keeps
+    Spark-version drift from compressing the timeline (round-5 bug)."""
+    import calendar
+
+    from mercurygate_spark.functions import normalize_event_ts
+
+    us = calendar.timegm(ts.timetuple()) * 10**6 + ts.microsecond
+    df = spark.createDataFrame([(us,), (us * 1000,)], schema="ts long")
+    out = [r["ts"] for r in normalize_event_ts(df).collect()]
+    assert out[0] == out[1] == ts.replace(tzinfo=None)
+
+
+@given(
+    totals=st.lists(
+        st.integers(min_value=1, max_value=10**7), min_size=1, max_size=8
+    ),
+)
+@settings(**SETTINGS)
+def test_token_budget_arithmetic_invariants(totals):
+    """The epochs+ppm decomposition of a token quota must (a) never
+    exceed the target by more than one fractional pass, (b) hit the
+    target exactly when total divides it, (c) keep frac_ppm < 1e6.
+    Pure-integer replica of sample_token_budget's plan arithmetic."""
+    corpus = sum(totals)
+    budget = corpus // 2
+    n = len(totals)
+    target = budget // n
+    for total in totals:
+        epochs = target // total
+        frac_ppm = ((target % total) * 1_000_000) // total
+        assert 0 <= frac_ppm < 1_000_000
+        # expected sampled tokens: epochs*total + ~frac_ppm/1e6*total
+        lo = epochs * total
+        hi = epochs * total + total  # one full fractional pass at most
+        assert lo <= target <= hi if epochs * total <= target else True
+        if target % total == 0:
+            assert frac_ppm == 0 and epochs * total == target
