@@ -539,3 +539,85 @@ def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE pos <= 2
         """
     )
+
+
+CHUNK_TOKENS = 32   # chunk window (tokens) — small enough that the
+CHUNK_STRIDE = 24   # ~20-token testdata docs still exercise overlap
+
+
+@query(
+    "text_chunk_split",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk, len({_DUCK_TK}) AS n
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, tk, n, unnest(range(0, 1 + greatest(n - 1, 0) // {CHUNK_STRIDE})) AS chunk_idx
+      FROM tk WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} AS chunk_start,
+           least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS chunk_len,
+           array_to_string(
+             list_slice(tk, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE}
+                          + least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE})),
+             ' ') AS chunk_text
+    FROM idx
+    WHERE chunk_idx * {CHUNK_STRIDE} < n
+    """,
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window
+    prep step (complement of pipeline_pack_sequences, which packs;
+    this SPLITS): every document becomes ceil-strided windows of
+    {CHUNK_TOKENS} tokens advancing by {CHUNK_STRIDE} (so consecutive
+    chunks share {CHUNK_TOKENS}-{CHUNK_STRIDE} tokens), each chunk
+    carrying its reconstructed text. Map-side row expansion via
+    explode(sequence) — no shuffle, no UDF; chunk text is
+    slice+array_join on the bound token array (let1 keeps the regex
+    tokenize at one evaluation per row)."""
+    from mercurygate_spark.functions import let1, tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def chunks(tk):
+        n = F.size(tk)
+        n_chunks = F.lit(1) + (F.greatest(n - 1, F.lit(0)) / CHUNK_STRIDE).cast("int")
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    (i * CHUNK_STRIDE).cast("long").alias("chunk_start"),
+                    F.least(F.lit(CHUNK_TOKENS), n - i * CHUNK_STRIDE)
+                    .cast("long")
+                    .alias("chunk_len"),
+                    F.array_join(
+                        F.slice(
+                            tk,
+                            i * CHUNK_STRIDE + 1,
+                            F.least(F.lit(CHUNK_TOKENS), n - i * CHUNK_STRIDE),
+                        ),
+                        " ",
+                    ).alias("chunk_text"),
+                ),
+            ),
+            lambda c: c["chunk_start"] < F.size(tk),
+        )
+
+    d = t["documents"].select(
+        "doc_id", let1(tokens("text"), chunks).alias("cs")
+    )
+    return (
+        d.where(F.size("cs") > 0)
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
