@@ -174,6 +174,31 @@ def stream_dedupe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedupe_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedupe with BOUNDED state (SURVEY.md §2c streaming
+    extension list names this op): dropDuplicatesWithinWatermark keeps
+    a key's dedupe state only while the watermark can still admit a
+    duplicate, then evicts it — the 100 TB-correct variant of
+    stream_dedupe_distinct, whose plain dropDuplicates state grows
+    with the number of distinct keys forever. The DISTINCT oracle is
+    exact here because the single-file source drains as ONE microbatch
+    and the watermark only advances between microbatches, so no state
+    is evicted while duplicates can still arrive; on a multi-batch
+    landing directory the op trades exactness past the horizon for
+    bounded state — which is its production contract."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@query(
     "stream_foreachbatch_sink",
     oracle="""
     SELECT event_type, count(*) AS n_events,

@@ -8,7 +8,7 @@ without tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r6
@@ -620,4 +620,61 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.chunk_len").alias("chunk_len"),
             F.col("c.chunk_text").alias("chunk_text"),
         )
+    )
+
+
+@query(
+    "text_quality_percentile_filter",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens,
+             len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                           t -> t <> ''))) AS n_distinct_tokens
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             (n_distinct_tokens * 1000000) // n_tokens AS ttr_ppm
+      FROM feat WHERE n_tokens > 0
+    ), ranked AS (
+      SELECT doc_id, lang, ttr_ppm,
+             percent_rank() OVER (
+               PARTITION BY lang ORDER BY ttr_ppm DESC, doc_id
+             ) AS pr
+      FROM scored
+    )
+    SELECT doc_id, lang, ttr_ppm, round(pr, 6) AS pctile
+    FROM ranked WHERE pr <= 0.5
+    """,
+)
+def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality percentile filtering — keep each language's
+    top half by type-token ratio (the curation step 'filter to the
+    best X% of every domain', which absolute thresholds get wrong
+    when domains have different quality distributions). The score is
+    integer ppm (exact cross-engine ordering, no float ties);
+    percent_rank ties are broken by doc_id so the kept set is
+    deterministic.
+
+    Scale note: percent_rank needs a per-domain sort — fine while a
+    domain fits a few tasks' shuffle, and languages partition the
+    work. At true 100 TB per-domain volumes the dial is the
+    approx-quantile threshold + broadcast join (compute each domain's
+    median score with percentile_approx, keep rows above it) — same
+    semantics minus exact tie handling, zero global sorts."""
+    from mercurygate_spark.functions import r6
+    from mercurygate_spark.operators.text import quality_features
+
+    t = load_tables(spark, sf_dir, "documents")
+    feat = quality_features(t["documents"], "text").where(F.col("n_tokens") > 0)
+    scored = feat.select(
+        "doc_id",
+        "lang",
+        F.expr("(n_distinct_tokens * 1000000) div n_tokens").alias("ttr_ppm"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("ttr_ppm"), F.asc("doc_id"))
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return ranked.where(F.col("pr") <= 0.5).select(
+        "doc_id", "lang", "ttr_ppm", r6(F.col("pr")).alias("pctile")
     )
