@@ -239,3 +239,88 @@ def test_ts_reader_contract_canary(spark, sf_dir):
         f"streaming path drifted: got ({row['lo_us']}, {row['hi_us']}) µs, "
         f"want {expect}"
     )
+
+
+def test_dedupe_within_watermark_evicts_state(spark, tmp_path):
+    """Pins the production contract of dropDuplicatesWithinWatermark
+    (stream_dedupe_within_watermark's docstring): a duplicate arriving
+    while the key's state is alive is suppressed; after the watermark
+    passes the key's horizon, state is evicted and the SAME key is
+    emitted again. Three microbatches, event time advancing 2 hours
+    per batch, 30-minute watermark."""
+    import time as _time
+
+    src = str(tmp_path / "dedupe_src")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2026, 3, 1, 8, 0)
+    # Timing rules this pins (observed via StreamingQueryProgress):
+    # the watermark a batch USES comes from the batches before it, and
+    # state eviction runs at END of batch — so a key re-emits only in
+    # a batch that starts strictly after one whose watermark passed
+    # the key's horizon. Key B does the watermark-advancing.
+    # batch 0: key A twice (in-batch dup suppressed) + key B
+    _write_batch(
+        spark,
+        [(1, base, 100), (2, base + timedelta(minutes=1), 100),
+         (3, base, 200)],
+        os.path.join(src, "b0.parquet"),
+    )
+    # batch 1 (+2h): key B — suppressed duplicate; raises max event
+    # time so the NEXT batch runs with watermark +1h30
+    _write_batch(
+        spark,
+        [(4, base + timedelta(hours=2), 200)],
+        os.path.join(src, "b1.parquet"),
+    )
+    # batch 2: key B again — runs with wm +1h30; at its END key A
+    # (horizon base+31min) is evicted
+    _write_batch(
+        spark,
+        [(5, base + timedelta(hours=2, minutes=1), 200)],
+        os.path.join(src, "b2.parquet"),
+    )
+    # batch 3 (+4h): key A twice — fresh state epoch, re-emits ONCE
+    _write_batch(
+        spark,
+        [(6, base + timedelta(hours=4), 100),
+         (7, base + timedelta(hours=4, minutes=1), 100)],
+        os.path.join(src, "b3.parquet"),
+    )
+    now = _time.time()
+    for i in range(4):
+        os.utime(os.path.join(src, f"b{i}.parquet"), (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("event_id", "user_id")
+    )
+    name = "dedupe_wm_evict"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.table(name).collect()
+    )
+    emitted_users = [u for u, _ in rows]
+    # key A: one emission per state epoch (b0, then b3 after its b2
+    # eviction); key B emits once in b0 — its b1 duplicate is
+    # suppressed, and by b2's run the wm (+1h30) has passed B's own
+    # horizon too, so whether b2's arrival emits depends only on
+    # end-of-batch eviction order — pin A's contract, allow either
+    # for B's racing edge
+    assert emitted_users.count(100) == 2, rows
+    assert emitted_users.count(200) in (1, 2), rows
+    # hard suppressions: in-batch duplicates and within-horizon dup
+    emitted_events = {e for _, e in rows}
+    assert {2, 4, 7}.isdisjoint(emitted_events), rows
