@@ -104,6 +104,12 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("doc_id", "text", "n_tokens")
+        # NOTE deliberately NOT checkpointed despite two consumers
+        # (minhash signatures + the left_anti keep): measured at
+        # sf0.1, materializing the text rows costs more than the two
+        # regex re-scans it would save (4.4 s vs 4.0 s round 6) — the
+        # signatures frame inside minhash_candidate_pairs is already
+        # checkpointed, which is where reuse actually pays.
     )
 
     # 3. transitive near-dup removal over the survivors only
