@@ -392,3 +392,48 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_users").alias("n_users"),
         F.expr("(r.n_users * 1000000) div r.first").alias("conv_ppm"),
     ).orderBy("r.ord").drop("ord")
+
+
+@query(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted in every later week they return — the classic retention
+    triangle. Weeks are integer epoch-day div 7 (identical arithmetic
+    both engines, no calendar/locale week rules). Plan shape: one
+    distinct (user, week) shuffle, a per-user min, and a same-key
+    join — all keyed on user_id, then a small (cohort, offset)
+    aggregation."""
+    t = load_tables(spark, sf_dir, "events")
+    wk = (
+        t["events"]
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000 div 7").alias("week"),
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
