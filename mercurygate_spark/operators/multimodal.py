@@ -228,7 +228,12 @@ def build_mp4(
     moov[mvhd + trak[tkhd]] + mdat), timescale fixed at 1000 so mvhd
     duration == duration_ms. Used by the oracle-checked round-trip key
     (queries/multimodal.py:multimodal_video_meta) and fixture tests —
-    sizes are version-deterministic: v0 = 252 bytes, v1 = 276."""
+    sizes are version-deterministic: v0 = 252 bytes, v1 = 276.
+
+    A version-0 mvhd/tkhd carries u32 duration; durations ≥ 2^32 ms
+    auto-upgrade to version 1 (64-bit fields), as real muxers do."""
+    if version == 0 and duration_ms >= 2**32:
+        version = 1
     ts = (1000).to_bytes(4, "big")
     matrix = (
         (0x00010000).to_bytes(4, "big") + b"\x00" * 12
