@@ -514,3 +514,69 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_spend",
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(ts) AS p_start_us,
+             epoch_us(ts) + 1800 * 1000000 AS p_end_us
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT event_id AS error_id, user_id,
+             epoch_us(ts) AS e_start_us,
+             epoch_us(ts) + 1800 * 1000000 AS e_end_us
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, e.error_id, p.user_id,
+           p.p_start_us, e.e_start_us
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND p.p_start_us < e.e_end_us
+     AND e.e_start_us < p.p_end_us
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (completes the temporal-join family next
+    to as-of, theta-range, and ts-proximity): each purchase and error
+    event opens a 30-minute activity window; pairs of same-user
+    windows that overlap are incident-attribution candidates. The
+    ORACLE is the naive theta join; the ENGINE uses
+    operators.rangejoin.interval_overlap_join — bounded-length
+    intervals bucket by their max length, ±1 neighbor replication
+    covers every overlapping pair, the exact predicate filters. No
+    cartesian (the all-keys plan sweep enforces it)."""
+    from mercurygate_spark.operators.rangejoin import interval_overlap_join
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    half_hour = F.lit(1800 * 1_000_000)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.timestamp_micros(F.unix_micros("ts") + half_hour)).alias("p_end"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("user_id_e"),
+        F.col("ts").alias("e_start"),
+        (F.timestamp_micros(F.unix_micros("ts") + half_hour)).alias("e_end"),
+    )
+    j = interval_overlap_join(
+        p,
+        e.withColumnRenamed("user_id_e", "user_id"),
+        a_start="p_start", a_end="p_end",
+        b_start="e_start", b_end="e_end",
+        max_len_seconds=1800,
+        extra_equi=["user_id"],
+    )
+    return j.select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        ts_us("p_start").alias("p_start_us"),
+        ts_us("e_start").alias("e_start_us"),
+    )
