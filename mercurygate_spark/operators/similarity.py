@@ -179,7 +179,16 @@ def lsh_bucket_multi(
     tables' projections (V @ S_t.T per table on the same batch); the
     n_tables-fold row expansion is the inherent cost of multi-table
     LSH (union-of-candidates), paid as one shuffle of n_tables× rows
-    rather than n_tables separate corpus shuffles."""
+    rather than n_tables separate corpus shuffles.
+
+    Sign decision: each bit is (v @ s) >= 0 under numpy/BLAS pairwise
+    summation, while the DuckDB oracle twin sums sequentially
+    (list_dot_product). The two orders agree unless a projection lands
+    within ~1e-13 (a few ulp) of zero — with continuous random planes
+    the measure of that set is ~0, and the synthetic embeddings here
+    never hit it; with n_tables×n_planes bits the exposure multiplies,
+    so if bucket hashes ever diverge between engines, check for
+    near-zero projections before anything else."""
     from collections.abc import Iterator
 
     import numpy as np

@@ -320,10 +320,9 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "token_start",
         F.expr(f"token_start div {SEQ_LEN}").alias("first_seq"),
-        ((end - end % SEQ_LEN) / SEQ_LEN).cast("long").alias("last_seq"),
-        (
-            ((end - end % SEQ_LEN) / SEQ_LEN).cast("long")
-            - F.expr(f"token_start div {SEQ_LEN}")
-            + 1
+        F.expr(f"(token_start + n_tokens - 1) div {SEQ_LEN}").alias("last_seq"),
+        F.expr(
+            f"(token_start + n_tokens - 1) div {SEQ_LEN}"
+            f" - token_start div {SEQ_LEN} + 1"
         ).alias("n_seqs"),
     )

@@ -251,7 +251,6 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = per_doc.groupBy("lang").agg(
         F.sum("n_tokens").alias("total_tokens")
     )
-    w = Window.partitionBy()
     rates = (
         counts.withColumn(
             "target_tokens",
