@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -95,6 +96,14 @@ def main() -> None:
                 "query_runs": all_runs,
                 "query_means": {
                     k: round(sum(v) / len(v), 3) for k, v in all_runs.items()
+                },
+                # medians resist both transient stalls AND the one-fast-
+                # run flattery that best-of-N gives; with the raw runs
+                # above, round-over-round drift can be judged against
+                # actual spread (scripts/bench_variance.py does this
+                # with fresh-JVM isolation per key).
+                "query_medians": {
+                    k: round(statistics.median(v), 3) for k, v in all_runs.items()
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": runs,

@@ -343,55 +343,22 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click → purchase): a user
     advances a step only with a LATER event of the next type — the
     product-analytics shape groupBy alone can't express (each step's
-    earliest valid time depends on the previous step's). Three
-    same-key aggregations chained by user_id joins; every shuffle is
-    on user_id, so the exchanges reuse one partitioning. Conversion
-    reported as integer ppm of the first step (exact cross-engine)."""
+    earliest valid time depends on the previous step's). Delegates to
+    the n-step operator (operators/funnel.py): one filtered
+    groupBy-min + same-key join per step, every shuffle on user_id so
+    the exchanges reuse one partitioning. Conversion reported as
+    integer ppm of the first step (exact cross-engine)."""
+    from mercurygate_spark.operators.funnel import funnel_steps
+
     t = load_tables(spark, sf_dir, "events")
-    ev = t["events"]
-
-    def step_min(df, typ, after=None, after_col=None, out="t"):
-        e = df.where(F.col("event_type") == typ)
-        if after is not None:
-            e = e.join(after, "user_id").where(F.col("ts") > F.col(after_col))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
-
-    v = step_min(ev, "view", out="t1")
-    c = step_min(ev, "click", after=v, after_col="t1", out="t2")
-    p = step_min(ev, "purchase", after=c, after_col="t2", out="t3")
-    depth = (
-        v.join(c.select("user_id", "t2"), "user_id", "left")
-        .join(p.select("user_id", "t3"), "user_id", "left")
-        .select(
-            F.when(F.col("t3").isNotNull(), 3)
-            .when(F.col("t2").isNotNull(), 2)
-            .otherwise(1)
-            .alias("d")
-        )
+    return funnel_steps(
+        t["events"],
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
     )
-    agg = depth.agg(
-        F.count("*").alias("s1"),
-        F.count(F.when(F.col("d") >= 2, 1)).alias("s2"),
-        F.count(F.when(F.col("d") >= 3, 1)).alias("s3"),
-    )
-    rows = agg.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("ord"), F.lit("view").alias("step"),
-                         F.col("s1").alias("n_users"), F.col("s1").alias("first")),
-                F.struct(F.lit(2).alias("ord"), F.lit("view>click").alias("step"),
-                         F.col("s2").alias("n_users"), F.col("s1").alias("first")),
-                F.struct(F.lit(3).alias("ord"),
-                         F.lit("view>click>purchase").alias("step"),
-                         F.col("s3").alias("n_users"), F.col("s1").alias("first")),
-            )
-        ).alias("r")
-    )
-    return rows.select(
-        F.col("r.step").alias("step"),
-        F.col("r.n_users").alias("n_users"),
-        F.expr("(r.n_users * 1000000) div r.first").alias("conv_ppm"),
-    ).orderBy("r.ord").drop("ord")
 
 
 @query(

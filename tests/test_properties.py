@@ -233,3 +233,58 @@ def test_token_budget_arithmetic_invariants(totals):
         assert lo <= target <= hi if epochs * total <= target else True
         if target % total == 0:
             assert frac_ppm == 0 and epochs * total == target
+
+
+@given(
+    n_steps=st.integers(min_value=2, max_value=5),
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=4),   # step type index
+            st.integers(min_value=0, max_value=50),  # time
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_funnel_n_step_matches_sequential_reference(spark, n_steps, events):
+    """operators.funnel.funnel_steps at ANY step count (2..5) must
+    agree with a per-user sequential replay: a user reaches step i iff
+    some event of type i is STRICTLY later than the earliest time they
+    reached step i-1 (first-touch ordered-funnel semantics)."""
+    from mercurygate_spark.operators.funnel import funnel_steps
+
+    labels = [f"e{i}" for i in range(n_steps)]
+    df = spark.createDataFrame(
+        [(u, f"e{t}", ts) for u, t, ts in events],
+        schema="user_id long, event_type string, ts long",
+    )
+    out = funnel_steps(
+        df, [(lbl, F.col("event_type") == lbl) for lbl in labels]
+    ).collect()
+
+    # sequential reference
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, t, ts in events:
+        by_user.setdefault(u, []).append((t, ts))
+    depths = []
+    for u, evs in by_user.items():
+        t0 = [ts for t, ts in evs if t == 0]
+        if not t0:
+            continue
+        reached, prev = 1, min(t0)
+        for i in range(1, n_steps):
+            nxt = [ts for t, ts in evs if t == i and ts > prev]
+            if not nxt:
+                break
+            reached, prev = i + 1, min(nxt)
+        depths.append(reached)
+
+    assert len(out) == n_steps
+    first = len(depths)
+    for i, row in enumerate(out, start=1):
+        n = sum(1 for d in depths if d >= i)
+        assert row["step"] == ">".join(labels[:i])
+        assert row["n_users"] == n
+        assert row["conv_ppm"] == (n * 1_000_000) // first if first else True
