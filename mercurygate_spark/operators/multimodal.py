@@ -520,3 +520,253 @@ def documents_as_binary(df: DataFrame) -> DataFrame:
 
 
 _ = BinaryType  # re-export hint: payload columns are BinaryType
+
+
+# ---------------------------------------------------------------------------
+# MP3 (ID3v2 + MPEG-1 Layer III frames) — public spec: ISO/IEC 11172-3
+# frame header layout + the informal ID3v2.3 tag structure.
+# ---------------------------------------------------------------------------
+
+_MP3_RATES = (44100, 48000, 32000)  # MPEG-1 sample-rate index 0..2
+_MP3_BITRATES = (  # MPEG-1 Layer III bitrate index 1..14, kbps
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+
+
+def _syncsafe(n: int) -> bytes:
+    """ID3v2 28-bit syncsafe integer (7 bits per byte, high bit 0)."""
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def build_mp3(
+    sample_rate: int,
+    bitrate_kbps: int,
+    mono: bool,
+    n_frames: int,
+    tag_pad: int = 0,
+) -> bytes:
+    """Deterministic minimal MP3: an ID3v2.3 tag of ``tag_pad`` padding
+    bytes followed by ``n_frames`` unpadded MPEG-1 Layer III frames
+    (header + zero fill). frame_size = 144*bitrate/sample_rate, so the
+    container's byte count and duration are pure integer arithmetic a
+    SQL oracle can replay."""
+    tag = b"ID3" + bytes([3, 0, 0]) + _syncsafe(tag_pad) + b"\x00" * tag_pad
+    sr_idx = _MP3_RATES.index(sample_rate)
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    frame_size = 144 * bitrate_kbps * 1000 // sample_rate
+    hdr = bytes([
+        0xFF,
+        0xFB,  # sync + MPEG-1 + Layer III + no CRC
+        (br_idx << 4) | (sr_idx << 2),  # bitrate idx, sr idx, padding 0
+        0xC0 if mono else 0x00,  # channel mode: 3=mono, 0=stereo
+    ])
+    return tag + (hdr + b"\x00" * (frame_size - 4)) * n_frames
+
+
+def parse_mp3_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bitrate_kbps, duration_ms) for an MP3
+    payload (optional ID3v2 tag + MPEG-1 Layer III frames), else None.
+    Frames are walked exactly — duration = n_frames * 1152 / rate —
+    so VBR streams are timed correctly, not bitrate-estimated."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3":
+        if n < 10:
+            return None
+        i = 10 + (
+            ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        )
+    if i + 4 > n or payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+        return None
+    b1 = payload[i + 1]
+    if (b1 >> 3) & 0x3 != 0b11 or (b1 >> 1) & 0x3 != 0b01:
+        return None  # MPEG-1 Layer III only (the canonical .mp3)
+    first = payload[i + 2]
+    br_idx, sr_idx = first >> 4, (first >> 2) & 0x3
+    if _MP3_BITRATES[br_idx] is None or sr_idx == 3:
+        return None
+    sample_rate = _MP3_RATES[sr_idx]
+    bitrate = _MP3_BITRATES[br_idx]
+    channels = 1 if payload[i + 3] >> 6 == 0b11 else 2
+    frames = 0
+    while i + 4 <= n and payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+        f2 = payload[i + 2]
+        bi, si, pad = f2 >> 4, (f2 >> 2) & 0x3, (f2 >> 1) & 1
+        if _MP3_BITRATES[bi] is None or si == 3:
+            break
+        fs = 144 * _MP3_BITRATES[bi] * 1000 // _MP3_RATES[si] + pad
+        if fs <= 4 or i + fs > n:
+            break
+        frames += 1
+        i += fs
+    if frames == 0:
+        return None
+    return sample_rate, channels, bitrate, frames * 1152 * 1000 // sample_rate
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Vorbis — public specs: RFC 3533 (Ogg page layout) + Vorbis I
+# identification header. Duration = last-page granule / sample rate.
+# ---------------------------------------------------------------------------
+
+
+def _ogg_page(header_type: int, granule: int, page_seq: int, packet: bytes) -> bytes:
+    assert len(packet) <= 255
+    return (
+        b"OggS" + b"\x00" + bytes([header_type])
+        + granule.to_bytes(8, "little")
+        + (1).to_bytes(4, "little")          # bitstream serial
+        + page_seq.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")          # CRC (not verified here)
+        + bytes([1, len(packet)]) + packet
+    )
+
+
+def build_ogg_vorbis(sample_rate: int, channels: int, granule: int) -> bytes:
+    """Deterministic two-page Ogg/Vorbis container: a BOS page holding
+    the 30-byte Vorbis identification header, and an EOS page whose
+    granule position (= total pcm samples) encodes the duration.
+    Fixed 94-byte layout — oracle-replayable."""
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little")
+        + bytes([channels]) + sample_rate.to_bytes(4, "little")
+        + b"\x00" * 12      # max/nominal/min bitrate: unset
+        + b"\xb8"           # blocksizes 256/2048
+        + b"\x01"           # framing bit
+    )
+    return _ogg_page(0x02, 0, 0, ident) + _ogg_page(0x04, granule, 1, b"\x00" * 8)
+
+
+def parse_ogg_vorbis(payload: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) for an Ogg/Vorbis payload,
+    else None. Canonical-container assumptions (as with the WAV
+    parser): the identification header is the first packet of the
+    first page and the final 'OggS' capture in the byte stream is the
+    last page header (true for every muxer's output; arbitrary packet
+    bytes could alias it, at which point we fall to the placeholder
+    branch upstream)."""
+    n = len(payload)
+    if n < 58 or payload[:4] != b"OggS":
+        return None
+    body = 27 + payload[26]
+    if payload[body : body + 7] != b"\x01vorbis" or body + 16 > n:
+        return None
+    channels = payload[body + 11]
+    sample_rate = int.from_bytes(payload[body + 12 : body + 16], "little")
+    if channels == 0 or sample_rate == 0:
+        return None
+    last = payload.rfind(b"OggS")
+    if last + 14 > n:
+        return None
+    granule = int.from_bytes(payload[last + 6 : last + 14], "little")
+    return sample_rate, channels, granule * 1000 // sample_rate
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska (EBML) — public specs: RFC 8794 (EBML) + the Matroska
+# element registry. Dims from Tracks/TrackEntry/Video PixelWidth/Height,
+# duration from Info Duration × TimestampScale.
+# ---------------------------------------------------------------------------
+
+_WEBM_MAGIC = b"\x1a\x45\xdf\xa3"
+# master elements we descend into: EBML header, Segment, Info, Tracks,
+# TrackEntry, Video
+_EBML_MASTERS = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+
+
+def _read_vint(buf: bytes, i: int, keep_marker: bool) -> tuple[int, int] | None:
+    """EBML variable-length integer at buf[i]: returns (value, next_i).
+    Element IDs keep the length-marker bit (the registry lists them
+    that way); sizes strip it."""
+    if i >= len(buf) or buf[i] == 0:
+        return None
+    length = 9 - buf[i].bit_length()
+    if i + length > len(buf):
+        return None
+    val = buf[i] if keep_marker else buf[i] & ((1 << (8 - length)) - 1)
+    for k in range(1, length):
+        val = (val << 8) | buf[i + k]
+    return val, i + length
+
+
+def parse_webm_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """(doc_type, width, height, duration_ms) for a WebM/Matroska
+    payload, else None. A recursive EBML walk over the master elements
+    only — Cluster payloads are skipped wholesale, so cost is O(header
+    bytes) regardless of media size."""
+    import struct
+
+    if not payload.startswith(_WEBM_MAGIC):
+        return None
+    state: dict = {"doc_type": None, "scale": 1_000_000, "dur": None, "w": 0, "h": 0}
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i < end:
+            r = _read_vint(payload, i, True)
+            if r is None:
+                return
+            eid, j = r
+            r = _read_vint(payload, j, False)
+            if r is None:
+                return
+            size, k = r
+            if k + size > end:
+                return
+            if eid in _EBML_MASTERS:
+                walk(k, k + size)
+            elif eid == 0x4282:  # DocType
+                state["doc_type"] = payload[k : k + size].decode("ascii", "replace")
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                state["scale"] = int.from_bytes(payload[k : k + size], "big")
+            elif eid == 0x4489:  # Duration (float, in ticks)
+                if size in (4, 8):
+                    state["dur"] = struct.unpack(
+                        ">f" if size == 4 else ">d", payload[k : k + size]
+                    )[0]
+            elif eid == 0xB0:  # PixelWidth
+                state["w"] = int.from_bytes(payload[k : k + size], "big")
+            elif eid == 0xBA:  # PixelHeight
+                state["h"] = int.from_bytes(payload[k : k + size], "big")
+            i = k + size
+
+    walk(0, len(payload))
+    if state["doc_type"] is None or state["scale"] == 0:
+        return None
+    dur_ms = 0
+    if state["dur"] is not None:
+        # ticks × (ns per tick) / 1e6 — with the default 1 ms scale and
+        # integral tick counts (every builder/muxer writes whole ms)
+        # this is exact: f64 holds integers < 2^53 losslessly.
+        dur_ms = int(state["dur"] * (state["scale"] / 1_000_000))
+    return state["doc_type"], state["w"], state["h"], dur_ms
+
+
+def _ebml_elem(eid: bytes, body: bytes) -> bytes:
+    assert len(body) < 127  # 1-byte size vint; headers here are tiny
+    return eid + bytes([0x80 | len(body)]) + body
+
+
+def build_webm(width: int, height: int, duration_ms: int) -> bytes:
+    """Deterministic minimal WebM: EBML header (DocType 'webm') +
+    Segment[Info[TimestampScale 1e6, Duration f64] + Tracks[TrackEntry
+    [Video[PixelWidth, PixelHeight]]]]. All fields fixed-width (u16
+    dims, f64 duration) → the container is ALWAYS 58 bytes, so the
+    oracle replays n_bytes as a constant."""
+    import struct
+
+    info = _ebml_elem(
+        b"\x15\x49\xa9\x66",
+        _ebml_elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(4, "big"))
+        + _ebml_elem(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_elem(
+        b"\xe0",
+        _ebml_elem(b"\xb0", width.to_bytes(2, "big"))
+        + _ebml_elem(b"\xba", height.to_bytes(2, "big")),
+    )
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", _ebml_elem(b"\xae", video))
+    header = _ebml_elem(_WEBM_MAGIC, _ebml_elem(b"\x42\x82", b"webm"))
+    segment = _ebml_elem(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment
