@@ -308,14 +308,19 @@ VIDEO_META_SCHEMA = StructType(
 
 def decode_video_meta(payload: bytes) -> tuple[int, str, str, int, int, int]:
     """(n_bytes, format, brand, width, height, duration_ms): real
-    ISO-BMFF container fields when the payload parses as MP4,
-    deterministic sha256-derived placeholders otherwise (total
-    function, oracle-replayable either way)."""
+    container fields when the payload parses as MP4/ISO-BMFF or
+    WebM/Matroska (brand = EBML DocType for the latter), deterministic
+    sha256-derived placeholders otherwise (total function,
+    oracle-replayable either way)."""
     n = len(payload)
     parsed = parse_mp4_header(payload)
     if parsed is not None:
         brand, w, ht, dur = parsed
         return n, "mp4", brand, w, ht, dur
+    webm = parse_webm_header(payload)
+    if webm is not None:
+        doc_type, w, ht, dur = webm
+        return n, "webm", doc_type, w, ht, dur
     h = hashlib.sha256(payload).hexdigest()
     return (
         n,

@@ -247,3 +247,169 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return t["documents"].select("doc_id").mapInPandas(roundtrip, VIDEO_META_SCHEMA)
+
+
+@query(
+    "multimodal_audio_container_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS m_sr,
+        CASE (doc_id // 2) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                               WHEN 2 THEN 192 ELSE 320 END AS m_br,
+        2 + doc_id % 5 AS m_frames,
+        CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS o_sr,
+        1 + (doc_id // 2) % 2 AS o_ch,
+        10000 + (doc_id * 997) % 100000 AS o_granule
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0
+           THEN 10 + doc_id % 7 + m_frames * ((144 * m_br * 1000) // m_sr)
+           ELSE 94 END AS n_bytes,
+      CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'ogg' END AS format,
+      CASE WHEN doc_id % 2 = 0 THEN m_sr ELSE o_sr END AS sample_rate,
+      CASE WHEN doc_id % 2 = 0
+           THEN (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END)
+           ELSE o_ch END AS channels,
+      CASE WHEN doc_id % 2 = 0
+           THEN (m_frames * 1152 * 1000) // m_sr
+           ELSE (o_granule * 1000) // o_sr END AS duration_ms
+    FROM p
+    """,
+)
+def multimodal_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio container metadata, proven end-to-end like the
+    MP4 key: deterministic MP3 (ID3v2 tag + walked MPEG-1 Layer III
+    frames) and Ogg/Vorbis (BOS identification header + EOS granule)
+    containers are BUILT per doc_id, then PARSED back by the no-codec
+    header parsers (operators.multimodal.parse_mp3_header /
+    parse_ogg_vorbis) via Arrow-batched mapInPandas. Duration comes
+    from frame walking (mp3) / last-page granule position (ogg) — the
+    oracle replays the synthesis arithmetic, so any drift in frame-size
+    math, syncsafe tag skipping, or granule arithmetic breaks the
+    match."""
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mercurygate_spark.operators.multimodal import (
+        build_mp3,
+        build_ogg_vorbis,
+        parse_mp3_header,
+        parse_ogg_vorbis,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("format", StringType()),
+            StructField("sample_rate", LongType()),
+            StructField("channels", LongType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+    t = load_tables(spark, sf_dir, "documents")
+    mp3_rates = [44100, 48000, 32000]
+    mp3_brs = [64, 128, 192, 320]
+    ogg_rates = [8000, 16000, 22050, 44100]
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 2 == 0:
+                    payload = build_mp3(
+                        sample_rate=mp3_rates[d % 3],
+                        bitrate_kbps=mp3_brs[(d // 2) % 4],
+                        mono=(d % 4 == 0),
+                        n_frames=2 + d % 5,
+                        tag_pad=d % 7,
+                    )
+                    parsed = parse_mp3_header(payload)
+                    assert parsed is not None
+                    sr, ch, _br, dur = parsed
+                    rows.append((d, len(payload), "mp3", sr, ch, dur))
+                else:
+                    payload = build_ogg_vorbis(
+                        sample_rate=ogg_rates[d % 4],
+                        channels=1 + (d // 2) % 2,
+                        granule=10000 + (d * 997) % 100000,
+                    )
+                    parsed = parse_ogg_vorbis(payload)
+                    assert parsed is not None
+                    sr, ch, dur = parsed
+                    rows.append((d, len(payload), "ogg", sr, ch, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "format",
+                    "sample_rate", "channels", "duration_ms",
+                ],
+            )
+
+    return t["documents"].select("doc_id").mapInPandas(roundtrip, schema)
+
+
+@query(
+    "multimodal_webm_meta",
+    oracle="""
+    SELECT doc_id,
+           58 AS n_bytes,
+           'webm' AS format,
+           'webm' AS brand,
+           320 + 16 * (doc_id % 20) AS width,
+           240 + 16 * (doc_id % 15) AS height,
+           1000 + (doc_id * 53) % 600000 AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska container metadata, proven end-to-end:
+    deterministic EBML containers (header[DocType] + Segment[Info[
+    TimestampScale, Duration f64] + Tracks[TrackEntry[Video[dims]]]])
+    are BUILT per doc_id (operators.multimodal.build_webm — fixed
+    58-byte layout), then PARSED back by the recursive EBML walker
+    (parse_webm_header) through the SAME general video-meta path the
+    MP4 key uses (decode_video_meta: mp4 probe → webm probe →
+    placeholder), via Arrow-batched mapInPandas. The oracle replays
+    the synthesis arithmetic — vint decoding, DocType routing,
+    TimestampScale×Duration ms math, u16 pixel dims all pinned."""
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from mercurygate_spark.operators.multimodal import (
+        VIDEO_META_SCHEMA,
+        build_webm,
+        decode_video_meta,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payload = build_webm(
+                    width=320 + 16 * (d % 20),
+                    height=240 + 16 * (d % 15),
+                    duration_ms=1000 + (d * 53) % 600_000,
+                )
+                rows.append((d, *decode_video_meta(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "format", "brand",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    return t["documents"].select("doc_id").mapInPandas(roundtrip, VIDEO_META_SCHEMA)
