@@ -16,6 +16,8 @@ Public-knowledge basis: Broder's MinHash (1997), Charikar's SimHash
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -249,6 +251,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    on_round=None,
 ) -> DataFrame:
     """Distributed connected components over a candidate-pair graph via
     alternating large-star / small-star (Kiveris et al., "Connected
@@ -305,7 +308,8 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        _t0 = _time.monotonic() if on_round else 0.0
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
         # Both frames are distinct by construction, so set equality is
         # |new| == |old| plus new ⊆ old — one exceptAll job instead of
@@ -313,6 +317,8 @@ def connected_components(
         n_new = new_edges.count()
         converged = n_new == n_edges and new_edges.exceptAll(edges).isEmpty()
         edges, n_edges = new_edges, n_new
+        if on_round is not None:  # instrumentation hook (scripts/stage_probe.py)
+            on_round(rnd, n_new, _time.monotonic() - _t0)
         if converged:
             break
     if not converged:
