@@ -404,3 +404,69 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "agg_funnel_steps_n",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t3
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), depth AS (
+      SELECT s1.user_id,
+             CASE WHEN s4.t4 IS NOT NULL THEN 4
+                  WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  ELSE 1 END AS d
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+              LEFT JOIN s4 ON s1.user_id = s4.user_id
+    )
+    SELECT step, n_users,
+           CASE WHEN first_step = 0 THEN 0
+                ELSE (n_users * 1000000) // first_step END AS conv_ppm
+    FROM (
+      SELECT 1 AS ord, 'signup' AS step,
+             count(*) AS n_users, count(*) AS first_step FROM depth
+      UNION ALL
+      SELECT 2, 'signup>view',
+             count(*) FILTER (d >= 2), count(*) FROM depth
+      UNION ALL
+      SELECT 3, 'signup>view>click',
+             count(*) FILTER (d >= 3), count(*) FROM depth
+      UNION ALL
+      SELECT 4, 'signup>view>click>purchase',
+             count(*) FILTER (d >= 4), count(*) FROM depth
+    ) ORDER BY ord
+    """,
+)
+def agg_funnel_steps_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-step funnel operator exercised at a DIFFERENT depth than
+    agg_funnel_steps (4 steps, signup-first ordering) so the general
+    operator — not a 3-step special case — is what the oracle gate
+    pins. Same plan shape: one filtered groupBy-min + user_id-keyed
+    join per step, single partitioning lineage."""
+    from mercurygate_spark.operators.funnel import funnel_steps
+
+    t = load_tables(spark, sf_dir, "events")
+    return funnel_steps(
+        t["events"],
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )

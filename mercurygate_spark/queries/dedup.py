@@ -230,3 +230,53 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.withColumn("__in", F.lit(1)), "fp", "left"
     ).select("doc_id", F.col("__in").isNotNull().alias("exact_hit"))
     return hits.join(exact, "doc_id").select("doc_id", "bloom_hit", "exact_hit")
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source AS bucket, {duck_shingles_sql()} AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, bucket, len(sh) AS n_sh FROM sh
+    ), ex AS (
+      SELECT doc_id, bucket, unnest(sh) AS s FROM sh
+    ), inter AS (
+      SELECT a.bucket, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(i.n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a AND sa.bucket = i.bucket
+    JOIN sizes sb ON sb.doc_id = i.id_b AND sb.bucket = i.bucket
+    WHERE i.n_common * 10 >= least(sa.n_sh, sb.n_sh) * 3
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A∩B| / min(|A|,|B|) over
+    trigram shingle sets — the measure that catches a SHORT document
+    embedded in a long one (quotes, boilerplate wrappers), which
+    Jaccard misses because the union term is dominated by the long
+    side (Broder's containment, public). Reuses the bucket-blocked
+    shingle-equi join (ngram_jaccard_pairs plan); the keep filter is
+    pure integer arithmetic (n_common*10 >= min_size*3, i.e.
+    containment ≥ 0.3) so the oracle replays it exactly; only the
+    reported containment value is a rounded float."""
+    from mercurygate_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "source", threshold=0.0
+    ).drop("jaccard", "bucket")
+    least = F.least(F.col("n_a"), F.col("n_b"))
+    return pairs.where(F.col("n_common") * 10 >= least * 3).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        r6(F.col("n_common") / least).alias("containment"),
+    )

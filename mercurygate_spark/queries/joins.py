@@ -580,3 +580,51 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_us("p_start").alias("p_start_us"),
         ts_us("e_start").alias("e_start_us"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact⋈fact join via BUCKETED tables —
+    the canonical 100 TB pattern for a join both of whose sides are
+    too big to broadcast and which recurs often enough to amortize a
+    one-time bucketed layout: both sides are written bucketBy(8, key)
+    sortBy(key), after which the sort-merge join needs NO Exchange on
+    either side (each bucket pair joins in place; the only shuffle in
+    the whole plan is the final small aggregation). The plan contract
+    — SortMergeJoin present, zero Exchange beneath it — is pinned by
+    tests/test_plans.py. Values are pinned to the plain shuffle join's
+    oracle: bucketing must be value-invisible. sum(l_quantity) is
+    integer-valued fp64, so the sum is order-independent and exact in
+    both engines; cast to BIGINT for dtype parity."""
+    import os
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    # per-PID table names: the driver may run correctness and bench in
+    # parallel processes sharing one warehouse dir
+    to_name = f"mg_bktjoin_orders_{os.getpid()}"
+    li_name = f"mg_bktjoin_lineitem_{os.getpid()}"
+    (
+        t["orders"].select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to_name)
+    )
+    (
+        t["lineitem"].select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_name)
+    )
+    o, li = spark.table(to_name), spark.table(li_name)
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )

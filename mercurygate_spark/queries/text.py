@@ -678,3 +678,69 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked.where(F.col("pr") <= 0.5).select(
         "doc_id", "lang", "ttr_ppm", r6(F.col("pr")).alias("pctile")
     )
+
+
+@query(
+    "text_edit_distance_pairs",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                            '[^a-z0-9 ]', '', 'g') AS norm
+      FROM documents
+      WHERE lang <> 'zh'
+    ), b AS (
+      SELECT doc_id, lang, substr(norm, 1, 30) AS head,
+             substr(norm, 1, 3) AS blk
+      FROM n
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+    FROM b a JOIN b b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 10
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: docs sharing (lang,
+    3-char normalized prefix) compared by Levenshtein distance over
+    their 30-char normalized heads — the fuzzy-match complement of
+    shingle Jaccard for SHORT-range edits (typos, template fills).
+    Blocking bounds the quadratic term to within-block pairs (measured
+    ≤ ~100-row blocks at sf0.1 → ~1e5 comparisons; at corpus scale the
+    block key would be an LSH band, same plan). Scoped to latin-script
+    langs over an ascii-normalized projection because Spark counts
+    Levenshtein in CODE POINTS while DuckDB counts BYTES — equal only
+    when every char is single-byte; the zh exclusion keeps the oracle
+    exact rather than approximately right."""
+    t = load_tables(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+        "[^a-z0-9 ]", "",
+    )
+    base = (
+        t["documents"]
+        .where(F.col("lang") != "zh")
+        .select(
+            "doc_id",
+            "lang",
+            F.substring(norm, 1, 30).alias("head"),
+            F.substring(norm, 1, 3).alias("blk"),
+        )
+    )
+    a = base.select(
+        F.col("doc_id").alias("id_a"), "lang", "blk", F.col("head").alias("head_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"), "lang", "blk", F.col("head").alias("head_b")
+    )
+    return (
+        a.join(b, ["lang", "blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("head_a", "head_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 10)
+    )

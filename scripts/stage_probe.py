@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import shutil
@@ -51,10 +52,19 @@ def build_scaled_documents(
     small = spark.read.parquet(f"{sf_dir}/documents.parquet")
     parts = []
     for i in range(factor):
-        rot = _ALPHA[i % 26 :] + _ALPHA[: i % 26]
+        # seeded alphabet PERMUTATION, not rotation: rotations cycle at
+        # 26 copies, after which copies i and i+26 carry IDENTICAL text
+        # and the probe measures a duplicate-heavy corpus instead of
+        # scale (observed: 100x rotation run collapsed 500k docs to
+        # 130k exact-dedup survivors). A per-copy md5-seeded bijection
+        # keeps within-copy near-dup structure (injective char map)
+        # while decorrelating ALL copies pairwise.
+        perm = "".join(
+            sorted(_ALPHA, key=lambda ch: hashlib.md5(f"{i}:{ch}".encode()).hexdigest())
+        ) if i else _ALPHA
         parts.append(
             small.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
-            .withColumn("text", F.translate(F.col("text"), _ALPHA, rot))
+            .withColumn("text", F.translate(F.col("text"), _ALPHA, perm))
         )
     big: DataFrame = parts[0]
     for p in parts[1:]:

@@ -268,3 +268,17 @@ def test_pack_sequences_prefix_sum_is_sharded(spark):
         "single-partition exchange must consume the shard-total aggregate, "
         "not corpus rows"
     )
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """join_bucketed_colocated: both sides bucketBy(8, key) → the
+    sort-merge join must read buckets in place. Exactly ONE Exchange
+    in the whole plan (the final small aggregation); none between the
+    scans and the join."""
+    s = _plan(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in s
+    assert s.count("Exchange") == 1
+    # the one Exchange is ABOVE the join: nothing between SMJ and scans
+    join_part = s[s.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part
+    assert "Bucketed: true" in s or "SelectedBucketsCount" in s
