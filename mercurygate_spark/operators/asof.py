@@ -41,16 +41,23 @@ def asof_join(
 
     ``direction`` (pd.merge_asof vocabulary):
     - ``backward``: latest right with right_ts <= left_ts (default);
-    - ``forward``: earliest right with right_ts >= left_ts.
+    - ``forward``: earliest right with right_ts >= left_ts;
+    - ``nearest``: right row minimizing |right_ts - left_ts|, either
+      side. Tie rule (pinned, deterministic): equal distances resolve
+      to the EARLIER right_ts (the backward candidate), then ascending
+      ``right_cols``.
     ``tolerance_seconds`` bounds the match distance: backward matches
     within [left_ts - tol, left_ts], forward within [left_ts, left_ts
-    + tol]. A tolerance turns the range predicate into a band — the
-    same pushdown-friendly shape as ts_proximity_join, and at scale it
-    caps per-key fan-in (an unbounded as-of against a year of history
-    joins every older row; a tolerance joins a bounded window).
+    + tol], nearest within [left_ts - tol, left_ts + tol]. A tolerance
+    turns the range predicate into a band — the same pushdown-friendly
+    shape as ts_proximity_join, and at scale it caps per-key fan-in
+    (an unbounded as-of against a year of history joins every older
+    row; a tolerance joins a bounded window).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     if tolerance_seconds is not None:
         tolerance_seconds = float(tolerance_seconds)
         if not tolerance_seconds >= 0:  # also rejects NaN
@@ -70,7 +77,7 @@ def asof_join(
         order = [F.col(right_ts).desc()] + [
             F.col(c).desc() for c in right_cols if c not in (on, right_ts)
         ]
-    else:
+    elif direction == "forward":
         j = j.where(F.col(right_ts) >= F.col(left_ts))
         if tolerance_seconds is not None:
             j = j.where(
@@ -78,6 +85,17 @@ def asof_join(
                 <= F.col(left_ts) + F.expr(f"INTERVAL '{tolerance_seconds:.6f}' SECOND")
             )
         order = [F.col(right_ts).asc()] + [
+            F.col(c).asc() for c in right_cols if c not in (on, right_ts)
+        ]
+    else:  # nearest
+        if tolerance_seconds is not None:
+            tol = F.expr(f"INTERVAL '{tolerance_seconds:.6f}' SECOND")
+            j = j.where(
+                (F.col(right_ts) >= F.col(left_ts) - tol)
+                & (F.col(right_ts) <= F.col(left_ts) + tol)
+            )
+        dist = F.abs(F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts)))
+        order = [dist.asc(), F.col(right_ts).asc()] + [
             F.col(c).asc() for c in right_cols if c not in (on, right_ts)
         ]
     w = Window.partitionBy(*(left_key or lcols)).orderBy(*order)

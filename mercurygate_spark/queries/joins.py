@@ -628,3 +628,57 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY abs(epoch_us(c.click_ts) - epoch_us(p.purchase_ts)) ASC,
+                        c.click_ts ASC, c.click_id ASC
+             ) AS rn
+      FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+    )
+    SELECT user_id, purchase_id,
+           epoch_us(purchase_ts) AS purchase_ts_us,
+           click_id,
+           epoch_us(click_ts) AS click_ts_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — completes the merge_asof direction family
+    (backward/forward/tolerance/cogrouped are sibling keys): for each
+    purchase, the click by the same user CLOSEST in absolute time,
+    either side. Tie rule pinned in the operator (equal distance →
+    earlier click, then click_id asc) so both engines rank
+    identically. Same plan shape as the other as-of keys: one
+    user_id-keyed join + per-purchase rank window — at scale, add
+    tolerance_seconds to band the join and cap per-key fan-in."""
+    purchases, clicks = _purchase_click_sides(spark, sf_dir)
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        left_key=["purchase_id"],
+        direction="nearest",
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        ts_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        ts_us("click_ts").alias("click_ts_us"),
+    )

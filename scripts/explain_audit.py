@@ -42,6 +42,11 @@ def main() -> None:
         "join_skew_isolated",
         "dedup_connected_components",
         "sim_cosine_ivf_sampled",
+        # round-7 additions whose plan shape IS the claim
+        "join_bucketed_colocated",   # zero-exchange co-located SMJ
+        "text_edit_distance_pairs",  # blocked quadratic stays equi-join
+        "dedup_ngram_containment",   # shingle-equi join, no cartesian
+        "agg_funnel_steps_n",        # one partitioning lineage, n steps
     ]
     for name in HEADLINE + scale_showcase:
         df = queries[name](spark, SF_DIR)

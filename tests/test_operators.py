@@ -722,3 +722,39 @@ def test_webm_header_parsing():
     assert parse_webm_header(p[:20]) == ("webm", 0, 0, 0) or True  # partial walk is total
     assert parse_webm_header(b"\x1b" + p[1:]) is None
     assert parse_webm_header(b"") is None
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """direction='nearest': equidistant candidates resolve to the
+    EARLIER right row (the backward one), then ascending id — the
+    pinned tie rule the oracle replays."""
+    from datetime import datetime, timedelta
+
+    from mercurygate_spark.operators.asof import asof_join
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 100, t0)], schema="user_id long, purchase_id long, purchase_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 7, t0 - timedelta(minutes=5)),   # 5 min before
+            (1, 9, t0 + timedelta(minutes=5)),   # 5 min after — exact tie
+            (1, 8, t0 + timedelta(minutes=30)),  # farther
+        ],
+        schema="user_id long, click_id long, click_ts timestamp",
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"], left_key=["purchase_id"],
+        direction="nearest",
+    ).collect()
+    assert len(out) == 1 and out[0]["click_id"] == 7  # backward wins the tie
+
+    # tolerance bands BOTH sides for nearest
+    out2 = asof_join(
+        left, right, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"], left_key=["purchase_id"],
+        direction="nearest", tolerance_seconds=60,
+    ).collect()
+    assert out2 == []  # nothing within ±1 minute
