@@ -428,7 +428,7 @@ def test_asof_forward_and_tolerance(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
-                  right_cols=["rts", "rv"], direction="nearest")
+                  right_cols=["rts", "rv"], direction="sideways")
 
 
 def test_cms_never_underestimates_and_bounds(spark):
