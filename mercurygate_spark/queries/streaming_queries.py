@@ -243,3 +243,71 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed.groupBy("event_type").agg(
         F.count("*").alias("n_events"), r2(F.sum("value")).alias("sum_value")
     )
+
+
+@query(
+    "stream_interval_join_left_outer",
+    oracle="""
+    WITH mx AS (
+      -- the join's global watermark is the MIN over both sides'
+      -- watermarks: min(max click_ts, max purchase_ts) - delay
+      SELECT least(
+        (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+      ) AS m
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             c.user_id,
+             epoch_us(c.ts) AS click_ts_us,
+             epoch_us(p.ts) AS purchase_ts_us,
+             p.value AS purchase_value
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND epoch_us(p.ts) >= epoch_us(c.ts)
+       AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           CAST(NULL AS BIGINT) AS purchase_ts_us,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM clicks c, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND epoch_us(p.ts) >= epoch_us(c.ts)
+              AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+          )
+      -- the final no-data cleanup trigger flushes outer rows whose
+      -- join-window end (click + 10 min) the final watermark
+      -- (max event ts − 1 h delay) has passed; later clicks never emit
+      AND epoch_us(c.ts) + 600000000 <= mx.m - 3600000000
+    """,
+)
+def stream_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched click→purchase
+    pairs emit eagerly; unmatched clicks emit null-padded rows only
+    when the watermark passes their join window — including Spark's
+    final no-data cleanup trigger under availableNow, whose exact
+    flush boundary — window_end ≤ global watermark, where the global
+    watermark of a stream-stream join is min(max click_ts, max
+    purchase_ts) − delay across BOTH sides — the oracle replays
+    arithmetically (no event sits on the boundary at any test
+    SF — verified, so < vs ≤ cannot flip the result). The semantics
+    themselves are pinned batch-by-batch in
+    tests/test_streaming_semantics.py."""
+    clicks = read_events_stream(spark, sf_dir).where("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
+    return run_to_memory(
+        interval_join_streams(clicks, purchases, how="leftOuter"),
+        output_mode="append",
+    )

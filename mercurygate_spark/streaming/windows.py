@@ -181,7 +181,7 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 
 
 def interval_join_streams(
-    clicks: DataFrame, purchases: DataFrame, minutes: int = 10
+    clicks: DataFrame, purchases: DataFrame, minutes: int = 10, how: str = "inner"
 ) -> DataFrame:
     """Stream-stream interval join: click events joined to the same
     user's purchase events that happen within `minutes` AFTER the
@@ -192,6 +192,18 @@ def interval_join_streams(
     condition let Spark evict state as time advances).
 
     Batch twin: the same equi+range theta join, which is the oracle.
+
+    how="leftOuter": unmatched clicks ALSO emit (null purchase cols)
+    once the watermark passes their join-window end. Under
+    availableNow on a single input file this is deterministic: the
+    data processes in one batch (watermark still initial → no outer
+    rows yet), then Spark runs a final no-data cleanup trigger with
+    the watermark advanced to max(event_ts) − delay, flushing exactly
+    the unmatched clicks whose window end lies at or before it —
+    measured and pinned in tests/test_streaming_semantics.py
+    ::test_stream_stream_left_outer_join_null_emission. Clicks inside
+    the final watermark window never emit (they would need a later
+    trigger), which the oracle replays arithmetically.
     """
     a = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -209,7 +221,7 @@ def interval_join_streams(
         (a["user_id"] == b["p_user_id"])
         & (b["purchase_ts"] >= a["click_ts"])
         & (b["purchase_ts"] <= a["click_ts"] + F.expr(f"INTERVAL {minutes} MINUTES")),
-        "inner",
+        how,
     )
     return joined.select(
         "click_id",

@@ -324,3 +324,94 @@ def test_dedupe_within_watermark_evicts_state(spark, tmp_path):
     # hard suppressions: in-batch duplicates and within-horizon dup
     emitted_events = {e for _, e in rows}
     assert {2, 4, 7}.isdisjoint(emitted_events), rows
+
+
+def test_stream_stream_left_outer_join_null_emission(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join semantics, the part the
+    inner-join key (stream_interval_join) can't see:
+
+    1. matched pairs emit EAGERLY (first microbatch, like the inner join);
+    2. an unmatched left row emits its null-padded outer result only
+       AFTER the watermark passes its join-window end — and in the
+       microbatch FOLLOWING the one that advanced the watermark
+       (watermarks update between batches);
+    3. at availableNow termination Spark runs a final state-cleanup
+       trigger with the watermark advanced through the LAST batch, so
+       trailing unmatched rows behind that final watermark DO flush —
+       but a row within the final watermark delay (c4 here) stays
+       unemitted forever. Pipelines draining a backlog only need a
+       flush event for the very tail, not per batch.
+    """
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "ssj")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2026, 1, 1, 10, 0)
+
+    def write(path, rows):
+        df = spark.createDataFrame(
+            rows, schema="event_id long, ts timestamp, user_id long, event_type string"
+        )
+        staging = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # b0: c1 matches p1 inside the 10-min interval; c2 never matches
+    write(os.path.join(src, "b0.parquet"), [
+        (1, base, 1, "click"),
+        (2, base + timedelta(minutes=1), 2, "click"),
+        (100, base + timedelta(minutes=5), 1, "purchase"),
+    ])
+    # b1: advances max event time to 11:00 → watermark 10:55 for b2
+    write(os.path.join(src, "b1.parquet"), [(3, base + timedelta(minutes=60), 3, "click")])
+    # b2: triggers eviction of c2's expired state → outer null emits here
+    write(os.path.join(src, "b2.parquet"), [(4, base + timedelta(minutes=120), 4, "click")])
+    now = _time.time()
+    for i in range(3):
+        os.utime(os.path.join(src, f"b{i}.parquet"), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 minutes")
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.table("ssj_outer").collect()}
+    # c1 matched eagerly; c2 null-emitted once the watermark passed
+    # mid-stream; c3 flushed by the final cleanup trigger (final wm =
+    # 12:00 - 5min = 11:55 > its 11:10 window end); c4's window end
+    # (12:10) is beyond the final watermark → never emitted.
+    assert got == {(1, 100), (2, None), (3, None)}
