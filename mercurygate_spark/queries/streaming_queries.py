@@ -311,3 +311,71 @@ def stream_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFra
         interval_join_streams(clicks, purchases, how="leftOuter"),
         output_mode="append",
     )
+
+
+@query(
+    "stream_interval_join_full_outer",
+    oracle="""
+    WITH mx AS (
+      SELECT least(
+        (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+      ) AS m
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             c.user_id,
+             epoch_us(c.ts) AS click_ts_us,
+             epoch_us(p.ts) AS purchase_ts_us,
+             p.value AS purchase_value
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND epoch_us(p.ts) >= epoch_us(c.ts)
+       AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+           epoch_us(c.ts), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM clicks c, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM purchases p
+            WHERE p.user_id = c.user_id
+              AND epoch_us(p.ts) >= epoch_us(c.ts)
+              AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+          )
+      AND epoch_us(c.ts) + 600000000 <= mx.m - 3600000000
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.event_id,
+           p.user_id,
+           CAST(NULL AS BIGINT), epoch_us(p.ts), p.value
+    FROM purchases p, mx
+    WHERE NOT EXISTS (
+            SELECT 1 FROM clicks c
+            WHERE c.user_id = p.user_id
+              AND epoch_us(p.ts) >= epoch_us(c.ts)
+              AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+          )
+      -- a right row's last matchable left event time is p_ts itself,
+      -- so it flushes once the global watermark passes p_ts
+      AND epoch_us(p.ts) <= mx.m - 3600000000
+    """,
+)
+def stream_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both unmatched sides
+    emit null-padded rows when the global watermark (min over both
+    sides − delay) passes their state-eviction point: click+10min for
+    the left side, the purchase's own timestamp for the right (its
+    latest matchable click time). Matched pairs emit eagerly. Exact
+    oracle (boundary-collision-free at every test SF, verified);
+    batch-level mechanics pinned by the left-outer semantics test."""
+    clicks = read_events_stream(spark, sf_dir).where("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
+    return run_to_memory(
+        interval_join_streams(clicks, purchases, how="fullOuter"),
+        output_mode="append",
+    )

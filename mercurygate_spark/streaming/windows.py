@@ -226,7 +226,9 @@ def interval_join_streams(
     return joined.select(
         "click_id",
         "purchase_id",
-        "user_id",
+        # the equi key survives on whichever side is present (outer
+        # rows have only one side's columns non-null)
+        F.coalesce(a["user_id"], b["p_user_id"]).alias("user_id"),
         F.unix_micros("click_ts").alias("click_ts_us"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
         "purchase_value",
