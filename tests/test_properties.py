@@ -288,3 +288,53 @@ def test_funnel_n_step_matches_sequential_reference(spark, n_steps, events):
         assert row["step"] == ">".join(labels[:i])
         assert row["n_users"] == n
         assert row["conv_ppm"] == (n * 1_000_000) // first if first else True
+
+
+@given(
+    gap_min=st.integers(min_value=1, max_value=60),
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=5000),  # offset minutes
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_sequential_reference(spark, gap_min, events):
+    """operators.sessionize at ANY gap must agree with a per-user
+    sequential replay: sort by (ts, id), a gap >= threshold starts a
+    new session (matching Spark session_window's [start, last+gap)
+    semantics); per-session n_events and min-ts must match."""
+    from datetime import datetime, timedelta
+
+    from mercurygate_spark.operators.sessionize import sessionize
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (u, base + timedelta(minutes=m), i)
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, schema="user_id long, ts timestamp, eid long")
+    out = sessionize(df, "user_id", "ts", gap_seconds=gap_min * 60,
+                     order_tiebreak="eid")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()
+    )
+
+    expect = []
+    by_user: dict[int, list] = {}
+    for u, ts, i in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        start, n, prev = evs[0][0], 0, None
+        for ts, _ in evs:
+            if prev is not None and (ts - prev).total_seconds() >= gap_min * 60:
+                expect.append((u, start, n))
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        expect.append((u, start, n))
+    assert got == sorted(expect)
