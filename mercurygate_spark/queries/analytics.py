@@ -470,3 +470,83 @@ def agg_funnel_steps_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("purchase", F.col("event_type") == "purchase"),
         ],
     )
+
+
+@query(
+    "agg_histogram_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 1000.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 11
+                ELSE CAST(floor((o_totalprice - 1000.0) / 49900.0) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via Spark's width_bucket (10 buckets over
+    [1000, 500000), with under/overflow buckets 0 and 11). The oracle
+    derives the bucket with explicit floor arithmetic, so width_bucket's
+    edge semantics — not shared SQL text — are what's pinned. One
+    partial+final hash agg on a derived key; at 100 TB the bucket id
+    is computed map-side and only 12 groups shuffle."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(1000.0), F.lit(500000.0), F.lit(10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            r2(F.min("o_totalprice")).alias("lo"),
+            r2(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority ASC
+             ) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group. Built as
+    count-then-rank rather than Spark's native ``mode()`` because the
+    native tie-break is unspecified — here ties resolve to the
+    lexicographically smallest value, identically in both engines.
+    Two stages: a partial+final hash agg shrinks the fact to
+    |status×priority| rows, then the rank window runs on that tiny
+    grid — the expensive pass never sees a window function."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "orders")
+    counts = t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -387,3 +387,62 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderstatus").try_cast("double").alias("bad_double"),
     )
+
+
+@query(
+    "fn_hash_family",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name || '|' || p_brand) AS row_sha256,
+           length(md5(p_name)) AS md5_len
+    FROM part
+    """,
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash family (md5 / sha2-256) — the primitive under
+    content-addressed dedup, stable sampling and fingerprinting
+    (queries/dedup.py, queries/sampling.py all key on these). Pure
+    codegen column expressions: one scan, zero shuffle; at 100 TB the
+    hash rides the existing scan for free. Both engines emit lowercase
+    hex so the parity is byte-exact."""
+    t = load_tables(spark, sf_dir, "part")
+    return t["part"].select(
+        "p_partkey",
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.concat_ws("|", "p_name", "p_brand"), 256).alias("row_sha256"),
+        F.length(F.md5(F.col("p_name").cast("binary"))).alias("md5_len"),
+    )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS q_lang
+    FROM documents
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via Spark's parse_url (HOST / PATH / keyed
+    QUERY param) over a synthesized-from-columns URL. The oracle builds
+    the expected parts from the raw columns independently, so parse_url
+    semantics (not string concat) are what's under test. Codegen-only
+    — crawl-scale URL normalization with no Python in the path."""
+    t = load_tables(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    )

@@ -266,3 +266,99 @@ def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         r2(F.avg("o_totalprice").over(w)).alias("moving_avg_3"),
     )
+
+
+@query(
+    "window_fill_forward",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           round(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+                            IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS value_filled,
+           (event_type = 'click') AS was_gap
+    FROM events
+    """,
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): sensor/metric
+    streams full of nulls take the most recent non-null value per key.
+    Nulls are synthesized deterministically (click events carry no
+    value) so both engines fill the same gaps. One shuffle on user_id;
+    the running frame is computed in a single pass per partition —
+    never a self-join, which is the naive O(n²) formulation."""
+    t = load_tables(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        r2(F.last(sparse, ignorenulls=True).over(w)).alias("value_filled"),
+        (F.col("event_type") == "click").alias("was_gap"),
+    )
+
+
+@query(
+    "ts_resample_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, avg(value) AS day_avg
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT g.user_id, epoch_us(g.day) AS day_us,
+           round(d.day_avg, 2) AS day_avg,
+           round(last_value(d.day_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS day_avg_filled,
+           d.day_avg IS NULL AS is_gap
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a daily grid + gap-fill: aggregate each
+    user's events to daily means, densify to EVERY day between that
+    user's first and last activity (sequence+explode — the grid is
+    generated executor-side per key, never a driver loop or a global
+    calendar cross-join), then forward-fill missing days. The grid
+    explode keys the left join on (user_id, day) so the fill window
+    reuses the same hash partitioning; at 100 TB the grid size is
+    bounded by span×keys, independent of event volume."""
+    t = load_tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("day_avg"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        ts_us("day").alias("day_us"),
+        r2(F.col("day_avg")).alias("day_avg"),
+        r2(F.last("day_avg", ignorenulls=True).over(w)).alias("day_avg_filled"),
+        F.col("day_avg").isNull().alias("is_gap"),
+    )
