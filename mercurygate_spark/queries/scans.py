@@ -365,3 +365,45 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(
         F.count("*").alias("n_good"), r2(F.sum("o_totalprice")).alias("sum_total")
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           octet_length(encode(text)) AS length,
+           substr(hex(encode(text)), 1, 8) AS head_hex,
+           substr(hex(encode(text)), octet_length(encode(text)) * 2 - 7, 8) AS tail_hex
+    FROM documents
+    WHERE doc_id < 20 AND octet_length(encode(text)) >= 8
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's ``binaryFile`` source — the
+    entry point for multimodal corpora (images/audio/video land as
+    (path, length, content) rows; queries/multimodal.py parses from
+    there). A bounded fixture set (20 docs' utf-8 bytes written as
+    .bin files) is read back as blobs; head/tail hex proves content
+    fidelity byte-for-byte at both ends of each file, and the oracle
+    replays the same bytes straight from the documents view. At 100 TB
+    each file is one task (binaryFile never splits a file), and
+    Catalyst prunes the `content` column when downstream projects only
+    metadata."""
+    path = _tmp("binary_files")
+    os.makedirs(path, exist_ok=True)
+    fixtures = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # bounded by construction: < 20 rows at any SF
+    )
+    for r in fixtures:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    df = spark.read.format("binaryFile").load(path)
+    return df.where(F.length("content") >= 8).select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.hex(F.substring("content", 1, 4)).alias("head_hex"),
+        F.hex(F.expr("substring(content, -4, 4)")).alias("tail_hex"),
+    )

@@ -744,3 +744,66 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 10)
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), idf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+             tf.tf * (ln((n.n_docs + 1.0) / (idf.df + 1.0)) + 1.0) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (idf.df + 1.0)) + 1.0) DESC,
+                        tf.term
+             ) AS rn
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smoothed idf:
+    ln((N+1)/(df+1))+1, sklearn's formulation) — keyword extraction /
+    relevance scoring over a crawl corpus. Plan: one tokenize+explode
+    pass feeds BOTH the per-doc tf agg and the per-term df agg; they
+    rejoin keyed on term (df side is post-agg, |vocab| rows — AQE
+    broadcasts it when small; at 100 TB vocab it stays a shuffle join,
+    which is the correct strategy). The corpus size N is a 1-row
+    broadcast crossJoin, and the final top-3 is a WindowGroupLimit —
+    per-partition pre-rank, never a global sort. Tie-break on term asc
+    pins rank order; equal (tf, df) pairs produce bit-identical doubles
+    in both engines so the qualifying set is deterministic."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = t["documents"].agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", r6(tfidf).alias("tfidf"))
+    )
