@@ -69,7 +69,13 @@ def test_column_pruning(spark):
 #   total token count — a 1-row scalar broadcast-crossed into freq.
 # - project_dense_grid: DELIBERATE densification cross of two bounded
 #   dimension domains (5 regions × 5 priorities) — never fact-sized.
-_BOUNDED_BNLJ_OK = {"sim_cosine_topk", "text_unigram_logprob", "project_dense_grid"}
+_BOUNDED_BNLJ_OK = {
+    "sim_cosine_topk",
+    "text_unigram_logprob",
+    "project_dense_grid",
+    # 1-row corpus-size frame broadcast onto the tf×df join
+    "text_tfidf_topk",
+}
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
 # full streaming drain) before returning a trivial read-back aggregate:
@@ -282,3 +288,18 @@ def test_bucketed_join_has_no_join_exchange(spark):
     join_part = s[s.index("SortMergeJoin"):]
     assert "Exchange" not in join_part
     assert "Bucketed: true" in s or "SelectedBucketsCount" in s
+
+
+def test_tfidf_never_hints_vocabulary_broadcast(spark):
+    """tf×df rejoin is keyed on term — the df side is |vocab| rows,
+    unbounded at web scale, so it must NOT carry a broadcast hint
+    (AQE may still broadcast adaptively when stats fit). The only
+    hint is the 1-row corpus-count frame; the final top-3 must push
+    a WindowGroupLimit so no full per-doc sort happens."""
+    df = all_queries()["text_tfidf_topk"](spark, SF)
+    o = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in o.splitlines() if "Join Inner" in ln]
+    assert joins and all("broadcast" not in ln for ln in joins)
+    assert o.count("strategy=broadcast") == 1
+    s = _plan(spark, "text_tfidf_topk")
+    assert "WindowGroupLimit" in s
