@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import r2, ts_us
+from mercurygate_spark.functions import r2, r6, ts_us
 from mercurygate_spark.operators.sessionize import sessionize
 from mercurygate_spark.queries.registry import load_tables, query
 
@@ -548,5 +548,41 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.col("o_orderpriority").alias("mode_priority"),
             F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, sum(c) AS n FROM counts GROUP BY 1
+    )
+    SELECT counts.user_id,
+           count(*) AS n_types,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy_nats
+    FROM counts JOIN tot USING (user_id)
+    GROUP BY counts.user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score data curation uses to separate bots
+    (entropy ~0) from organic users. Two chained hash aggs on the SAME
+    user_id key — the second groupBy and the join reuse the first
+    shuffle's partitioning, so the fact shuffles once."""
+    t = load_tables(spark, sf_dir, "events")
+    counts = t["events"].groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    return (
+        counts.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            r6(-F.sum(p * F.log(p))).alias("entropy_nats"),
         )
     )

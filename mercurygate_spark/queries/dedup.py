@@ -280,3 +280,56 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         r6(F.col("n_common") / least).alias("containment"),
     )
+
+
+@query(
+    "dedup_url_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM/docs/'
+               || CAST(doc_id % 100 AS VARCHAR)
+               || CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                    WHEN 1 THEN '/'
+                    ELSE '' END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             rtrim(regexp_replace(lower(url), '\\?utm_[a-z_]+=[^&]*(&utm_[a-z_]+=[^&]*)*$', ''), '/') AS curl
+      FROM raw
+    )
+    SELECT curl, count(*) AS n_dupes, min(doc_id) AS canonical_doc
+    FROM canon GROUP BY curl
+    """,
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — crawl frontiers re-fetch the same page as
+    scheme/case variants, tracking-param suffixes and trailing slashes.
+    Normalize (lowercase, strip utm_* query params, trim trailing '/')
+    then keep min(doc_id) per canonical URL. The mess is synthesized
+    deterministically from doc_id so both engines canonicalize the
+    same variants. Map-side string ops + one hash agg on the canonical
+    key; at crawl scale the agg carries (url, id), never page bodies."""
+    t = load_tables(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    curl = F.rtrim(
+        F.regexp_replace(
+            F.lower(url), r"\?utm_[a-z_]+=[^&]*(&utm_[a-z_]+=[^&]*)*$", ""
+        ),
+        F.lit("/"),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.count("*").alias("n_dupes"), F.min("doc_id").alias("canonical_doc"))
+    )

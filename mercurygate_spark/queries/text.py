@@ -807,3 +807,152 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", r6(tfidf).alias("tfidf"))
     )
+
+
+_BM25_TERMS = ("vector", "merge", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), doclen AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), corpus AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           count(*) AS n_query_terms,
+           round(sum(
+             ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * doclen.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance (k1=1.2, b=0.75, Robertson-Sparck Jones
+    +1-smoothed idf) of every document against a fixed 3-term query —
+    the retrieval-scoring primitive under corpus search / RAG recall.
+    Plan: the tokenize pass feeds doc-length and (query-filtered) tf
+    aggs; the per-term df and the 1-row (N, avgdl) frame are both tiny
+    by construction (|query| rows) so they broadcast; the only
+    fact-sized shuffles are the two hash aggs keyed on doc_id. Query
+    terms are pushed as an isin filter BEFORE the tf agg — at 100 TB
+    the scored frame is |matching docs|, never |corpus tokens|."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_query_terms"), r6(F.sum(score)).alias("bm25"))
+    )
+
+
+@query(
+    "text_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), src AS (
+      SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, sum(c) AS n FROM src GROUP BY 1
+    ), corp AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY 1
+    ), corp_tot AS (
+      SELECT count(*) AS n FROM toks
+    )
+    SELECT src.source,
+           count(*) AS n_terms,
+           round(sum(
+             (src.c * 1.0 / src_tot.n)
+             * ln((src.c * 1.0 / src_tot.n) / (corp.c * 1.0 / corp_tot.n))
+           ), 6) AS kl_bits
+    FROM src
+    JOIN src_tot USING (source)
+    JOIN corp USING (term)
+    CROSS JOIN corp_tot
+    GROUP BY src.source
+    """,
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution vs the
+    whole corpus — the domain-shift score that drives mixture
+    reweighting (DoReMi-style) and contamination triage. One tokenize
+    pass feeds the (source, term) and (term) aggs; the corpus term
+    frame joins back keyed on term (post-agg, |vocab| rows — no hint,
+    AQE decides), the per-source totals broadcast (|sources| rows),
+    and the grand total is a 1-row cross. Support is total by
+    construction (every source term IS a corpus term), so the inner
+    join loses nothing and KL is finite."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    src = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corp = toks.groupBy("term").agg(F.count("*").alias("cc"))
+    corp_tot = toks.agg(F.count("*").alias("nn"))
+    p_s = F.col("c") * F.lit(1.0) / F.col("n")
+    p_c = F.col("cc") * F.lit(1.0) / F.col("nn")
+    return (
+        src.join(F.broadcast(src_tot), "source")
+        .join(corp, "term")
+        .crossJoin(F.broadcast(corp_tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            r6(F.sum(p_s * F.log(p_s / p_c))).alias("kl_bits"),
+        )
+    )

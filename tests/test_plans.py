@@ -75,6 +75,10 @@ _BOUNDED_BNLJ_OK = {
     "project_dense_grid",
     # 1-row corpus-size frame broadcast onto the tf×df join
     "text_tfidf_topk",
+    # 1-row (N, avgdl) frame broadcast into the BM25 denominator
+    "text_bm25_score",
+    # 1-row corpus-total frame broadcast into the KL normalizer
+    "text_kl_divergence",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
