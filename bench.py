@@ -46,6 +46,9 @@ HEADLINE = [
     "sim_cosine_ann_lsh_multi",   # multi-table LSH union ANN
     "pipeline_pack_sequences",    # sharded-prefix-sum sequence packing
     "multimodal_video_meta",      # MP4 build+parse round trip (Arrow UDF path)
+    # round-7 additions
+    "text_tfidf_topk",            # tokenize→tf/df rejoin→WindowGroupLimit
+    "ts_resample_gapfill",        # grid densify + forward-fill window
 ]
 
 

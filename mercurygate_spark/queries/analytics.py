@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r2, r6, ts_us
+from mercurygate_spark.operators.graph import pagerank, pagerank_oracle_sql
 from mercurygate_spark.operators.sessionize import sessionize
 from mercurygate_spark.queries.registry import load_tables, query
 
@@ -586,3 +587,29 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(-F.sum(p * F.log(p))).alias("entropy_nats"),
         )
     )
+
+
+@query("graph_pagerank", oracle=pagerank_oracle_sql(iters=3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) on the order↔part
+    bipartite graph — distinct lineitem (order, part) pairs edged in
+    BOTH directions so no node dangles. The oracle is the exact
+    unrolled-CTE twin generated by the same module that runs the Spark
+    loop (operators/graph.py), so iteration count and damping cannot
+    drift. Per-iteration cost: one src-keyed join + one dst-keyed
+    groupBy-sum; ranks checkpoint each round (lineage truncation, the
+    connected_components doctrine)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    base = (
+        t["lineitem"]
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("o"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("o").alias("src"), F.col("p").alias("dst")).unionAll(
+        base.select(F.col("p").alias("src"), F.col("o").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3)
+    return ranks.select("node", r6(F.col("pr")).alias("pr"))

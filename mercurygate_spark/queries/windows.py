@@ -362,3 +362,50 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.last("day_avg", ignorenulls=True).over(w)).alias("day_avg_filled"),
         F.col("day_avg").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT epoch_us(day) AS day_us,
+           round(revenue, 2) AS revenue,
+           round(median(revenue) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_med7
+    FROM daily
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving median of daily revenue — the robust trend line
+    (medians shrug off the spike days that wreck moving means). Spark
+    forbids a frame on median() itself, so the frame collects into a
+    sorted array and the median is read out by index — exact, and the
+    even-count interpolation (mean of the two middles) matches DuckDB's
+    median. Bounded state: the frame is 7 rows, so the array never
+    exceeds 7 doubles. The window is global-ordered BY DESIGN: it runs
+    on the post-agg daily frame, whose row count is bounded by calendar
+    days (~10³) regardless of fact volume, so the single-partition sort
+    never sees more than that."""
+    t = load_tables(spark, sf_dir, "orders")
+    daily = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    arr = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(arr)
+    med = (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    return daily.select(
+        ts_us("day").alias("day_us"),
+        r2(F.col("revenue")).alias("revenue"),
+        r2(med).alias("revenue_med7"),
+    )

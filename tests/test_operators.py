@@ -758,3 +758,25 @@ def test_asof_nearest_tie_prefers_backward(spark):
         direction="nearest", tolerance_seconds=60,
     ).collect()
     assert out2 == []  # nothing within ±1 minute
+
+
+def test_pagerank_star_graph_exact_and_mass_conserving(spark):
+    """On a bidirectional star (c↔l1..l3): after one iteration
+    pr(c) = 0.15 + 0.85·3 = 2.70 and pr(leaf) = 0.15 + 0.85/3.
+    Because every node redistributes its full mass (no dangling
+    nodes by contract), total rank mass stays fixed at n for any
+    iteration count — the invariant that catches a dropped edge or
+    a missed normalization at any scale."""
+    from mercurygate_spark.operators.graph import pagerank
+
+    base = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(1, 4)], ["src", "dst"]
+    )
+    edges = base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    for iters in (1, 3):
+        rows = {r["node"]: r["pr"] for r in pagerank(edges, iters=iters).collect()}
+        assert len(rows) == 4
+        assert abs(sum(rows.values()) - 4.0) < 1e-9
+        if iters == 1:
+            assert abs(rows["c"] - 2.70) < 1e-9
+            assert abs(rows["l1"] - (0.15 + 0.85 / 3)) < 1e-9
