@@ -5,7 +5,7 @@ sessionization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r2, r6, ts_us
@@ -613,3 +613,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iters=3)
     return ranks.select("node", r6(F.col("pr")).alias("pr"))
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY x, c_custkey
+             ) AS rk
+      FROM spend
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(2.0 * sum(rk * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    revenue-concentration KPI (0 = everyone spends alike, →1 = one
+    whale). Rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending spend; ties contribute identically under any permutation
+    so the row_number tie-break (custkey) affects nothing. Per-segment
+    windows on the post-agg spend frame (|customers| rows), never on
+    the fact."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    spend = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = spend.withColumn("rk", F.row_number().over(w))
+    n, sx = F.count("*"), F.sum("x")
+    return ranked.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        r6(
+            F.lit(2.0) * F.sum(F.col("rk") * F.col("x")) / (n * sx)
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )

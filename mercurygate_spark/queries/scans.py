@@ -407,3 +407,33 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring("content", 1, 4)).alias("head_hex"),
         F.hex(F.expr("substring(content, -4, 4)")).alias("tail_hex"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations under one root —
+    v1 files lack the o_orderstatus column a later producer added —
+    merged by ``mergeSchema=true`` (old rows surface NULL, exactly like
+    the oracle's CASE). This is the long-lived-table reality at 100 TB:
+    you can never rewrite history to add a column. Per-file footer
+    merge happens at planning; pruning/pushdown still work on the
+    merged schema."""
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("schema_evolution")
+    t["orders"].where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{path}/v1")
+    t["orders"].where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{path}/v2")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{path}/v1", f"{path}/v2")
+    return df.select(
+        "o_orderkey", r2(F.col("o_totalprice")).alias("o_totalprice"), "o_orderstatus"
+    )

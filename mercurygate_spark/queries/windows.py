@@ -409,3 +409,55 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.col("revenue")).alias("revenue"),
         r2(med).alias("revenue_med7"),
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS BIGINT) AS di
+      FROM events
+    ), isl AS (
+      SELECT user_id, di,
+             di - row_number() OVER (PARTITION BY user_id ORDER BY di) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           max(len) AS longest_streak,
+           count(*) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user via the classic day − row_number() trick (consecutive days
+    share a constant difference, so the group key is pure arithmetic —
+    no self-join, no iteration). Distinct-day dedupe, one row_number
+    window and two hash aggs, all keyed on user_id: the fact shuffles
+    once and every later stage reuses that partitioning."""
+    t = load_tables(spark, sf_dir, "events")
+    days = (
+        t["events"]
+        .select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("di"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("di")
+    streaks = (
+        days.withColumn("grp", F.col("di") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
