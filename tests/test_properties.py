@@ -338,3 +338,84 @@ def test_sessionize_matches_sequential_reference(spark, gap_min, events):
             prev = ts
         expect.append((u, start, n))
     assert got == sorted(expect)
+
+
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),  # (user, epoch-day)
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_gaps_islands_matches_sequential_reference(spark, days):
+    """The day − row_number() islands trick must agree with a literal
+    per-user scan: longest run of consecutive distinct days, number of
+    runs, and total distinct active days."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(days, schema="user_id long, di long").distinct()
+    w = Window.partitionBy("user_id").orderBy("di")
+    streaks = (
+        df.withColumn("grp", F.col("di") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    got = sorted(
+        (r["user_id"], r["longest"], r["n_streaks"], r["active"])
+        for r in streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest"),
+            F.count("*").alias("n_streaks"),
+            F.sum("len").alias("active"),
+        )
+        .collect()
+    )
+
+    by_user: dict[int, set] = {}
+    for u, d in days:
+        by_user.setdefault(u, set()).add(d)
+    expect = []
+    for u, ds in by_user.items():
+        sd = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expect.append((u, max(runs), len(runs), len(sd)))
+    assert got == sorted(expect)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_moving_median_array_readout_matches_numpy(spark, vals):
+    """The sorted-array frame readout (windows.window_moving_median's
+    mechanism) must equal numpy's exact median over every trailing
+    7-element window — including the even-count interpolation."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, schema="i long, x double")
+    w = Window.orderBy("i").rowsBetween(-6, Window.currentRow)
+    arr = F.array_sort(F.collect_list("x").over(w))
+    n = F.size(arr)
+    med = (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    got = {r["i"]: r["m"] for r in df.select("i", med.alias("m")).collect()}
+    xs = [v for _, v in rows]
+    for i in range(len(xs)):
+        window = xs[max(0, i - 6) : i + 1]
+        assert abs(got[i] - float(np.median(window))) < 1e-9
