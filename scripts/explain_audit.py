@@ -47,6 +47,9 @@ def main() -> None:
         "text_edit_distance_pairs",  # blocked quadratic stays equi-join
         "dedup_ngram_containment",   # shingle-equi join, no cartesian
         "agg_funnel_steps_n",        # one partitioning lineage, n steps
+        "graph_pagerank",            # per-iteration join+agg, checkpointed ranks
+        "text_bm25_score",           # query-filter before tf agg, tiny frames broadcast
+        "window_gaps_islands",       # single user_id partitioning lineage
     ]
     for name in HEADLINE + scale_showcase:
         df = queries[name](spark, SF_DIR)
