@@ -461,3 +461,67 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.sum("len").alias("active_days"),
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_DEPTH = 10
+
+
+def _ewma_oracle_sql(alpha: float = _EWMA_ALPHA, depth: int = _EWMA_DEPTH) -> str:
+    """Generated oracle twin of window_ewma: the same truncated-kernel
+    lag expansion, emitted from the same coefficients, so alpha/depth
+    cannot drift between engines."""
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w * {(1 - alpha) ** j!r}, 0)"
+        for j in range(depth)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {(1 - alpha) ** j!r} ELSE 0 END)"
+        for j in range(depth)
+    )
+    return f"""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("window_ewma", oracle=_ewma_oracle_sql())
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3) per user event
+    stream, truncated to a 10-lag kernel — the smoothing op behind
+    anomaly baselines and rate limiters. The recursive EWMA is not
+    window-expressible; the truncated kernel is (error ≤ (1−α)¹⁰ ≈ 2.8%
+    of a unit step) and keeps the state bounded — the same tradeoff a
+    streaming implementation makes. Both engines expand the SAME
+    coefficient list (the oracle SQL is generated from it), partial
+    sums in the same lag order, so parity is exact. One shuffle on
+    user_id; 10 lags over one ordered pass."""
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        (
+            F.coalesce(
+                F.lag("value", j).over(w) * F.lit((1 - _EWMA_ALPHA) ** j), F.lit(0.0)
+            )
+            for j in range(_EWMA_DEPTH)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("value", j).over(w).isNotNull(),
+                F.lit((1 - _EWMA_ALPHA) ** j),
+            ).otherwise(F.lit(0.0))
+            for j in range(_EWMA_DEPTH)
+        ),
+        F.lit(0.0),
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        ts_us("ts").alias("ts_us"),
+        r6(num / den).alias("ewma"),
+    )
