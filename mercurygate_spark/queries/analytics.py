@@ -661,3 +661,53 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+@query(
+    "window_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS BIGINT) AS di,
+             user_id
+      FROM events
+    ), bounds AS (
+      SELECT max(di) AS max_di FROM du
+    ), contrib AS (
+      SELECT unnest(generate_series(di, least(di + 6, bounds.max_di))) AS target_di,
+             user_id
+      FROM du CROSS JOIN bounds
+    )
+    SELECT target_di AS di,
+           count(DISTINCT user_id) AS wau
+    FROM contrib GROUP BY 1
+    """,
+)
+def window_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the engagement KPI a
+    naive implementation writes as a per-day correlated COUNT(DISTINCT)
+    over a 7-day self-join. Here each distinct (day, user) pair
+    CONTRIBUTES itself to its 7 target days via sequence+explode
+    (bounded 7× fanout of the already-deduped pair set), then one
+    distinct-count per target day — two hash aggs, no self-join, no
+    window over an unbounded frame. Days past the data's edge are
+    clamped so both engines emit the same day range."""
+    t = load_tables(spark, sf_dir, "events")
+    du = (
+        t["events"]
+        .select(
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("di"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = du.agg(F.max("di").alias("max_di"))
+    contrib = du.crossJoin(F.broadcast(bounds)).select(
+        F.explode(
+            F.sequence(F.col("di"), F.least(F.col("di") + 6, F.col("max_di")))
+        ).alias("di"),
+        "user_id",
+    )
+    return contrib.groupBy("di").agg(F.count_distinct("user_id").alias("wau"))

@@ -79,6 +79,8 @@ _BOUNDED_BNLJ_OK = {
     "text_bm25_score",
     # 1-row corpus-total frame broadcast into the KL normalizer
     "text_kl_divergence",
+    # 1-row max-day frame broadcast to clamp the WAU fanout edge
+    "window_rolling_active_users",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
