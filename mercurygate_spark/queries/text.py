@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import r6
+from mercurygate_spark.functions import r6, tokens
 from mercurygate_spark.operators.dedup import (
     duck_connected_components_sql,
     duck_minhash_pairs_sql,
@@ -663,7 +663,7 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     approx-quantile threshold + broadcast join (compute each domain's
     median score with percentile_approx, keep rows above it) — same
     semantics minus exact tie handling, zero global sorts."""
-    from mercurygate_spark.functions import r6
+    from mercurygate_spark.functions import r6, tokens
     from mercurygate_spark.operators.text import quality_features
 
     t = load_tables(spark, sf_dir, "documents")
@@ -787,12 +787,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins rank order; equal (tf, df) pairs produce bit-identical doubles
     in both engines so the qualifying set is deterministic."""
     t = load_tables(spark, sf_dir, "documents")
-    toks = t["documents"].select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("term"),
-    )
+    toks = t["documents"].select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n_docs"))
@@ -856,12 +851,7 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms are pushed as an isin filter BEFORE the tf agg — at 100 TB
     the scored frame is |matching docs|, never |corpus tokens|."""
     t = load_tables(spark, sf_dir, "documents")
-    toks = t["documents"].select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("term"),
-    )
+    toks = t["documents"].select("doc_id", F.explode(tokens("text")).alias("term"))
     doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = (
@@ -934,12 +924,7 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (every source term IS a corpus term), so the inner
     join loses nothing and KL is finite."""
     t = load_tables(spark, sf_dir, "documents")
-    toks = t["documents"].select(
-        "source",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("term"),
-    )
+    toks = t["documents"].select("source", F.explode(tokens("text")).alias("term"))
     src = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
     src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
     corp = toks.groupBy("term").agg(F.count("*").alias("cc"))
