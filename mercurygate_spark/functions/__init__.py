@@ -53,6 +53,12 @@ def r2(c: Column) -> Column:
     return _round_fixed(c, 2)
 
 
+def r4(c: Column) -> Column:
+    """Round derived double to 4 dp (rates/slopes). SQL twin via
+    registry.stabilize_rounding on round(x, 4)."""
+    return _round_fixed(c, 4)
+
+
 def r6(c: Column) -> Column:
     """Round derived double to 6 dp (ratios). SQL twin: sql_r6."""
     return _round_fixed(c, 6)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import r2, r6, ts_us
+from mercurygate_spark.functions import r2, r4, r6, ts_us
 from mercurygate_spark.operators.graph import pagerank, pagerank_oracle_sql
 from mercurygate_spark.operators.sessionize import sessionize
 from mercurygate_spark.queries.registry import load_tables, query
@@ -711,3 +711,56 @@ def window_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return contrib.groupBy("di").agg(F.count_distinct("user_id").alias("wau"))
+
+
+@query(
+    "agg_regression_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT c_mktsegment,
+             CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', o_orderdate)) AS BIGINT) AS x,
+             sum(o_totalprice) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_days,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 2) AS intercept
+    FROM daily GROUP BY c_mktsegment
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trend: OLS slope/intercept of daily revenue
+    vs epoch-day, from the closed-form normal equations written out as
+    raw moment sums (NOT regr_slope — both engines evaluate the same
+    Σx/Σy/Σxy/Σx² expression, so there is no estimator-implementation
+    drift to reconcile). The daily agg shrinks the fact to
+    |segments|×|days| rows before any double math; one extra hash agg
+    computes all four moments in a single pass."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    daily = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return daily.groupBy("c_mktsegment").agg(
+        n.alias("n_days"),
+        r4(slope).alias("slope"),
+        r2((sy - slope * sx) / n).alias("intercept"),
+    )
