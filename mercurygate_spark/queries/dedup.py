@@ -333,3 +333,98 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("curl")
         .agg(F.count("*").alias("n_dupes"), F.min("doc_id").alias("canonical_doc"))
     )
+
+
+_TRUTH_JACCARD = 0.5
+
+
+def _minhash_eval_oracle() -> str:
+    """Generated oracle for pipeline_minhash_eval: minhash candidates
+    (replayed via duck_minhash_pairs_sql) scored against the exact
+    same-source Jaccard≥t truth set — both sides assembled from the
+    SAME fragments their standalone keys use."""
+    return f"""
+    WITH cand0 AS (
+      SELECT id_a, id_b FROM ({duck_minhash_pairs_sql()})
+    ), src AS (
+      SELECT doc_id, source FROM documents
+    ), cand AS (
+      SELECT c.id_a, c.id_b
+      FROM cand0 c
+      JOIN src a ON a.doc_id = c.id_a
+      JOIN src b ON b.doc_id = c.id_b
+      WHERE a.source = b.source
+    ), sh AS (
+      SELECT doc_id, source AS bucket, {duck_shingles_sql()} AS sh FROM documents
+    ), sizes AS (
+      SELECT doc_id, bucket, len(sh) AS n_sh FROM sh
+    ), ex AS (
+      SELECT doc_id, bucket, unnest(sh) AS s FROM sh
+    ), inter AS (
+      SELECT a.bucket, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ), truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a AND sa.bucket = i.bucket
+      JOIN sizes sb ON sb.doc_id = i.id_b AND sb.bucket = i.bucket
+      WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= {_TRUTH_JACCARD}
+    ), hit AS (
+      SELECT c.id_a FROM cand c JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT (SELECT count(*) FROM cand)  AS n_candidates,
+           (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM hit)   AS n_hit,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / nullif((SELECT count(*) FROM cand), 0), 6)  AS precision_vs_truth,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall
+    """
+
+
+@query("pipeline_minhash_eval", oracle=_minhash_eval_oracle())
+def pipeline_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation IN the engine: MinHash-LSH candidate
+    pairs scored against the exact trigram-Jaccard≥0.5 truth set
+    (same-source pairs, the shared blocking scope), reporting
+    precision-vs-truth and recall as one row. This is the measurement
+    a 100 TB dedup run does on a sample shard before trusting the
+    sketch fleet-wide; here BOTH pipelines and the comparison are the
+    engine's own oracle-checked operators composed — candidate join is
+    band-equi, truth join is shingle-equi, the intersection is one
+    pair-keyed join of two small pair frames.
+
+    Note 'precision_vs_truth', not precision: candidates below the 0.5
+    truth bar are counted against it, which is exactly what you want
+    the number to mean when tuning band/row counts."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    src = docs.select("doc_id", "source")
+    cand = (
+        minhash_candidate_pairs(docs, "doc_id")
+        .join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"), "id_b")
+        .where(F.col("src_a") == F.col("src_b"))
+        .select("id_a", "id_b")
+    )
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "source", threshold=_TRUTH_JACCARD
+    ).select("id_a", "id_b")
+    hit = cand.join(truth, ["id_a", "id_b"])
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    joined = n_cand.crossJoin(F.broadcast(n_truth)).crossJoin(F.broadcast(n_hit))
+    return joined.select(
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        r6(
+            F.col("n_hit") * F.lit(1.0) / F.nullif(F.col("n_candidates"), F.lit(0))
+        ).alias("precision_vs_truth"),
+        r6(F.col("n_hit") * F.lit(1.0) / F.nullif(F.col("n_truth"), F.lit(0))).alias(
+            "recall"
+        ),
+    )

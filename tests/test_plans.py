@@ -81,6 +81,8 @@ _BOUNDED_BNLJ_OK = {
     "text_kl_divergence",
     # 1-row max-day frame broadcast to clamp the WAU fanout edge
     "window_rolling_active_users",
+    # three 1-row count frames crossed into the final metrics row
+    "pipeline_minhash_eval",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
