@@ -15,9 +15,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
+PAGERANK_ITERS = 3  # shared by graph_pagerank AND its generated oracle
 
 
-def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_iteration(e: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One power-iteration step: (edges⋈deg)⋈ranks keyed on src, then
+    the dst-keyed mass sum with damping. Exposed separately so plan
+    tests can pin the PRE-checkpoint iteration shape (the checkpointed
+    loop's executed plan truncates to a scan and would hide a
+    regression to cartesian/BNLJ)."""
+    contribs = (
+        e.join(ranks, e["src"] == ranks["node"])
+        .groupBy("dst")
+        .agg(F.sum(F.col("pr") / F.col("d")).alias("mass"))
+    )
+    return contribs.select(
+        F.col("dst").alias("node"),
+        (F.lit(1.0 - DAMPING) + F.lit(DAMPING) * F.col("mass")).alias("pr"),
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst).
 
     Contract: every node must appear as a src (true for any
@@ -38,19 +56,11 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     e = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for _ in range(iters):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("mass"))
-        )
-        ranks = contribs.select(
-            F.col("dst").alias("node"),
-            (F.lit(1.0 - DAMPING) + F.lit(DAMPING) * F.col("mass")).alias("pr"),
-        ).localCheckpoint(eager=True)
+        ranks = pagerank_iteration(e, ranks).localCheckpoint(eager=True)
     return ranks
 
 
-def pagerank_oracle_sql(iters: int = 3, damping: float = DAMPING) -> str:
+def pagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
     """The EXACT unrolled-CTE twin of :func:`pagerank` on the
     order↔part bipartite graph — one CTE per iteration, generated so
     the oracle and the Spark loop can never drift on iteration count

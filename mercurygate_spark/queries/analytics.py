@@ -533,8 +533,6 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two stages: a partial+final hash agg shrinks the fact to
     |status×priority| rows, then the rank window runs on that tiny
     grid — the expensive pass never sees a window function."""
-    from pyspark.sql import Window
-
     t = load_tables(spark, sf_dir, "orders")
     counts = t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("cnt")
@@ -589,7 +587,7 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank", oracle=pagerank_oracle_sql(iters=3))
+@query("graph_pagerank", oracle=pagerank_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, d=0.85) on the order↔part
     bipartite graph — distinct lineitem (order, part) pairs edged in
@@ -611,7 +609,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.select(F.col("o").alias("src"), F.col("p").alias("dst")).unionAll(
         base.select(F.col("p").alias("src"), F.col("o").alias("dst"))
     )
-    ranks = pagerank(edges, iters=3)
+    ranks = pagerank(edges)  # PAGERANK_ITERS — one constant, both sides
     return ranks.select("node", r6(F.col("pr")).alias("pr"))
 
 

@@ -409,9 +409,15 @@ def pipeline_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src_a") == F.col("src_b"))
         .select("id_a", "id_b")
     )
-    truth = ngram_jaccard_pairs(
-        docs, "doc_id", "source", threshold=_TRUTH_JACCARD
-    ).select("id_a", "id_b")
+    # both pair frames feed TWO count branches each — materialize once
+    # (eager localCheckpoint) so the band join and the shingle self-join
+    # run once, not per branch
+    cand = cand.localCheckpoint(eager=True)
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", "source", threshold=_TRUTH_JACCARD)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     hit = cand.join(truth, ["id_a", "id_b"])
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))

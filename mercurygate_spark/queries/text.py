@@ -663,7 +663,6 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     approx-quantile threshold + broadcast join (compute each domain's
     median score with percentile_approx, keep rows above it) — same
     semantics minus exact tie handling, zero global sorts."""
-    from mercurygate_spark.functions import r6, tokens
     from mercurygate_spark.operators.text import quality_features
 
     t = load_tables(spark, sf_dir, "documents")
@@ -789,7 +788,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     toks = t["documents"].select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df from the (doc, term) frame — one row per doc×term already, so
+    # a plain count, never a second distinct pass over |corpus tokens|
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n_docs"))
     tfidf = F.col("tf") * (
         F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)

@@ -364,6 +364,33 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def moving_median_expr(col: str, w) -> "F.Column":
+    """Exact median over a window frame via sorted-array readout
+    (Spark forbids frames on median() itself). Even-count frames
+    interpolate the two middles — DuckDB median semantics. Shared by
+    window_moving_median and its property test, so the index
+    arithmetic is pinned to the production expression."""
+    arr = F.array_sort(F.collect_list(col).over(w))
+    n = F.size(arr)
+    return (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+
+
+def streaks(days: DataFrame, user_col: str = "user_id", di_col: str = "di") -> DataFrame:
+    """Gaps-and-islands contraction: distinct (user, epoch-day) rows →
+    one row per consecutive-day run (user, grp, len) via the
+    day − row_number constant-difference trick. Shared by
+    window_gaps_islands and its property test."""
+    w = Window.partitionBy(user_col).orderBy(di_col)
+    return (
+        days.withColumn("grp", F.col(di_col) - F.row_number().over(w))
+        .groupBy(user_col, "grp")
+        .agg(F.count("*").alias("len"))
+    )
+
+
 @query(
     "window_moving_median",
     oracle="""
@@ -398,12 +425,7 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    arr = F.array_sort(F.collect_list("revenue").over(w))
-    n = F.size(arr)
-    med = (
-        F.element_at(arr, ((n + 1) / 2).cast("int"))
-        + F.element_at(arr, (n / 2 + 1).cast("int"))
-    ) / 2
+    med = moving_median_expr("revenue", w)
     return daily.select(
         ts_us("day").alias("day_us"),
         r2(F.col("revenue")).alias("revenue"),
@@ -450,13 +472,7 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("user_id").orderBy("di")
-    streaks = (
-        days.withColumn("grp", F.col("di") - F.row_number().over(w))
-        .groupBy("user_id", "grp")
-        .agg(F.count("*").alias("len"))
-    )
-    return streaks.groupBy("user_id").agg(
+    return streaks(days).groupBy("user_id").agg(
         F.max("len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
         F.sum("len").alias("active_days"),

@@ -47,7 +47,11 @@ def main() -> None:
         "text_edit_distance_pairs",  # blocked quadratic stays equi-join
         "dedup_ngram_containment",   # shingle-equi join, no cartesian
         "agg_funnel_steps_n",        # one partitioning lineage, n steps
-        "graph_pagerank",            # per-iteration join+agg, checkpointed ranks
+        # graph_pagerank is NOT showcased: its executed plan truncates
+        # to a post-checkpoint scan (lineage truncation working as
+        # intended) and shows none of the iteration shape; that shape
+        # is pinned instead by
+        # tests/test_plans.py::test_pagerank_iteration_shape_pre_checkpoint
         "text_bm25_score",           # query-filter before tf agg, tiny frames broadcast
         "window_gaps_islands",       # single user_id partitioning lineage
     ]

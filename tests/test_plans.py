@@ -95,7 +95,7 @@ _EAGER_ROUNDTRIP_KEYS = {
     for name in all_queries()
     if name.startswith(("sink_", "stream_")) or name in {
         "scan_csv_infer", "scan_json_lines", "scan_text_lines",
-        "scan_csv_malformed",
+        "scan_csv_malformed", "scan_binary_files", "scan_schema_evolution",
     }
 }
 
@@ -311,3 +311,26 @@ def test_tfidf_never_hints_vocabulary_broadcast(spark):
     assert o.count("strategy=broadcast") == 1
     s = _plan(spark, "text_tfidf_topk")
     assert "WindowGroupLimit" in s
+
+
+def test_pagerank_iteration_shape_pre_checkpoint(spark):
+    """The checkpointed loop's executed plan truncates to a scan, so
+    the registry-wide cartesian sweep can't see inside pagerank. Pin
+    the PRE-checkpoint iteration body instead: an equi hash/sort-merge
+    join plus a partial+final aggregate, and never a cartesian or
+    nested-loop join."""
+    from mercurygate_spark.operators.graph import pagerank_iteration
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], ["src", "dst", "d"]
+    )
+    ranks = spark.createDataFrame([("a", 1.0), ("b", 1.0)], ["node", "pr"])
+    plan = (
+        pagerank_iteration(e, ranks)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "HashAggregate" in plan

@@ -349,21 +349,15 @@ def test_sessionize_matches_sequential_reference(spark, gap_min, events):
 )
 @settings(**SETTINGS)
 def test_gaps_islands_matches_sequential_reference(spark, days):
-    """The day − row_number() islands trick must agree with a literal
-    per-user scan: longest run of consecutive distinct days, number of
+    """The production streaks() contraction (used by window_gaps_islands)
+    must agree with a literal per-user scan: longest run of consecutive distinct days, number of
     runs, and total distinct active days."""
-    from pyspark.sql import Window
+    from mercurygate_spark.queries.windows import streaks
 
     df = spark.createDataFrame(days, schema="user_id long, di long").distinct()
-    w = Window.partitionBy("user_id").orderBy("di")
-    streaks = (
-        df.withColumn("grp", F.col("di") - F.row_number().over(w))
-        .groupBy("user_id", "grp")
-        .agg(F.count("*").alias("len"))
-    )
     got = sorted(
         (r["user_id"], r["longest"], r["n_streaks"], r["active"])
-        for r in streaks.groupBy("user_id")
+        for r in streaks(df).groupBy("user_id")
         .agg(
             F.max("len").alias("longest"),
             F.count("*").alias("n_streaks"),
@@ -399,21 +393,18 @@ def test_gaps_islands_matches_sequential_reference(spark, days):
 )
 @settings(**SETTINGS)
 def test_moving_median_array_readout_matches_numpy(spark, vals):
-    """The sorted-array frame readout (windows.window_moving_median's
-    mechanism) must equal numpy's exact median over every trailing
+    """The production moving_median_expr (used by window_moving_median)
+    must equal numpy's exact median over every trailing
     7-element window — including the even-count interpolation."""
     import numpy as np
     from pyspark.sql import Window
 
+    from mercurygate_spark.queries.windows import moving_median_expr
+
     rows = [(i, float(v)) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, schema="i long, x double")
     w = Window.orderBy("i").rowsBetween(-6, Window.currentRow)
-    arr = F.array_sort(F.collect_list("x").over(w))
-    n = F.size(arr)
-    med = (
-        F.element_at(arr, ((n + 1) / 2).cast("int"))
-        + F.element_at(arr, (n / 2 + 1).cast("int"))
-    ) / 2
+    med = moving_median_expr("x", w)
     got = {r["i"]: r["m"] for r in df.select("i", med.alias("m")).collect()}
     xs = [v for _, v in rows]
     for i in range(len(xs)):
