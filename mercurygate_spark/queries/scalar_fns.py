@@ -446,3 +446,70 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
     )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_clicks,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_keys
+    FROM events GROUP BY user_id
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column ops: per-user event_type→count built as a real
+    MapType via map_from_entries(collect_list(struct)), then read back
+    through element_at / map_keys / size. The oracle derives the same
+    facts WITHOUT a map (conditional count, distinct count, sorted key
+    list), so Spark's map semantics — not shared SQL — are under test.
+    Maps stay executor-side; only scalars leave the operator."""
+    t = load_tables(spark, sf_dir, "events")
+    counts = t["events"].groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_clicks"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("type_keys"),
+    )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS decrypted,
+           length(p_name) + 28 AS cipher_len,
+           true AS roundtrip_ok
+    FROM part
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip: aes_encrypt (GCM, random IV
+    — ciphertext is nondeterministic BY DESIGN, so the oracle pins the
+    deterministic facts: decrypt∘encrypt is identity and GCM output is
+    plaintext + 12-byte IV + 16-byte tag). The at-rest protection
+    pattern for PII columns that must stay joinable after decrypt."""
+    t = load_tables(spark, sf_dir, "part")
+    enc = F.expr("aes_encrypt(p_name, '0123456789abcdef')")  # AES-128 key
+    return t["part"].select(
+        "p_partkey",
+        F.expr(
+            "cast(aes_decrypt(aes_encrypt(p_name, '0123456789abcdef'),"
+            " '0123456789abcdef') as string)"
+        ).alias("decrypted"),
+        F.length(enc).cast("long").alias("cipher_len"),
+        (
+            F.expr(
+                "cast(aes_decrypt(aes_encrypt(p_name, '0123456789abcdef'),"
+                " '0123456789abcdef') as string)"
+            )
+            == F.col("p_name")
+        ).alias("roundtrip_ok"),
+    )

@@ -437,3 +437,58 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "o_orderkey", r2(F.col("o_totalprice")).alias("o_totalprice"), "o_orderstatus"
     )
+
+
+@query(
+    "scan_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_total,
+           round(min(o_totalprice), 2) AS min_total,
+           round(max(o_totalprice), 2) AS max_total,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive
+    FROM orders
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: data-quality
+    counters (row count, sum/min/max, nonpositive-price violations)
+    piggyback on the scan as observe() metrics — at 100 TB the DQ
+    audit rides the job that was running anyway, instead of a second
+    full pass. The observed values are returned as a 1-row frame and
+    pinned to the oracle's independent aggregation."""
+    from pyspark.sql import Observation
+
+    t = load_tables(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = t["orders"].observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("sum_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_nonpositive"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" job
+    m = obs.get
+    row = [
+        (
+            m["n_rows"],
+            float(m["sum_total"]),
+            float(m["min_total"]),
+            float(m["max_total"]),
+            m["n_nonpositive"],
+        )
+    ]
+    df = spark.createDataFrame(
+        row,
+        schema="n_rows long, sum_total double, min_total double, "
+        "max_total double, n_nonpositive long",
+    )
+    return df.select(
+        "n_rows",
+        r2(F.col("sum_total")).alias("sum_total"),
+        r2(F.col("min_total")).alias("min_total"),
+        r2(F.col("max_total")).alias("max_total"),
+        "n_nonpositive",
+    )
