@@ -682,3 +682,43 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         ts_us("click_ts").alias("click_ts_us"),
     )
+
+
+@query(
+    "join_null_safe_equi",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             nullif(event_type, 'click') AS etype
+      FROM events
+    ), dim AS (
+      SELECT * FROM (VALUES
+        ('view', 10), ('purchase', 50), ('signup', 5), (NULL, 0)
+      ) AS t(etype, weight)
+    )
+    SELECT ev.event_id, ev.user_id, ev.etype, dim.weight
+    FROM ev JOIN dim ON ev.etype IS NOT DISTINCT FROM dim.etype
+    """,
+)
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH the dimension's NULL row instead of silently dropping — the
+    unknown-category bucket pattern (here clicks are nulled into it).
+    Spark plans eqNullSafe as an ordinary broadcast-hash join on the
+    null-safe key, so no rows fall out and no skew-on-null shuffle
+    blowup happens (the classic null-key skew killer at 100 TB is an
+    OUTER join on a nullable key; null-safe equi keeps it a hash
+    lookup)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        F.nullif("event_type", F.lit("click")).alias("etype"),
+    )
+    dim = spark.createDataFrame(
+        [("view", 10), ("purchase", 50), ("signup", 5), (None, 0)],
+        schema="etype string, weight int",
+    )
+    return ev.join(
+        F.broadcast(dim), ev["etype"].eqNullSafe(dim["etype"])
+    ).select("event_id", "user_id", ev["etype"].alias("etype"), "weight")

@@ -492,3 +492,34 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.col("max_total")).alias("max_total"),
         "n_nonpositive",
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT i % 7 AS sensor_id,
+           count(*) AS n_readings,
+           round(sum(((i * 37) % 1000) / 10.0), 2) AS sum_value,
+           round(max(((i * 37) % 1000) / 10.0), 2) AS max_value
+    FROM (SELECT unnest(generate_series(0, 4999)) AS i)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Spark 4 Python DataSource API
+    (io/python_source.py): schema + partition planning + per-partition
+    generator all authored in Python, executed as one task per
+    declared InputPartition (8 here — the source, not luck, decides
+    parallelism). The oracle replays the deterministic generator
+    arithmetic over generate_series, so the whole read path —
+    registration, planning, Arrow hand-off, aggregation — is
+    value-checked end to end."""
+    from mercurygate_spark.io.python_source import register_sensor_source
+
+    register_sensor_source(spark)
+    df = spark.read.format("sensor").option("n", 5000).option("parts", 8).load()
+    return df.groupBy("sensor_id").agg(
+        F.count("*").alias("n_readings"),
+        r2(F.sum("value")).alias("sum_value"),
+        r2(F.max("value")).alias("max_value"),
+    )
