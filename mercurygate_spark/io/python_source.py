@@ -13,7 +13,12 @@ oracle can replay the generator arithmetic exactly.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -57,3 +62,41 @@ class SensorSource(DataSource):
 def register_sensor_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SensorSource)
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic micro-batch stream: 200 ticks in batches
+    of 50, then empty batches forever (offset stops advancing).
+    `read` must return an ITERATOR of rows (a list raises
+    TypeError inside latestOffset's prefetch)."""
+
+    N_TOTAL, BATCH = 200, 50
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        end = min(i + self.BATCH, self.N_TOTAL)
+        return (iter([(j, j % 5, float(j)) for j in range(i, end)]), {"i": end})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([(j, j % 5, float(j)) for j in range(start["i"], end["i"])])
+
+
+class TickStreamSource(DataSource):
+    """readStream.format("ticks") — streaming sibling of SensorSource."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ticks"
+
+    def schema(self) -> str:
+        return "tick_id bigint, bucket bigint, value double"
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader()
+
+
+def register_tick_stream_source(spark) -> None:
+    spark.dataSource.register(TickStreamSource)

@@ -513,3 +513,34 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("p_name")
         ).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(
+             json_object('u', user_id, 't', event_type), '$.u') AS BIGINT) AS u,
+           json_extract_string(
+             json_object('u', user_id, 't', event_type), '$.t') AS t
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): ingest the raw JSON
+    props payload with parse_json and read typed paths back out with
+    variant_get — the schema-on-read path for payloads too ragged for
+    a fixed struct, stored binary-encoded (no re-parse per access,
+    unlike get_json_object). A second variant is BUILT from columns
+    via to_json∘struct then round-tripped, so encode and decode are
+    both pinned. The oracle replays both through DuckDB's JSON
+    functions."""
+    t = load_tables(spark, sf_dir, "events")
+    built = F.parse_json(F.to_json(F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t"))))
+    return t["events"].select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.try_variant_get(built, "$.u", "bigint").alias("u"),
+        F.try_variant_get(built, "$.t", "string").alias("t"),
+    )

@@ -379,3 +379,51 @@ def stream_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
         interval_join_streams(clicks, purchases, how="fullOuter"),
         output_mode="append",
     )
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT i % 5 AS bucket,
+           count(*) AS n_ticks,
+           round(sum(i * 1.0), 2) AS sum_value
+    FROM (SELECT unnest(generate_series(0, 199)) AS i)
+    GROUP BY 1
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Spark 4 Python DataSource API
+    (io/python_source.TickStreamSource): offsets, micro-batch reads
+    and replay (readBetweenOffsets — exactly-once on restart) all
+    authored in Python. The bounded tick feed (200 rows in 4
+    micro-batches) drains with processAllAvailable, then the landed
+    rows aggregate to the oracle's generate_series replay — so offset
+    tracking across batches is what's being value-checked: a skipped
+    or doubled batch changes every count."""
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.functions import r2
+    from mercurygate_spark.io.python_source import register_tick_stream_source
+
+    register_tick_stream_source(spark)
+    name = f"ticks_out_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        spark.readStream.format("ticks")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            r2(F.sum("value")).alias("sum_value"),
+        )
+    )
