@@ -415,3 +415,48 @@ def test_stream_stream_left_outer_join_null_emission(spark, tmp_path):
     # 12:00 - 5min = 11:55 > its 11:10 window end); c4's window end
     # (12:10) is beyond the final watermark → never emitted.
     assert got == {(1, 100), (2, None), (3, None)}
+
+
+def test_python_stream_source_restart_replays_exactly_once(spark, tmp_path):
+    """Kill the tick stream mid-feed and restart from the same
+    checkpoint: the committed-offset replay path (readBetweenOffsets)
+    must hand back exactly the in-flight batch — total rows stay 200
+    with no duplicates and no gaps. This is the restart contract the
+    API exists for; the parity key only exercises the happy path."""
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.io.python_source import register_tick_stream_source
+
+    register_tick_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run(drain_all: bool) -> None:
+        q = (
+            spark.readStream.format("ticks")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        ).start()
+        try:
+            if drain_all:
+                q.processAllAvailable()
+            else:
+                # stop after at least one committed batch
+                import time
+
+                for _ in range(300):
+                    if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                        break
+                    time.sleep(0.1)
+        finally:
+            q.stop()
+
+    run(drain_all=False)   # partial run, killed mid-feed
+    run(drain_all=True)    # restart from the same checkpoint
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 200
+    assert got.select("tick_id").distinct().count() == 200  # no dupes
+    assert got.agg(F.min("tick_id"), F.max("tick_id")).first() == (0, 199)  # no gaps
