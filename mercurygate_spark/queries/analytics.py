@@ -762,3 +762,36 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(slope).alias("slope"),
         r2((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@query(
+    "agg_grouping_flags",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() flags on a ROLLUP — the only correct way to tell a
+    rolled-up NULL from a data NULL once nullable group keys exist
+    (filtering on `col IS NULL` conflates the two and silently merges
+    subtotal rows into a real group). Same partial-agg expansion as
+    agg_rollup_cube; the flags are free metadata on each grouping
+    set."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders"
+        )
+    )
