@@ -544,3 +544,75 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(built, "$.u", "bigint").alias("u"),
         F.try_variant_get(built, "$.t", "string").alias("t"),
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 200000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): values bind
+    as literals at parse time — injection-proof templating for the SQL
+    front door (string-concat SQL is the reference's style and the
+    anti-pattern). The bound plan is identical to the inlined one, so
+    pushdown still reaches the scan."""
+    t = load_tables(spark, sf_dir, "orders")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 200000.0, "status": "F"},
+    )
+
+
+@query(
+    "sql_lateral_subquery",
+    oracle="""
+    SELECT c.c_mktsegment, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+         LATERAL (
+           SELECT o.o_orderkey, o.o_totalprice
+           FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+           WHERE c2.c_mktsegment = c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+           LIMIT 3
+         ) t
+    """,
+)
+def sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: top-3 orders PER segment,
+    written as 'for each segment row, run this ordered-limit query'.
+    Catalyst decorrelates it into a rank-window over the join (one
+    shuffle) rather than re-running the subquery per driving row —
+    the same plan family as window_rank_topn_per_group, reached from
+    SQL. Unique tie-break (o_orderkey) pins the qualifying set."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    t["orders"].createOrReplaceTempView("orders")
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, t.o_orderkey,
+               floor(t.o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+             LATERAL (
+               SELECT o.o_orderkey, o.o_totalprice
+               FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+               WHERE c2.c_mktsegment = c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+               LIMIT 3
+             ) t
+        """
+    )
