@@ -138,3 +138,47 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_token_count_udf()(F.col("text")).alias("n_tokens_udf"),
         "n_chars",
     )
+
+
+@query(
+    "udf_arrow_batches",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_chars,
+           upper(substr(lang, 1, 2)) AS lang_uc
+    FROM documents
+    """,
+)
+def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch path — the function receives raw
+    pyarrow.RecordBatch objects (no pandas materialization at all) and
+    answers with RecordBatches built from pyarrow.compute kernels.
+    One tier below mapInPandas: for pure columnar transforms this
+    skips the Arrow→pandas→Arrow round-trip entirely, which is the
+    difference that matters when the batch is mostly large binary/text
+    payloads. The oracle replays the same byte/char/case facts in
+    SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def arrow_meta(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            lang = batch.column(batch.schema.get_field_index("lang"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.binary_length(pc.cast(text, pa.binary())).cast(pa.int64()),
+                    pc.utf8_length(text).cast(pa.int64()),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(lang, 0, 2)),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "lang_uc"],
+            )
+
+    return t["documents"].select("doc_id", "text", "lang").mapInArrow(
+        arrow_meta,
+        schema="doc_id long, n_bytes long, n_chars long, lang_uc string",
+    )
