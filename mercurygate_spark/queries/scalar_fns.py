@@ -616,3 +616,89 @@ def sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) t
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the TPC-H Q1 pricing
+    summary written as a linear dataflow — FROM |> WHERE |> EXTEND |>
+    AGGREGATE |> WHERE — instead of inside-out nested SELECT. Each
+    pipe stage is sugar over the same logical operators, so Catalyst
+    produces the identical pushed-filter + partial/final hash-agg plan
+    as the ANSI oracle form; the value-hash pins that equivalence."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE count(*) AS n_items,
+                     floor(sum(disc_price) * 100 + 0.5) / 100 AS revenue,
+                     floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 10
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue, avg_qty
+        """
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH w AS (
+      SELECT CASE WHEN p_partkey % 2 = 0
+                  THEN upper(split_part(p_name, ' ', 1))
+                  ELSE split_part(p_name, ' ', 1) END AS raw_word
+      FROM part
+    )
+    SELECT lower(raw_word) AS word,
+           count(*) AS n_parts,
+           count(DISTINCT raw_word) AS n_case_variants
+    FROM w GROUP BY 1
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation (Spark 4 COLLATE): group case-insensitively by
+    declaring the column UTF8_LCASE instead of wrapping every
+    comparison in lower() — the collation travels with the type, so
+    every downstream equality/group/join on the column inherits it.
+    Case variation is injected deterministically (even part keys
+    upper-cased), the group key is the COLLATED column, and
+    n_case_variants counts the raw binary-distinct spellings merged
+    into each group (2 wherever both parities occur). Output surfaces
+    lower(word) rather than Spark's nondeterministic per-group
+    representative. Oracle replays with explicit lower() grouping —
+    pinning that collation is semantics, not a new algorithm."""
+    t = load_tables(spark, sf_dir, "part")
+    words = t["part"].select(
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.upper(F.split(F.col("p_name"), " ").getItem(0)),
+        )
+        .otherwise(F.split(F.col("p_name"), " ").getItem(0))
+        .alias("raw_word")
+    )
+    grouped = words.groupBy(
+        F.collate(F.col("raw_word"), "UTF8_LCASE").alias("word_ci")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("raw_word").alias("n_case_variants"),
+    )
+    return grouped.select(
+        F.lower(F.col("word_ci")).cast("string").alias("word"),
+        "n_parts",
+        "n_case_variants",
+    )

@@ -541,3 +541,62 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_us("ts").alias("ts_us"),
         r6(num / den).alias("ewma"),
     )
+
+
+@query(
+    "ts_hierarchical_rollup",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value) / count(*), 6) AS avg_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup via RE-AGGREGATABLE PARTIALS (the
+    hypertable continuous-aggregate cascade): aggregate raw events
+    once into hourly partials (count/sum/min/max per (hour,
+    event_type)), then derive the daily level FROM THE PARTIALS —
+    sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes, with avg
+    reconstituted as sum/count (never avg-of-avgs). The oracle
+    aggregates raw→day directly, so the value-hash pins the cascade
+    identity: rolling up partials loses nothing vs rescanning raw.
+
+    100 TB story: the hourly partial table is ~|hours × types| rows
+    regardless of event volume; day/week/month dashboards re-aggregate
+    partials (thousands of rows) instead of rescanning the raw table.
+    For NDV metrics — the one family that is NOT exactly
+    re-aggregatable — see agg_hll_partial_merge (sketch partials)."""
+    t = load_tables(spark, sf_dir, "events")
+    hourly = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return daily.select(
+        ts_us("day").alias("day_us"),
+        "event_type",
+        "n_events",
+        r2(F.col("sum_value")).alias("sum_value"),
+        r6(F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+        r2(F.col("min_value")).alias("min_value"),
+        r2(F.col("max_value")).alias("max_value"),
+    )
