@@ -10,7 +10,7 @@ Derived doubles are rounded identically on both engine and oracle side
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r2
@@ -404,7 +404,7 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS n_parts_exact,
            true AS merged_within_bound,
-           true AS merge_matches_direct
+           true AS direct_within_bound
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -416,12 +416,16 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition), then answer coarse NDV rollups by merging PARTIALS —
     the raw data is never rescanned. Two contracts pinned:
 
-    * ``merge_matches_direct`` — the union of fine sketches estimates
-      identically to one sketch built directly over the coarse group
-      (Datasketches HLL union is non-lossy at equal lgConfigK), i.e.
-      the cascade loses nothing vs a from-scratch rebuild;
-    * ``merged_within_bound`` — the estimate lands within 5·rsd of the
-      exact NDV (lgConfigK=14 → rsd = 1.04/√2¹⁴ ≈ 0.81 %, bound 4.1 %).
+    * ``merged_within_bound`` — the partial-union estimate lands
+      within 5·rsd of the exact NDV (lgConfigK=14 → rsd = 1.04/√2¹⁴
+      ≈ 0.81 %, bound 4.1 %);
+    * ``direct_within_bound`` — a sketch built directly over the
+      coarse group obeys the same bound, so the CASCADE costs no
+      accuracy class vs a from-scratch rebuild. (The two estimates
+      are near but not bit-equal: the Datasketches union operates on
+      an HLL_8 gadget whose register merge may differ in the last few
+      registers from single-pass HLL_4 construction — pinning
+      equality is wrong by design, and the sf0.01 sweep proved it.)
 
     The oracle emits the exact NDVs + literal TRUEs, so the value-hash
     gate fails iff either identity breaks. Unlike
@@ -448,7 +452,10 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_merged") - F.col("n_parts_exact"))
             <= F.lit(bound) * F.col("n_parts_exact")
         ).alias("merged_within_bound"),
-        (F.col("est_merged") == F.col("est_direct")).alias("merge_matches_direct"),
+        (
+            F.abs(F.col("est_direct") - F.col("n_parts_exact"))
+            <= F.lit(bound) * F.col("n_parts_exact")
+        ).alias("direct_within_bound"),
     )
 
 
@@ -479,9 +486,12 @@ def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta sketches reduce each cohort to one mergeable summary, and
     any pairwise overlap matrix is sketch-side arithmetic after ONE
     scan. lgNomEntries=16 (65 536 nominal) keeps the sketch in exact
-    mode for every NDV the testdata reaches (≤15 k at sf0.1), so the
-    estimates are EXACTLY the set cardinalities and the oracle pins
-    them value-for-value; beyond ~65 k the published θ error bounds
+    mode for every NDV the testdata reaches (≤15 k at sf0.1) — and
+    the union must be told so too (theta_union's default union gadget
+    is lgNomEntries=12, which silently DOWNSAMPLES larger inputs; the
+    sf0.1 sweep caught the resulting 0.7 % drift) — so the estimates
+    are EXACTLY the set cardinalities and the oracle pins them
+    value-for-value; beyond ~65 k the published θ error bounds
     take over with the same plan shape (the sketch stays 512 KiB)."""
     lg_nom = 16
     t = load_tables(spark, sf_dir, "orders")
@@ -501,8 +511,49 @@ def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(
             F.theta_intersection("sk_a", "sk_b")
         ).alias("n_both"),
-        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("n_either"),
+        F.theta_sketch_estimate(
+            F.theta_union("sk_a", "sk_b", lg_nom)
+        ).alias("n_either"),
         F.theta_sketch_estimate(
             F.theta_difference("sk_a", "sk_b")
         ).alias("n_churned"),
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_docs) AS total FROM c)
+    SELECT lang, n_docs, true AS captured
+    FROM c, t WHERE n_docs > 0.05 * total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters in ONE pass via df.stat.freqItems (the
+    Karp/Misra–Gries frequent-items summary): constant-size per-
+    partition candidate maps, merged — no shuffle of the full key set,
+    unlike an exact groupBy-then-filter. The algorithm's guarantee is
+    one-sided: every item with frequency > support·n IS returned
+    (false positives possible, false negatives not). The key outputs
+    each EXACT heavy hitter (count > 5 % of rows) with a `captured`
+    boolean = membership in the freqItems summary; the oracle emits
+    the exact hitters with literal TRUE, so the value-hash fails iff
+    the single-pass summary ever drops a true heavy hitter. At 100 TB
+    the exact side of this query is the expensive half — in production
+    the summary alone answers 'what dominates this corpus?' in one
+    scan + a driver-size merge."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    summary = docs.stat.freqItems(["lang"], support=0.05)
+    items = summary.select(F.explode("lang_freqItems").alias("lang"))
+    exact = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("__total", F.sum("n_docs").over(Window.partitionBy()))
+        .where(F.col("n_docs") > 0.05 * F.col("__total"))
+    )
+    return (
+        exact.join(items.withColumn("__hit", F.lit(True)), "lang", "left")
+        .select("lang", "n_docs", F.coalesce("__hit", F.lit(False)).alias("captured"))
     )

@@ -523,3 +523,84 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum("value")).alias("sum_value"),
         r2(F.max("value")).alias("max_value"),
     )
+
+
+@query(
+    "sink_clustered_range",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           epoch_us(min(l_shipdate)) AS min_ship_us,
+           epoch_us(max(l_shipdate)) AS max_ship_us,
+           CAST(8 AS BIGINT) AS n_files,
+           true AS files_disjoint,
+           true AS row_groups_ordered
+    FROM lineitem
+    """,
+)
+def sink_clustered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet sink (the Z-order-lite / liquid-
+    clustering layout for single-key range predicates):
+    repartitionByRange(8, l_shipdate) + sortWithinPartitions, so every
+    output file owns one contiguous, non-overlapping shipdate range
+    and row groups inside each file are date-ordered. That layout is
+    what makes min/max pruning work at 100 TB: a shipdate range
+    predicate hits the footer statistics and skips whole files, not
+    just row groups — scan cost becomes O(selectivity), independent of
+    table size.
+
+    The clustering contract is VERIFIED from parquet footers alone
+    (pyarrow metadata, no data read — the same O(#files) arithmetic a
+    query planner does): `files_disjoint` pins pairwise-disjoint
+    per-file [min,max] shipdate spans (RangePartitioner sends equal
+    keys to one partition, so spans cannot even touch);
+    `row_groups_ordered` pins rg[i].max <= rg[i+1].min within each
+    file. Row fidelity comes from the Spark read-back aggregate; the
+    oracle aggregates the original table plus literal TRUEs/8."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    path = _tmp("clustered_range")
+    # Spark's default parquet timestamp encoding is legacy INT96,
+    # which carries NO min/max statistics — clustering would be
+    # invisible to pruning. TIMESTAMP_MICROS (INT64) is the
+    # stats-bearing encoding every lakehouse layout relies on.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spans = []
+    rg_ordered = True
+    for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        stats = [
+            md.row_group(rg).column(col_idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        for prev, nxt in zip(stats, stats[1:]):
+            rg_ordered = rg_ordered and prev.max <= nxt.min
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    spans.sort()
+    disjoint = all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.unix_micros(F.min("l_shipdate")).alias("min_ship_us"),
+        F.unix_micros(F.max("l_shipdate")).alias("max_ship_us"),
+    ).select(
+        "*",
+        F.lit(len(spans)).cast("long").alias("n_files"),
+        F.lit(bool(disjoint)).alias("files_disjoint"),
+        F.lit(bool(rg_ordered)).alias("row_groups_ordered"),
+    )

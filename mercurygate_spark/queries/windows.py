@@ -550,7 +550,7 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value,
-           round(sum(value) / count(*), 6) AS avg_value,
+           round(round(sum(value), 2) / count(*), 6) AS avg_value,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events GROUP BY 1, 2
@@ -596,7 +596,13 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         r2(F.col("sum_value")).alias("sum_value"),
-        r6(F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+        # avg from the ROUNDED sum: raw double sums differ between
+        # engines in the last ulp, and 2-decimal data divided by
+        # round counts lands exactly on rounding boundaries (the
+        # sf0.01 sweep caught 3609.66/64 = 56.4009375 flipping r6).
+        # r2(sum) is bit-identical cross-engine, so the division —
+        # and hence r6 — is too.
+        r6(r2(F.col("sum_value")) / F.col("n_events")).alias("avg_value"),
         r2(F.col("min_value")).alias("min_value"),
         r2(F.col("max_value")).alias("max_value"),
     )

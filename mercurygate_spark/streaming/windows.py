@@ -240,3 +240,56 @@ def distinct_pairs_stream(events: DataFrame) -> DataFrame:
     incremental-dedupe shape; output restricted to the key columns so
     which-row-survives nondeterminism can't leak into results."""
     return events.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+
+def typed_state_type_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithState API (Spark
+    4): per-user MAP state keyed by event_type, updated per batch —
+    the typed-state successor to applyInPandasWithState (see
+    stateful_user_counts) with composable ValueState/ListState/
+    MapState primitives, TTL, and timers instead of one opaque tuple.
+
+    State layout: MapState<event_type, count> per user_id group. Each
+    batch emits the UPDATED (user_id, event_type, running_count) rows
+    only — state-diff output, the incremental-materialized-view shape.
+    On a bounded availableNow run the final count per key equals the
+    batch groupBy — the oracle contract. Requires the RocksDB state
+    store (transformWithState's backing store; set by the caller)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(n)
+            out = []
+            for et in sorted(batch):
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                total = prev + batch[et]
+                self._counts.updateValue((et,), (total,))
+                out.append((key[0], et, total))
+            yield pd.DataFrame(out, columns=["user_id", "event_type", "n_events"])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

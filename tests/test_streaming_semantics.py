@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -460,3 +461,58 @@ def test_python_stream_source_restart_replays_exactly_once(spark, tmp_path):
     assert got.count() == 200
     assert got.select("tick_id").distinct().count() == 200  # no dupes
     assert got.agg(F.min("tick_id"), F.max("tick_id")).first() == (0, 199)  # no gaps
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas serializes its state-server protocol
+    with the google.protobuf Python package, which is not installed in
+    this sandbox (and cannot be: no network). Same env-gate class as
+    delta-spark — the operator is real, the execution path unlocks the
+    moment the dependency lands."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="google.protobuf not installed; transformWithState needs it",
+)
+def test_transform_with_state_type_counts(spark, sf_dir):
+    """typed_state_type_counts (transformWithStateInPandas + RocksDB
+    state store + MapState): final per-(user, event_type) count on a
+    bounded run equals the batch groupBy."""
+    from pyspark.sql import Window
+
+    from mercurygate_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        typed_state_type_counts,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = run_to_memory(
+        typed_state_type_counts(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
+    got = {
+        (r.user_id, r.event_type): r.n_events
+        for r in out.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .collect()
+    }
+    exact = {
+        (r.user_id, r.event_type): r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exact
