@@ -795,3 +795,67 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders"
         )
     )
+
+
+@query(
+    "agg_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_vp_spans
+    FROM seqs
+    """,
+)
+def agg_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE / CEP-lite):
+    encode each user's time-ordered event stream as a compact letter
+    string (one char per event; first letters are unique across the 5
+    event types), then run ordered-pattern queries as REGEXES on the
+    encoding — `v.*c.*p` = 'viewed, later clicked, later purchased'
+    (ordered containment, the funnel), `v[^p]*p` counted non-
+    overlapping = view→purchase conversion spans with no purchase in
+    between (leftmost-match semantics agree across regex engines).
+
+    Scale shape: one groupBy(user) with collect_list of (ts, id,
+    letter) structs — the per-user sequence is bounded by that user's
+    event count, never the table; array_sort inside the group replaces
+    a global window sort. Unlike agg_funnel_steps (min-ts chained
+    aggs), this expresses ARBITRARY ordered patterns — the regex is
+    the query language. Ties broken by event_id so the encoding is
+    deterministic in both engines."""
+    t = load_tables(spark, sf_dir, "events")
+    letter = F.substring("event_type", 1, 1)
+    seqs = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), letter.alias("l")
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").alias("has_funnel"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("v[^p]*p"), 0)).cast(
+            "long"
+        ).alias("n_vp_spans"),
+    )

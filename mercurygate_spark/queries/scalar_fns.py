@@ -702,3 +702,42 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "n_case_variants",
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - 25.0, 0) AS price_per_excess,
+           CASE WHEN l_partkey = 0 THEN 0
+                WHEN l_partkey = 1 THEN 9223372036854775807 END AS big_product,
+           l_extendedprice / nullif(l_discount, 0) AS per_discount_unit
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide / try_multiply) — the
+    expression-level companion to fn_try_cast: divide-by-zero and
+    bigint overflow become NULL instead of an ANSI runtime error, so
+    one degenerate row cannot kill a 1000-executor stage. try_divide
+    NULLs exactly where the oracle's nullif-guarded division does;
+    try_multiply(l_partkey, BIGINT_MAX) overflows (→NULL) for every
+    partkey except the non-overflowing 0 and 1 — the oracle replays
+    both cases analytically.
+    Division on bit-identical parquet doubles is IEEE-deterministic,
+    so no rounding is needed."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25.0).alias(
+            "price_per_excess"
+        ),
+        F.try_multiply(
+            F.col("l_partkey"), F.lit(9223372036854775807).cast("long")
+        ).alias("big_product"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "per_discount_unit"
+        ),
+    )

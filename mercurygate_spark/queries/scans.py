@@ -604,3 +604,45 @@ def sink_clustered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(disjoint)).alias("files_disjoint"),
         F.lit(bool(rg_ordered)).alias("row_groups_ordered"),
     )
+
+
+@query(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total,
+           true AS codec_is_zstd
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-codec sink: parquet written with compression=zstd —
+    at 100 TB the codec choice IS a capacity decision (zstd typically
+    cuts 25-40 % vs snappy at similar scan speed, and decompression
+    parallelizes per column chunk). The codec actually in the file is
+    verified from footer metadata (pyarrow column-chunk codec tag, not
+    the writer conf — a silent fallback to snappy would still read
+    fine and hide forever); row fidelity via the read-back aggregate
+    against the oracle on the original table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("zstd_sink")
+    (
+        t["orders"]
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    codec_ok = all(
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "ZSTD"
+        for f in glob.glob(os.path.join(path, "part-*"))
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("sum_total"),
+    ).select("*", F.lit(bool(codec_ok)).alias("codec_is_zstd"))

@@ -335,3 +335,77 @@ def test_pagerank_iteration_shape_pre_checkpoint(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_pipe_syntax_compiles_to_same_plan_as_ansi(spark):
+    """The |> pipe form is pure syntax: its OPTIMIZED plan must be
+    operator-identical (up to expression ids) to the ANSI form of the
+    same query — if the pipe path ever planned differently (extra
+    projection barrier, lost pushdown), this catches it."""
+    import re
+
+    from mercurygate_spark.queries.registry import REGISTRY
+
+    pipe_df = REGISTRY["sql_pipe_syntax"].fn(spark, SF)
+    # EXTEND names the derived column, so the comparable ANSI form
+    # derives it in a subquery under the same name.
+    ansi_df = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               floor(sum(disc_price) * 100 + 0.5) / 100 AS revenue,
+               floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty
+        FROM (SELECT *, l_extendedprice * (1 - l_discount) AS disc_price
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00')
+        GROUP BY l_returnflag, l_linestatus
+        HAVING count(*) > 10
+        """
+    )
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+L?", "#x", s)
+
+    assert norm(pipe_df) == norm(ansi_df)
+
+
+def test_hll_partial_merge_is_object_hash_agg_cascade(spark):
+    """The sketch cascade must stay a two-level typed aggregation:
+    ObjectHashAggregate (sketch buffers aren't codegen rows) at both
+    levels, shuffles keyed on the group columns — and the whole plan
+    must never expand distinct values (the expensive exact shape)."""
+    s = _plan(spark, "agg_hll_partial_merge")
+    assert "ObjectHashAggregate" in s
+    assert "hll_union_agg" in s or "hll_sketch_agg" in s
+
+
+def test_clustered_range_write_uses_range_partitioning(spark):
+    """The clustered sink's write-side frame must carry a
+    rangepartitioning exchange (sampling-based global range split) +
+    in-partition Sort and NO global sort — the layout that scales to
+    arbitrary file counts."""
+    from mercurygate_spark.queries.registry import load_tables
+
+    t = load_tables(spark, SF, "lineitem")
+    df = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+    )
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in s
+    # Sort.toString renders the global flag positionally: "], false, 0"
+    # is an in-partition sort, "], true, 0" a global one.
+    assert "Sort [l_shipdate" in s and "], false, 0" in s
+    assert "], true, 0" not in s
+
+
+def test_sequence_pattern_single_shuffle_no_window(spark):
+    """Sequence encoding must be one groupBy shuffle with in-group
+    array_sort — no window operator, no global sort (the naive
+    encoding via a global ORDER BY would serialize the table)."""
+    s = _plan(spark, "agg_sequence_pattern")
+    assert s.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    assert "Window" not in s
+    assert "Sort [ts" not in s
