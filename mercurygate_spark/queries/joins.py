@@ -722,3 +722,81 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(
         F.broadcast(dim), ev["etype"].eqNullSafe(dim["etype"])
     ).select("event_id", "user_id", ev["etype"].alias("etype"), "weight")
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             ((event_id * 37) % 1000) / 10.0 AS x,
+             (((user_id * 91) + event_id) % 1000) / 10.0 AS y
+      FROM events
+    ), boxes AS (
+      SELECT n_nationkey AS box_id,
+             CAST((n_nationkey * 37) % 80 AS DOUBLE) AS x_lo,
+             CAST((n_nationkey * 37) % 80 + 15 AS DOUBLE) AS x_hi,
+             CAST((n_nationkey * 53) % 80 AS DOUBLE) AS y_lo,
+             CAST((n_nationkey * 53) % 80 + 12 AS DOUBLE) AS y_hi
+      FROM nation
+    )
+    SELECT p.event_id, b.box_id, p.x, p.y
+    FROM pts p JOIN boxes b
+      ON p.x >= b.x_lo AND p.x < b.x_hi
+     AND p.y >= b.y_lo AND p.y < b.y_hi
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join (points in rectangles) via GRID-CELL
+    BUCKETING — the scale shape for geo joins Spark lacks natively.
+    Naive form is a theta join (every point × every box); the grid
+    form assigns each point to exactly ONE 10×10 cell and explodes
+    each box to the cells it overlaps (bounded: box area / cell area),
+    so the join becomes an EQUI join on (cell_x, cell_y) + an exact
+    containment filter. Shuffle volume is O(points + boxes·cells) and
+    hash-partitioned — no broadcast needed when boxes outgrow memory,
+    no quadratic pair blowup; half-open [lo, hi) edges mean a point in
+    exactly one cell and no duplicate (point, box) candidates.
+    Coordinates are derived deterministically from events (points) and
+    nation (boxes) so DuckDB replays the NAIVE theta join as the
+    oracle — pinning that bucketing changes the plan, not the answer."""
+    t = load_tables(spark, sf_dir, "events", "nation")
+    cell = 10.0
+    pts = t["events"].select(
+        "event_id",
+        (((F.col("event_id") * 37) % 1000) / 10.0).alias("x"),
+        ((((F.col("user_id") * 91) + F.col("event_id")) % 1000) / 10.0).alias("y"),
+    ).withColumn("cell_x", F.floor(F.col("x") / cell)).withColumn(
+        "cell_y", F.floor(F.col("y") / cell)
+    )
+    boxes = t["nation"].select(
+        F.col("n_nationkey").alias("box_id"),
+        ((F.col("n_nationkey") * 37) % 80).cast("double").alias("x_lo"),
+        ((F.col("n_nationkey") * 37) % 80 + 15).cast("double").alias("x_hi"),
+        ((F.col("n_nationkey") * 53) % 80).cast("double").alias("y_lo"),
+        ((F.col("n_nationkey") * 53) % 80 + 12).cast("double").alias("y_hi"),
+    )
+    box_cells = boxes.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("x_lo") / cell),
+                F.floor((F.col("x_hi") - 1e-9) / cell),
+            )
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("y_lo") / cell),
+                F.floor((F.col("y_hi") - 1e-9) / cell),
+            )
+        ).alias("cell_y"),
+    )
+    joined = pts.join(box_cells, ["cell_x", "cell_y"])
+    return joined.where(
+        (F.col("x") >= F.col("x_lo"))
+        & (F.col("x") < F.col("x_hi"))
+        & (F.col("y") >= F.col("y_lo"))
+        & (F.col("y") < F.col("y_hi"))
+    ).select("event_id", "box_id", "x", "y")

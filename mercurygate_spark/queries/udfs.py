@@ -182,3 +182,61 @@ def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_meta,
         schema="doc_id long, n_bytes long, n_chars long, lang_uc string",
     )
+
+
+@query(
+    "udtf_polymorphic_analyze",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS p1,
+           split_part(p_name, ' ', 2) AS p2,
+           split_part(p_name, ' ', 3) AS p3
+    FROM part WHERE p_partkey < 50
+    """,
+)
+def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 static `analyze`): the output
+    SCHEMA is computed at plan time from the constant argument — here
+    split_n(name, ' ', 3) analyzes to columns (p1, p2, p3); calling it
+    with 5 would plan five columns from the same class. Catalyst sees
+    the resolved schema like any relation, so downstream pruning and
+    predicates work unchanged — the table-function equivalent of
+    generics, impossible with a fixed returnType UDTF
+    (udtf_python_table). Oracle replays with split_part, including its
+    ''-beyond-last-part convention for two-word names."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitN:
+        @staticmethod
+        def analyze(
+            s: AnalyzeArgument, delim: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"p{i + 1}", StringType())
+                        for i in range(int(n.value))
+                    ]
+                )
+            )
+
+        def eval(self, s: str, delim: str, n: int):
+            parts = (s or "").split(delim)
+            # '' (not None) beyond the last part — split_part semantics,
+            # so the oracle comparison is exact on short names
+            yield tuple(
+                parts[i] if i < len(parts) else "" for i in range(int(n))
+            )
+
+    spark.udtf.register("split_n_udtf", SplitN)
+    t = load_tables(spark, sf_dir, "part")
+    t["part"].where(F.col("p_partkey") < 50).createOrReplaceTempView(
+        "parts_udtf_v"
+    )
+    return spark.sql(
+        "SELECT p.p_partkey, t.p1, t.p2, t.p3 "
+        "FROM parts_udtf_v p, LATERAL split_n_udtf(p.p_name, ' ', 3) t"
+    )
