@@ -646,3 +646,52 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         r2(F.sum("o_totalprice")).alias("sum_total"),
     ).select("*", F.lit(bool(codec_ok)).alias("codec_is_zstd"))
+
+
+@query(
+    "scan_jsonl_corrupt",
+    oracle="""
+    SELECT CAST(count_if(doc_id % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(count_if(doc_id % 10 = 0) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT)
+             AS good_chars
+    FROM documents
+    """,
+)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant JSON scan (PERMISSIVE +
+    columnNameOfCorruptRecord): every 10th document is written as a
+    truncated JSON line, the reader lands those rows in _corrupt_raw
+    with all schema fields NULL, and the good rows parse normally —
+    the 100 TB contract being that ONE malformed record quarantines
+    itself instead of failing the stage (FAILFAST) or silently
+    vanishing (DROPMALFORMED). The CSV twin is scan_csv_malformed;
+    JSON needs its own key because its corrupt channel is a schema
+    COLUMN, not a filter. Oracle replays the corruption rule
+    analytically on the clean table."""
+    t = load_tables(spark, sf_dir, "documents")
+    path = _tmp("jsonl_corrupt")
+    lines = t["documents"].select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "lang": "trunc')),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_raw string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_raw")
+        .json(path)
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt_raw").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_raw").isNotNull()).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_raw").isNull(), F.col("n_chars"))).alias(
+            "good_chars"
+        ),
+    )

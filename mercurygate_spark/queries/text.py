@@ -942,3 +942,93 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum(p_s * F.log(p_s / p_c))).alias("kl_bits"),
         )
     )
+
+
+DEDUP_CHUNK = 16  # non-overlapping window (tokens) for chunk-level dedup
+
+
+@query(
+    "pipeline_chunk_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk, len({_DUCK_TK}) AS n
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, tk, n,
+             unnest(range(0, 1 + greatest(n - 1, 0) // {DEDUP_CHUNK})) AS ci
+      FROM tk WHERE n > 0
+    ), chunks AS (
+      SELECT doc_id, ci,
+             md5(array_to_string(
+               list_slice(tk, ci * {DEDUP_CHUNK} + 1,
+                          ci * {DEDUP_CHUNK}
+                            + least({DEDUP_CHUNK}, n - ci * {DEDUP_CHUNK})),
+               ' ')) AS h
+      FROM idx WHERE ci * {DEDUP_CHUNK} < n
+    ), ranked AS (
+      SELECT doc_id, ci, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(count_if(rn = 1) AS BIGINT) AS n_kept,
+           CAST(count_if(rn > 1) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-granularity exact dedup — the boilerplate-stripping pass
+    document-level dedup can't do: repeated spans (headers, footers,
+    license blocks, templated paragraphs) recur across otherwise-
+    unique documents, so the dedup unit is the non-overlapping
+    {DEDUP_CHUNK}-token window. Each chunk is reduced to its md5;
+    first (doc_id, chunk_idx) owner wins; every doc reports how many
+    of its chunks survived. Shuffle carries (hash, doc_id, idx) — 48
+    bytes/chunk, NEVER chunk text — and the dedupe window partitions
+    by hash exactly like window_dedupe_latest. Downstream, a curated
+    corpus would re-emit only surviving chunks; the stats frame here
+    is the auditable summary of what the pass would remove."""
+    from pyspark.sql import Window
+
+    from mercurygate_spark.functions import let1, tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def chunk_hashes(tk):
+        n = F.size(tk)
+        n_chunks = F.lit(1) + (F.greatest(n - 1, F.lit(0)) / DEDUP_CHUNK).cast("int")
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("ci"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                tk,
+                                i * DEDUP_CHUNK + 1,
+                                F.least(F.lit(DEDUP_CHUNK), n - i * DEDUP_CHUNK),
+                            ),
+                            " ",
+                        )
+                    ).alias("h"),
+                ),
+            ),
+            lambda c: c["ci"] * DEDUP_CHUNK < F.size(tk),
+        )
+
+    chunks = (
+        t["documents"]
+        .select("doc_id", let1(tokens("text"), chunk_hashes).alias("cs"))
+        .where(F.size("cs") > 0)
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select("doc_id", F.col("c.ci").alias("ci"), F.col("c.h").alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "ci")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.count_if(F.col("rn") > 1).alias("n_dropped"),
+    )
