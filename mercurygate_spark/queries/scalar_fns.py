@@ -741,3 +741,57 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_discount_unit"
         ),
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT c_custkey AS k, 0 AS depth
+      FROM customer WHERE c_custkey <= 6
+      UNION ALL
+      SELECT c.c_custkey, d.depth + 1
+      FROM customer c JOIN d ON c.c_custkey // 7 = d.k
+      WHERE c.c_custkey > 6
+    )
+    SELECT depth,
+           count(*) AS n_nodes,
+           min(k) AS min_key,
+           max(k) AS max_key
+    FROM d GROUP BY depth
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a synthetic
+    org-chart where customer k reports to k div 7 (roots k<=6), and
+    count nodes per depth. The fixpoint loop runs INSIDE Catalyst —
+    each recursion step is a planned join against the prior frontier,
+    the same iterate-join-frontier shape graph_pagerank builds by hand
+    in the DataFrame API (there with per-round localCheckpoint; the
+    CTE engine bounds recursion with
+    spark.sql.cte.recursion.level.limit instead, default 100 — depth
+    here is log7(|customers|) ~ 5 at sf0.1). Every edge derives from
+    c_custkey arithmetic, so DuckDB replays the identical recursion.
+
+    Integer division: Spark SQL's `//`-free dialect uses DIV; the
+    engine-side SQL says `div` while the oracle says `//` — same
+    floor-division on positive keys."""
+    t = load_tables(spark, sf_dir, "customer")
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE d AS (
+          SELECT c_custkey AS k, 0 AS depth
+          FROM customer WHERE c_custkey <= 6
+          UNION ALL
+          SELECT c.c_custkey, d.depth + 1
+          FROM customer c JOIN d ON c.c_custkey div 7 = d.k
+          WHERE c.c_custkey > 6
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               min(k) AS min_key,
+               max(k) AS max_key
+        FROM d GROUP BY depth
+        """
+    )

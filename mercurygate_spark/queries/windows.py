@@ -606,3 +606,83 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.col("min_value")).alias("min_value"),
         r2(F.col("max_value")).alias("max_value"),
     )
+
+
+COVER_US = 300_000_000  # each event covers [ts, ts + 5 min] (µs)
+
+
+@query(
+    "window_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {COVER_US} AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) OR max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island_id, min(s) AS island_s, max(e) AS island_e
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           CAST(sum(island_e - island_s) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def window_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (merge overlapping spans): each event
+    covers [ts, ts+5min]; per user, overlapping spans merge into
+    islands and the answer is islands + total covered time — session
+    wall-clock, sensor uptime, SLA coverage. The sweep is the
+    gaps-and-islands generalization for INTERVALS (window_gaps_islands
+    merges adjacent discrete days): an island starts where start >
+    running-max of all PRIOR ends (not lag(e) — an earlier long span
+    can swallow several later ones), island id = running sum of
+    starts, then one groupBy per island. Two window passes + one agg
+    over the same (user_id ORDER BY s) partitioning — Spark plans a
+    single sort+exchange reused by both windows. All arithmetic in
+    integer µs — exact cross-engine."""
+    t = load_tables(spark, sf_dir, "events")
+    iv = t["events"].select(
+        "user_id",
+        ts_us("ts").alias("s"),
+        (ts_us("ts") + COVER_US).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
+    )
