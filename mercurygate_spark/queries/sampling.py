@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import md5_long
+from mercurygate_spark.functions import md5_long, r2
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -283,4 +283,81 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_full_epochs") * F.col("total_tokens")
             + F.coalesce(F.col("frac_tokens"), F.lit(0))
         ).alias("sampled_tokens"),
+    )
+
+
+# Poisson(1) inverse CDF on a [0, 1e6) integer grid: cumulative
+# probabilities e^-1 * sum(1/k!) scaled by 1e6 and truncated — integer
+# thresholds so both engines compare exactly, no float CDF anywhere.
+_POIS1_CUM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+_BOOT_R = 16  # bootstrap replicates
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             unnest(range({_BOOT_R})) AS r
+      FROM lineitem
+    ), weighted AS (
+      SELECT r, l_extendedprice,
+             {_pois_case_sql("('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 1000000")} AS w
+      FROM expanded
+    )
+    SELECT CAST(r AS INT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS resampled_rows,
+           round(sum(w * l_extendedprice), 2) AS resampled_revenue
+    FROM weighted GROUP BY r
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS Poisson bootstrap: {_BOOT_R} resampled revenue totals
+    computed without ever materializing a resample. Classic bootstrap
+    draws n rows with replacement per replicate — unrunnable at 100 TB
+    (it's R full shuffles); the Poisson approximation gives each row
+    an independent Poisson(1) multiplicity per replicate, so ALL
+    replicates stream out of one scan as a map-side explode(R) +
+    grouped sum, shuffling exactly R pre-aggregated rows per
+    partition. Weights come from md5(row-key | replicate) through an
+    integer-thresholded inverse CDF (no float comparisons), so the
+    'random' multiplicities are bit-reproducible on any engine, any
+    partitioning, any run — the oracle replays them exactly. The R
+    replicate totals are the bootstrap distribution; downstream, their
+    spread IS the standard error of total revenue."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    u = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("r").cast("string"),
+        )
+    ) % 1000000
+    w = F.lit(8)
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS1_CUM[k], k).otherwise(w)
+    return (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+        )
+        .withColumn("w", w)
+        .groupBy(F.col("r").cast("int").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("resampled_rows"),
+            r2(F.sum(F.col("w") * F.col("l_extendedprice"))).alias(
+                "resampled_revenue"
+            ),
+        )
     )
