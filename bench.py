@@ -49,6 +49,9 @@ HEADLINE = [
     # round-7 additions
     "text_tfidf_topk",            # tokenize→tf/df rejoin→WindowGroupLimit
     "ts_resample_gapfill",        # grid densify + forward-fill window
+    # round-7 closing-session additions
+    "pipeline_chunk_dedup",       # chunk-granularity hash dedup
+    "agg_hll_partial_merge",      # re-aggregatable sketch cascade
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mercurygate_spark.functions import r2
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -129,4 +130,59 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionAll(report(orphan, [("lineitem.orderkey_references_orders", "orphan")]))
+    )
+
+
+@query(
+    "dq_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, l.l_extendedprice, m.med_price,
+             abs(l.l_extendedprice - m.med_price) AS absdev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, median(absdev) AS mad_raw FROM dev
+      GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           round(any_value(d.med_price), 2) AS med_price,
+           round(any_value(m.mad_raw), 2) AS mad_price,
+           CAST(count_if(d.absdev > 3 * 1.4826 * m.mad_raw) AS BIGINT)
+             AS n_outliers,
+           count(*) AS n_rows
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening via MEDIAN ABSOLUTE DEVIATION — the
+    data-quality gate mean±kσ cannot be (one corrupt 1e30 row drags
+    the mean past every real outlier; the median doesn't move). Two
+    grouped exact-median passes (median, then median of |x−median|),
+    the per-group stats joined back broadcast (group count is tiny —
+    the full table never reshuffles), outliers = |x−med| > 3·1.4826·
+    MAD (1.4826 rescales MAD to σ under normality). Exact interpolated
+    medians agree between engines (agg_median precedent); everything
+    downstream is deterministic double arithmetic on identical
+    inputs."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "absdev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.median("absdev").alias("mad_raw"))
+    joined = dev.join(F.broadcast(mad), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        r2(F.any_value(F.col("med_price"))).alias("med_price"),
+        r2(F.any_value(F.col("mad_raw"))).alias("mad_price"),
+        F.count_if(
+            F.col("absdev") > 3 * 1.4826 * F.col("mad_raw")
+        ).alias("n_outliers"),
+        F.count("*").alias("n_rows"),
     )
