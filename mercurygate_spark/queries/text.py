@@ -1032,3 +1032,64 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("rn") == 1).alias("n_kept"),
         F.count_if(F.col("rn") > 1).alias("n_dropped"),
     )
+
+
+BPE_TOPK = 20  # merge candidates surfaced per step
+
+
+@query(
+    "text_bpe_merge_step",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk FROM documents
+    ), p AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2
+      FROM tk, UNNEST(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    )
+    SELECT w1, w2, w1 || '_' || w2 AS merged, count(*) AS n_pairs
+    FROM p GROUP BY 1, 2, 3
+    ORDER BY n_pairs DESC, w1, w2 LIMIT {BPE_TOPK}
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-style merge iteration at token granularity: count every
+    ADJACENT token pair across the corpus and surface the top
+    {BPE_TOPK} merge candidates — the statistic a tokenizer-training
+    loop computes per round (on bytes/chars in real BPE; the adjacency
+    machinery is identical). Pairs are built map-side by zipping the
+    token array against itself shifted one (two slices + arrays_zip —
+    no self-join, no window), so the only shuffle is the pair-count
+    groupBy with map-side combine, and the top-k is
+    TakeOrderedAndProject (count desc, then lexicographic — fully
+    deterministic). At 100 TB each merge round is one scan + one
+    bounded shuffle; the merged vocabulary table stays driver-size."""
+    from mercurygate_spark.functions import let1, tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def pairs(tk):
+        n = F.size(tk)
+        return F.arrays_zip(
+            F.slice(tk, 1, n - 1).alias("w1"),
+            F.slice(tk, 2, n - 1).alias("w2"),
+        )
+
+    p = (
+        t["documents"]
+        .select(let1(tokens("text"), pairs).alias("ps"))
+        .where(F.size("ps") > 0)
+        .select(F.explode("ps").alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    counted = p.groupBy("w1", "w2").agg(F.count("*").alias("n_pairs"))
+    return (
+        counted.select(
+            "w1",
+            "w2",
+            F.concat_ws("_", "w1", "w2").alias("merged"),
+            "n_pairs",
+        )
+        .orderBy(F.col("n_pairs").desc(), "w1", "w2")
+        .limit(BPE_TOPK)
+    )
