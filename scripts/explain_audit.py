@@ -54,6 +54,14 @@ def main() -> None:
         # tests/test_plans.py::test_pagerank_iteration_shape_pre_checkpoint
         "text_bm25_score",           # query-filter before tf agg, tiny frames broadcast
         "window_gaps_islands",       # single user_id partitioning lineage
+        # closing-session additions whose plan shape IS the claim
+        "join_spatial_grid",         # grid-cell equi join, no theta/cartesian
+        "agg_sequence_pattern",      # one groupBy, in-group sort, no Window
+        "window_interval_coverage",  # one sort partitioning, two window passes
+        "agg_theta_set_algebra",     # constant-size sketch set algebra
+        "sample_poisson_bootstrap",  # map-side explode(R) + grouped sum
+        "text_bpe_merge_step",       # zip-shift pairs, TakeOrderedAndProject
+        "dq_mad_outliers",           # two median passes, stats broadcast back
     ]
     for name in HEADLINE + scale_showcase:
         df = queries[name](spark, SF_DIR)
