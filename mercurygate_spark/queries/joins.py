@@ -800,3 +800,65 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("y") >= F.col("y_lo"))
         & (F.col("y") < F.col("y_hi"))
     ).select("event_id", "box_id", "x", "y")
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS joined_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 300000
+    GROUP BY l_returnflag
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dimension filter
+    (orders > 300k) is turned by Catalyst into a bloom filter BUILT AT
+    RUNTIME from the filtered side and injected as might_contain()
+    into the fact scan — the fact table is pre-filtered BEFORE the
+    join shuffle, the shuffle-join analogue of broadcast pruning. At
+    100 TB this is the difference between shuffling every lineitem row
+    and shuffling only the ~selectivity fraction that can possibly
+    match. Thresholds are session confs sized for cluster defaults
+    (creation side ≤ a few GB, application side huge), so the key
+    pins them explicitly, materializes eagerly (localCheckpoint) while
+    they're set, and RESTORES them — the driver sweeps all keys in one
+    shared session and later keys expect broadcast joins back.
+    Injection itself is pinned by
+    tests/test_plans.py::test_runtime_bloom_filter_injected; the
+    oracle pins that pruning never changes the answer."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        t = load_tables(spark, sf_dir, "lineitem", "orders")
+        big = t["orders"].where(F.col("o_totalprice") > 300000)
+        joined = t["lineitem"].join(
+            big, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        agg = joined.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_items"),
+            r2(F.sum("l_extendedprice")).alias("joined_revenue"),
+        )
+        # eager: the bloom rewrite happens at optimization time, which
+        # must run while the confs above are still in force
+        return agg.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -409,3 +409,46 @@ def test_sequence_pattern_single_shuffle_no_window(spark):
     assert s.count("Exchange") <= 2  # agg shuffle (+AQE read)
     assert "Window" not in s
     assert "Sort [ts" not in s
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom_filter's claim: with the thresholds set, the
+    selective side's keys become a runtime bloom_filter_agg and the
+    fact scan gains a might_contain() pre-filter BEFORE the join
+    shuffle. The key materializes through localCheckpoint (so the
+    sweepable plan is a checkpoint scan); this test rebuilds the join
+    under the same confs and pins the injection in the live plan."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        from mercurygate_spark.queries.registry import load_tables
+
+        t = load_tables(spark, SF, "lineitem", "orders")
+        big = t["orders"].where(F.col("o_totalprice") > 300000)
+        j = (
+            t["lineitem"]
+            .join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in s
+        assert "bloom_filter_agg" in s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
