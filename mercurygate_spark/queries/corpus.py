@@ -326,3 +326,72 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - token_start div {SEQ_LEN} + 1"
         ).alias("n_seqs"),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS h,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), lc AS (
+      SELECT lang, count(*) AS c FROM tk GROUP BY lang
+    ), ent AS (
+      SELECT round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS lang_entropy
+      FROM lc, (SELECT sum(c) AS n FROM lc) t
+    )
+    SELECT (SELECT count(*) FROM tk) AS n_docs,
+           (SELECT count(DISTINCT lang) FROM tk) AS n_langs,
+           (SELECT CAST(sum(n_tokens) AS BIGINT) FROM tk) AS total_tokens,
+           (SELECT round(median(n_tokens), 2) FROM tk) AS median_doc_tokens,
+           (SELECT round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) FROM tk)
+             AS exact_dup_rate,
+           (SELECT lang_entropy FROM ent) AS lang_entropy_nats,
+           (SELECT round(count_if(n_chars < 100) * 1.0 / count(*), 6) FROM tk)
+             AS short_doc_rate
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD in one pass: the single-row corpus summary every
+    training-data release ships — size, language spread + entropy,
+    token distribution, exact-duplicate rate, short-doc fraction. One
+    tokenizing scan feeds ONE global aggregate (count / NDV / sum /
+    exact median / conditional rates all partial+final mergeable in
+    the same hash-agg) plus a lang-count side frame for the entropy
+    term; the three 1-row frames cross at the end (bounded by
+    construction — the _BOUNDED_BNLJ_OK pattern). At 100 TB this is
+    one corpus read; every metric that would need a second pass
+    (near-dup rate, per-domain percentiles) has its own key
+    (dedup_minhash_lsh, text_quality_percentile_filter) — the card is
+    the cheap always-on summary."""
+    from mercurygate_spark.functions import r6, tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    tk = t["documents"].select(
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    base = tk.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.floor(F.median("n_tokens") * 100 + F.lit(0.5)) / 100).alias(
+            "median_doc_tokens"
+        ),
+        r6(1.0 - F.countDistinct("h") / F.count("*")).alias("exact_dup_rate"),
+        r6(F.count_if(F.col("n_chars") < 100) / F.count("*")).alias(
+            "short_doc_rate"
+        ),
+    )
+    lc = tk.groupBy("lang").agg(F.count("*").alias("c"))
+    n = lc.agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = (
+        lc.join(F.broadcast(n))
+        .agg(r6(-F.sum(p * F.log(p))).alias("lang_entropy_nats"))
+    )
+    return base.join(F.broadcast(ent))

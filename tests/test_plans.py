@@ -83,6 +83,8 @@ _BOUNDED_BNLJ_OK = {
     "window_rolling_active_users",
     # three 1-row count frames crossed into the final metrics row
     "pipeline_minhash_eval",
+    # 1-row summary × 1-row entropy frame — the dataset-card join
+    "pipeline_dataset_card",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
