@@ -1034,6 +1034,22 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def adjacent_pairs(tk):
+    """Array of (w1, w2) structs for every ADJACENT element pair of
+    tk — the token array zipped against itself shifted one, built
+    map-side with two slices (no self-join, no posexplode+join).
+    Shared by text_bpe_merge_step and its property test."""
+    # greatest(n-1, 0): slice() rejects negative lengths, and an
+    # empty/1-token array has no pairs — found by the property test,
+    # not by any SF of the testdata (no document tokenizes to empty)
+    n_pairs = F.greatest(F.size(tk) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(tk, 1, n_pairs).alias("w1"),
+        F.slice(tk, 2, n_pairs).alias("w2"),
+    )
+
+
 BPE_TOPK = 20  # merge candidates surfaced per step
 
 
@@ -1068,16 +1084,9 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
 
-    def pairs(tk):
-        n = F.size(tk)
-        return F.arrays_zip(
-            F.slice(tk, 1, n - 1).alias("w1"),
-            F.slice(tk, 2, n - 1).alias("w2"),
-        )
-
     p = (
         t["documents"]
-        .select(let1(tokens("text"), pairs).alias("ps"))
+        .select(let1(tokens("text"), adjacent_pairs).alias("ps"))
         .where(F.size("ps") > 0)
         .select(F.explode("ps").alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

@@ -663,13 +663,21 @@ def window_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_us("ts").alias("s"),
         (ts_us("ts") + COVER_US).alias("e"),
     )
+    return interval_coverage(iv, "user_id")
+
+
+def interval_coverage(iv: DataFrame, key: str) -> DataFrame:
+    """Merge overlapping [s, e] spans per key into islands; return
+    (key, n_islands, covered_us). The production sweep behind
+    window_interval_coverage, shared with its property test so the
+    running-max island logic is pinned to one implementation."""
     w_prev = (
-        Window.partitionBy("user_id")
+        Window.partitionBy(key)
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_run = (
-        Window.partitionBy("user_id")
+        Window.partitionBy(key)
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -679,10 +687,10 @@ def window_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
     )
     islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
-    merged = islands.groupBy("user_id", "island_id").agg(
+    merged = islands.groupBy(key, "island_id").agg(
         F.min("s").alias("island_s"), F.max("e").alias("island_e")
     )
-    return merged.groupBy("user_id").agg(
+    return merged.groupBy(key).agg(
         F.count("*").alias("n_islands"),
         F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
     )

@@ -410,3 +410,72 @@ def test_moving_median_array_readout_matches_numpy(spark, vals):
     for i in range(len(xs)):
         window = xs[max(0, i - 6) : i + 1]
         assert abs(got[i] - float(np.median(window))) < 1e-9
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=100),    # start
+            st.integers(min_value=1, max_value=30),     # length
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_coverage_matches_brute_union(spark, spans):
+    """interval_coverage (the window_interval_coverage sweep) must
+    equal the brute-force union of covered integer points, for ANY
+    span multiset — including spans that swallow several later ones,
+    the case a lag(e)-based merge gets wrong."""
+    from mercurygate_spark.queries.windows import interval_coverage
+
+    df = spark.createDataFrame(
+        [(k, s, s + ln) for k, s, ln in spans], schema="user_id long, s long, e long"
+    )
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_us"])
+        for r in interval_coverage(df, "user_id").collect()
+    }
+    expect = {}
+    for k in {k for k, _, _ in spans}:
+        ivs = sorted((s, s + ln) for kk, s, ln in spans if kk == k)
+        islands = []
+        for s0, e0 in ivs:
+            if islands and s0 <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e0)
+            else:
+                islands.append([s0, e0])
+        expect[k] = (len(islands), sum(e0 - s0 for s0, e0 in islands))
+    assert got == expect
+
+
+@given(
+    toks=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_adjacent_pairs_matches_python_zip(spark, toks):
+    """adjacent_pairs (text_bpe_merge_step's zip-shift) must produce
+    exactly zip(tk, tk[1:]) for any token array — pinning the
+    1-indexed slice arithmetic on empty, single-token, and repeated
+    sequences."""
+    from collections import Counter
+
+    from mercurygate_spark.queries.text import adjacent_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], schema="i long, tk array<string>"
+    )
+    out = (
+        df.select(F.explode(adjacent_pairs(F.col("tk"))).alias("p"))
+        .select("p.w1", "p.w2")
+        .collect()
+    )
+    got = Counter((r["w1"], r["w2"]) for r in out)
+    expect = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    assert got == expect
