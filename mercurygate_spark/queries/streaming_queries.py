@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mercurygate_spark.queries.registry import query
+from mercurygate_spark.queries.registry import load_tables, query
 from mercurygate_spark.streaming.windows import (
     distinct_pairs_stream,
     interval_join_streams,
@@ -426,4 +426,50 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_ticks"),
             r2(F.sum("value")).alias("sum_value"),
         )
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a
+    BATCH dimension (customer) — the canonical streaming-ETL shape
+    (click enrichment, device lookup, feature join). The static side
+    needs no watermark and holds no join state: each micro-batch
+    plans a fresh batch join against it (so a dimension UPDATE is
+    picked up at the next batch — slowly-changing enrichment for
+    free), and Spark broadcasts it exactly as in the batch plan. On
+    the bounded availableNow input the enriched aggregate equals the
+    batch join — the oracle. sum rounded: micro-batch accumulation
+    order differs from scan order."""
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.functions import r2
+
+    events = read_events_stream(spark, sf_dir)
+    customers = load_tables(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = events.join(
+        customers, events["user_id"] == customers["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        r2(F.col("sum_value")).alias("sum_value"),
     )
