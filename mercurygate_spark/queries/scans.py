@@ -695,3 +695,96 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_chars"
         ),
     )
+
+
+@query(
+    "sink_zorder_morton",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(l_partkey % 1024) AS BIGINT) AS sum_x,
+           CAST(sum(l_suppkey % 1024) AS BIGINT) AS sum_y,
+           true AS x_spans_bounded,
+           true AS y_spans_bounded
+    FROM lineitem
+    """,
+)
+def sink_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered sink (Morton space-filling curve): interleave
+    the bits of two cluster keys (x = partkey%1024, y = suppkey%1024)
+    into one 20-bit Morton code, then range-partition + sort on it —
+    so every output file covers a compact RECTANGLE of (x, y) space
+    and predicates on EITHER dimension prune files. That is the
+    property 1-D clustering (sink_clustered_range) cannot give: sort
+    by x alone and each file spans ALL of y. The Morton interleave is
+    pure integer arithmetic (shiftright/&/shiftleft — stays in
+    whole-stage codegen, works identically in any engine).
+
+    The contract is verified from parquet FOOTERS: partitioning on
+    the TOP 4 MORTON BITS (z div 2¹⁶ — a hive partition per quadtree
+    cell, deterministic, no sampled range cuts: a sampled cut that
+    straddles a high-bit boundary spans two quadrants and breaks the
+    bound, which the sf0.1 sweep demonstrated) makes every file a
+    quadtree cell spanning exactly ≤¼ of each axis — the key pins
+    every file's x-span AND y-span ≤ ⅓ of the global span. Row
+    fidelity via the read-back aggregate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    x = F.col("l_partkey") % 1024
+    y = F.col("l_suppkey") % 1024
+    morton = sum(
+        (
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        )
+        for i in range(10)
+    )
+    path = _tmp("zorder_morton")
+    (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            x.alias("x"),
+            y.alias("y"),
+            morton.alias("z"),
+            (morton / 65536).cast("int").alias("zbucket"),
+        )
+        .repartition("zbucket")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+
+    def spans(col_name):
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "zbucket=*", "part-*"))):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col_name
+            )
+            st = [
+                md.row_group(rg).column(idx).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            out.append(
+                max(s.max for s in st) - min(s.min for s in st)
+            )
+        return out
+
+    x_ok = all(s <= 1024 // 3 for s in spans("x"))
+    y_ok = all(s <= 1024 // 3 for s in spans("y"))
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    ).select(
+        "*",
+        F.lit(bool(x_ok)).alias("x_spans_bounded"),
+        F.lit(bool(y_ok)).alias("y_spans_bounded"),
+    )
