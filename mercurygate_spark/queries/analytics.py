@@ -859,3 +859,87 @@ def agg_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_vp_spans"),
     )
+
+
+@query(
+    "agg_ab_test_stats",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS spend
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, count(*) AS n,
+             round(avg(spend), 6) AS mean_spend,
+             round(var_samp(spend), 6) AS var_spend
+      FROM per_user GROUP BY arm
+    ), wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 0 THEN mean_spend END) AS mean_a,
+             max(CASE WHEN arm = 1 THEN mean_spend END) AS mean_b,
+             max(CASE WHEN arm = 0 THEN var_spend END) AS var_a,
+             max(CASE WHEN arm = 1 THEN var_spend END) AS var_b
+      FROM arms
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+             AS z_score,
+           abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+             AS significant
+    FROM wide
+    """,
+)
+def agg_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms
+    (md5(user_id) % 2 — the same content-hash assignment the sampling
+    family uses, so arm membership is reproducible on any engine and
+    any re-shard), per-user purchase spend aggregated, then Welch's
+    z = (μA−μB)/√(σ²A/nA + σ²B/nB) with the 1.96 two-sided 5 % gate.
+    Two chained aggs (user rollup, then two arm rows) + a 2-row pivot
+    — at 100 TB the experiment readout costs one events scan. The z
+    arithmetic runs on the r6-ROUNDED per-arm moments, so both
+    engines divide bit-identical inputs (the raw double sums differ
+    in the last ulp; the derived scalar must not)."""
+    t = load_tables(spark, sf_dir, "events")
+    from mercurygate_spark.functions import md5_long, r6
+
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("spend")
+        )
+        .withColumn("arm", md5_long(F.col("user_id").cast("string")) % 2)
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        r6(F.avg("spend")).alias("mean_spend"),
+        r6(F.var_samp("spend")).alias("var_spend"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("mean_spend"))).alias("mean_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("mean_spend"))).alias("mean_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("var_spend"))).alias("var_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("var_spend"))).alias("var_b"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        r6(z).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

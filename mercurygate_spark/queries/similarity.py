@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mercurygate_spark.functions import r6
 from mercurygate_spark.operators.similarity import (
     EMBED_DIMS,
     KMEANS_ITERS,
@@ -272,3 +273,61 @@ def sim_cosine_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     q = e.where(F.col("vec_id") < N_QUERIES)
     return cosine_topk_lsh_multi(q, e, k=TOP_K)
+
+
+@query(
+    "sim_embedding_centroid",
+    oracle="""
+    WITH e AS (
+      SELECT label, i, embedding[i + 1] AS v
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ), comp AS (
+      SELECT label, i, round(avg(v), 6) AS c FROM e GROUP BY 1, 2
+    ), cent AS (
+      SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY label
+    ), n AS (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT n.label, n.n_vecs, cent.centroid,
+           round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6)
+             AS centroid_norm
+    FROM n JOIN cent USING (label)
+    """,
+)
+def sim_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector AGGREGATION (the reduce half of the embedding toolkit —
+    the search keys query vectors, this one summarizes them): per-
+    label mean embedding via posexplode → (label, position) partial
+    avg → ordered reassembly with array_sort(collect_list(struct)).
+    No UDF anywhere: component averaging is plain codegen aggregation
+    and shuffles (labels × dims) rows of scalars, never whole vectors
+    — at 100 TB the shuffle volume is the CENTROID table size,
+    independent of corpus size (same contract as IVF training,
+    operators/similarity.py, which collects exactly k×dims to the
+    driver). Components are r6-rounded BEFORE the norm so the derived
+    scalar is computed from bit-identical inputs in both engines."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    comp = e.groupBy("label", "pos").agg(r6(F.avg("v")).alias("c"))
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    n = t["embeddings"].groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return n.join(cent, "label").select(
+        "label",
+        "n_vecs",
+        "centroid",
+        r6(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("centroid"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        ).alias("centroid_norm"),
+    )

@@ -694,3 +694,59 @@ def interval_coverage(iv: DataFrame, key: str) -> DataFrame:
         F.count("*").alias("n_islands"),
         F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
     )
+
+
+@query(
+    "window_cusum_drift",
+    oracle="""
+    WITH g AS (
+      SELECT round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
+      FROM events
+    ), cs AS (
+      SELECT user_id, sd,
+             sum(value - mu) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c
+      FROM events, g
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(abs(c)), 2) AS max_abs_cusum,
+           max(abs(c)) > 5 * any_value(sd) AS drift_flag
+    FROM cs GROUP BY user_id
+    """,
+)
+def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection — the sequential change-point monitor
+    for per-key metric streams (data-quality drift, sensor failure,
+    behavioral shift): accumulate each event's deviation from the
+    corpus mean in event-time order; a key whose metric genuinely
+    shifted accumulates a one-sided excursion that random noise
+    cannot sustain (random-walk excursions grow √n, a drift grows n).
+    Flag when max|CUSUM| exceeds 5·σ. One 1-row broadcast (rounded μ,
+    σ — rounded so the running sums are computed from bit-identical
+    inputs in both engines, and the ordered per-key summation itself
+    is order-pinned by (ts, event_id)), one window pass, one agg —
+    the monitor costs a single scan at any scale."""
+    t = load_tables(spark, sf_dir, "events")
+    g = t["events"].agg(
+        r6(F.avg("value")).alias("mu"),
+        r6(F.stddev_samp("value")).alias("sd"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = (
+        t["events"]
+        .join(F.broadcast(g))
+        .withColumn("c", F.sum(F.col("value") - F.col("mu")).over(w))
+    )
+    return cs.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        r2(F.max(F.abs("c"))).alias("max_abs_cusum"),
+        (F.max(F.abs("c")) > 5 * F.any_value("sd")).alias("drift_flag"),
+    )

@@ -85,6 +85,8 @@ _BOUNDED_BNLJ_OK = {
     "pipeline_minhash_eval",
     # 1-row summary × 1-row entropy frame — the dataset-card join
     "pipeline_dataset_card",
+    # 1-row (mu, sd) frame broadcast onto the events scan
+    "window_cusum_drift",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
