@@ -795,3 +795,70 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY depth
         """
     )
+
+
+GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql_parts() -> tuple[str, str, str]:
+    """(xi, yi, code) SQL expressions shared VERBATIM by the Spark
+    side (F.expr) and the DuckDB oracle — one formula text, two
+    engines, so the bit arithmetic cannot drift. Integer-only: grid
+    cells come from (v * 32768) div 1000, never a float divide, so no
+    floor-boundary ulp risk exists anywhere."""
+    xi = "((event_id * 37) % 1000)"
+    yi = "(((user_id * 91) + event_id) % 1000)"
+    gx = f"(({xi} * 32768) div 1000)"
+    gy = f"(({yi} * 32768) div 1000)"
+    code = " + ".join(
+        f"((({gx} >> {i}) & 1) << {2 * i + 1}) + ((({gy} >> {i}) & 1) << {2 * i})"
+        for i in range(15)
+    )
+    return xi, yi, f"({code})"
+
+
+@query(
+    "fn_geohash",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id,
+             {_geohash_sql_parts()[2].replace(' div ', ' // ')} AS code
+      FROM events
+    )
+    SELECT event_id, code,
+           {" || ".join(
+               f"substr('{GEOHASH_ALPHA}', CAST((code >> {25 - 5 * i}) & 31 AS INT) + 1, 1)"
+               for i in range(6)
+           )} AS geohash6
+    FROM c
+    """,
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding — the textual space-filling-curve index (the
+    base32 cousin of sink_zorder_morton's Morton code): interleave
+    the longitude/latitude grid bits (lon first, per the geohash
+    spec) into a 30-bit code and read it out 5 bits at a time through
+    the geohash alphabet. A 6-char hash names a ~±0.6 km cell, and
+    PREFIX equality = spatial proximity — so geo joins become string
+    prefix equi-joins and LIKE 'u09%' prunes on ordinary string
+    statistics. Coordinates derive from events columns via
+    INTEGER-ONLY grid math ((v·2¹⁵) div 1000 — no float divide, no
+    floor-boundary risk), and the bit-interleave formula is ONE
+    generated SQL text evaluated by both engines, so the oracle pins
+    the exact bit layout, not a reimplementation of it."""
+    t = load_tables(spark, sf_dir, "events")
+    _, _, code_sql = _geohash_sql_parts()
+    chars = [
+        f"substr('{GEOHASH_ALPHA}', CAST((code >> {25 - 5 * i}) & 31 AS INT) + 1, 1)"
+        for i in range(6)
+    ]
+    return (
+        t["events"]
+        .select("event_id", "user_id")
+        .withColumn("code", F.expr(code_sql))
+        .select(
+            "event_id",
+            "code",
+            F.expr(" || ".join(chars)).alias("geohash6"),
+        )
+    )
