@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import r2
+from mercurygate_spark.functions import r2, r6
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -185,4 +185,54 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("absdev") > 3 * 1.4826 * F.col("mad_raw")
         ).alias("n_outliers"),
         F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "dq_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(count_if(l.l_extendedprice < b.p01) AS BIGINT) AS n_clipped_low,
+           CAST(count_if(l.l_extendedprice > b.p99) AS BIGINT) AS n_clipped_high,
+           round(avg(l.l_extendedprice), 2) AS mean_raw,
+           round(avg(greatest(least(l.l_extendedprice, b.p99), b.p01)), 2)
+             AS mean_winsorized
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip each group's values into [p01, p99] before
+    averaging, the tail-robust alternative to dropping outliers (the
+    row survives; only its leverage is capped). Companion to
+    dq_mad_outliers (which FLAGS; this REPAIRS). Exact interpolated
+    percentiles per group, r6-rounded before the clip so both engines
+    clip against bit-identical bounds, broadcast back (group count is
+    tiny; the fact table never reshuffles), then one conditional
+    aggregate produces clip counts + before/after means."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_extendedprice", F.lit(0.01))).alias("p01"),
+        r6(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    clipped = F.greatest(
+        F.least(F.col("l_extendedprice"), F.col("p99")), F.col("p01")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_extendedprice") < F.col("p01")).alias("n_clipped_low"),
+        F.count_if(F.col("l_extendedprice") > F.col("p99")).alias(
+            "n_clipped_high"
+        ),
+        r2(F.avg("l_extendedprice")).alias("mean_raw"),
+        r2(F.avg(clipped)).alias("mean_winsorized"),
     )

@@ -361,3 +361,58 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sample_group_split",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 10 < 8 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (SELECT DISTINCT user_id FROM events) d
+    )
+    SELECT u.split,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events
+    FROM events e JOIN u USING (user_id)
+    GROUP BY u.split
+    """,
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test split — the leakage-safe variant of
+    split_train_val_test: the hash is taken on the GROUP key (user),
+    so every row of a user lands in the same split and no user's
+    behavior leaks from train into eval (row-level splitting of
+    grouped data is the classic evaluation-inflation bug). Same
+    md5-bucket assignment as the whole sampling family
+    (re-shard-stable, engine-independent); the split table is
+    user-sized and broadcasts onto the event scan."""
+    t = load_tables(spark, sf_dir, "events")
+    bucket = md5_long(F.col("user_id").cast("string")) % 10
+    u = (
+        t["events"]
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return (
+        t["events"]
+        .join(F.broadcast(u), "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1102,3 +1102,69 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "w1", "w2")
         .limit(BPE_TOPK)
     )
+
+
+@query(
+    "text_lang_id_metrics",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_SCORE_COLS}
+      FROM documents
+    ), best AS (
+      SELECT *, {_BEST} AS best FROM scored
+    ), pred AS (
+      SELECT lang AS truth, {_CASE} AS pred FROM best
+    ), m AS (
+      SELECT truth AS lang,
+             count(*) AS n_true,
+             CAST(count_if(pred = truth) AS BIGINT) AS tp
+      FROM pred GROUP BY truth
+    ), p AS (
+      SELECT pred AS lang, count(*) AS n_pred FROM pred GROUP BY pred
+    )
+    SELECT m.lang, m.n_true, coalesce(p.n_pred, 0) AS n_pred, m.tp,
+           round(m.tp * 1.0 / nullif(coalesce(p.n_pred, 0), 0), 6) AS precision,
+           round(m.tp * 1.0 / m.n_true, 6) AS recall,
+           round(2.0 * m.tp / nullif(m.n_true + coalesce(p.n_pred, 0), 0), 6)
+             AS f1
+    FROM m LEFT JOIN p USING (lang)
+    """,
+)
+def text_lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at corpus scale: per-language precision /
+    recall / F1 of the lang-ID heuristic against the labeled truth —
+    the eval rollup every model-in-the-loop curation pipeline needs
+    (text_lang_id emits the raw confusion matrix; this key reduces it
+    to the decision metrics). Two tiny aggregates over the scored
+    scan (per-truth counts + true positives, per-prediction counts)
+    joined on language — 5 rows each, the scan dominates. F1 written
+    as 2·tp/(n_true+n_pred) — identical to the harmonic mean but with
+    ONE rounded division instead of nested rounded divisions, so both
+    engines derive it from bit-identical integers."""
+    from mercurygate_spark.operators.text import lang_id
+
+    t = load_tables(spark, sf_dir, "documents")
+    pred = t["documents"].select(
+        F.col("lang").alias("truth"), lang_id("text").alias("pred")
+    )
+    m = pred.groupBy(F.col("truth").alias("lang")).agg(
+        F.count("*").alias("n_true"),
+        F.count_if(F.col("pred") == F.col("truth")).alias("tp"),
+    )
+    p = pred.groupBy(F.col("pred").alias("lang")).agg(
+        F.count("*").alias("n_pred")
+    )
+    joined = m.join(p, "lang", "left").withColumn(
+        "n_pred", F.coalesce("n_pred", F.lit(0))
+    )
+    return joined.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        r6(F.col("tp") / F.nullif(F.col("n_pred"), F.lit(0))).alias("precision"),
+        r6(F.col("tp") / F.col("n_true")).alias("recall"),
+        r6(
+            2.0 * F.col("tp") / F.nullif(F.col("n_true") + F.col("n_pred"), F.lit(0))
+        ).alias("f1"),
+    )
