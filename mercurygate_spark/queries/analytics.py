@@ -943,3 +943,57 @@ def agg_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(z).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, sum(n_transitions) AS row_total FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n_transitions,
+           round(c.n_transitions * 1.0 / t.row_total, 6) AS p_transition
+    FROM c JOIN tot t USING (prev_type)
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lag() pairs each event with its predecessor in event
+    time (ties broken by event_id, so the chain is deterministic in
+    both engines), transitions counted globally and row-normalized
+    into P(next | prev) — the behavioral model behind next-action
+    prediction, anomaly scoring (improbable chains), and synthetic
+    session generation. One window pass partitioned by user + two
+    tiny aggregates over the 5×5 state space; the probability divides
+    exact integers, so r6 is deterministic. Complements
+    agg_sequence_pattern (which MATCHES specified patterns; this
+    ESTIMATES the process)."""
+    t = load_tables(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
+    return c.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        r6(F.col("n_transitions") / F.col("row_total")).alias("p_transition"),
+    )

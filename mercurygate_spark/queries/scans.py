@@ -788,3 +788,51 @@ def sink_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(x_ok)).alias("x_spans_bounded"),
         F.lit(bool(y_ok)).alias("y_spans_bounded"),
     )
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+           max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record source — the mainframe/EDI interchange
+    format Spark has no reader for: parse it as a text scan + substr
+    projections (byte offsets ARE the schema), which stays entirely
+    in whole-stage codegen — no UDF, no regex. Round-trip: orders
+    rendered to 38-byte records (%012d key · 1-char status ·
+    %015.2f amount · ISO date), read back as text, sliced by
+    position, casts re-typed. The read-back aggregate matching the
+    parquet-based oracle proves offset arithmetic and numeric
+    re-parse are lossless (amounts are 2-decimal, so %.2f text is
+    exact)."""
+    t = load_tables(spark, sf_dir, "orders")
+    path = _tmp("fixed_width")
+    lines = t["orders"].select(
+        F.concat(
+            F.format_string("%012d", F.col("o_orderkey")),
+            F.col("o_orderstatus"),
+            F.format_string("%015.2f", F.col("o_totalprice")),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.substring("value", 14, 15).cast("double").alias("o_totalprice"),
+        F.substring("value", 29, 10).alias("order_date"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("sum_total"),
+        F.min("order_date").alias("first_date"),
+        F.max("order_date").alias("last_date"),
+    )

@@ -100,7 +100,7 @@ _EAGER_ROUNDTRIP_KEYS = {
     if name.startswith(("sink_", "stream_")) or name in {
         "scan_csv_infer", "scan_json_lines", "scan_text_lines",
         "scan_csv_malformed", "scan_binary_files", "scan_schema_evolution",
-        "scan_observe_metrics",
+        "scan_observe_metrics", "scan_jsonl_corrupt", "scan_fixed_width",
     }
 }
 
