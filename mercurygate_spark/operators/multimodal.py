@@ -775,3 +775,117 @@ def build_webm(width: int, height: int, duration_ms: int) -> bytes:
     header = _ebml_elem(_WEBM_MAGIC, _ebml_elem(b"\x42\x82", b"webm"))
     segment = _ebml_elem(b"\x18\x53\x80\x67", info + tracks)
     return header + segment
+
+
+def build_jpeg_exif(
+    width: int, height: int, orientation: int, little_endian: bool
+) -> bytes:
+    """Minimal real JPEG+EXIF container: SOI, one APP1 segment holding
+    a TIFF structure (II or MM byte order) with IFD0 {Orientation,
+    ExifIFDPointer} and an Exif sub-IFD {PixelXDimension,
+    PixelYDimension}, then EOI — no scan data, like every builder
+    here (the metadata path is what's exercised; pixels would need a
+    codec). Both byte orders are emitted so the parser's endianness
+    handling is covered by data, not just a branch."""
+    import struct
+
+    e = "<" if little_endian else ">"
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + (
+            struct.pack(e + "HH", value, 0)
+            if typ == 3  # SHORT: value left-justified in the 4-byte slot
+            else struct.pack(e + "I", value)
+        )
+
+    exif_ifd_off = 8 + 2 + 2 * 12 + 4  # TIFF header + IFD0 (2 entries)
+    ifd0 = (
+        struct.pack(e + "H", 2)
+        + entry(0x0112, 3, 1, orientation)
+        + entry(0x8769, 4, 1, exif_ifd_off)
+        + struct.pack(e + "I", 0)
+    )
+    sub = (
+        struct.pack(e + "H", 2)
+        + entry(0xA002, 4, 1, width)
+        + entry(0xA003, 4, 1, height)
+        + struct.pack(e + "I", 0)
+    )
+    tiff = (
+        (b"II" if little_endian else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + ifd0
+        + sub
+    )
+    app1_content = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_content) + 2) + app1_content
+    return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+
+def parse_jpeg_exif(payload: bytes) -> tuple[str, int, int, int] | None:
+    """No-codec EXIF walker: scan JPEG markers for APP1/Exif, then walk
+    the TIFF IFDs — endianness from the II/MM magic, Orientation from
+    IFD0 (SHORT, left-justified in its value slot), pixel dimensions
+    from the Exif sub-IFD. Returns (endian, orientation, width,
+    height) or None if any layer of the sandwich is malformed."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        pos += 2 + seg_len
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        e, endian = "<", "little"
+    elif tiff[:2] == b"MM":
+        e, endian = ">", "big"
+    else:
+        return None
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return None
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, bytes]]:
+        n = struct.unpack(e + "H", tiff[off : off + 2])[0]
+        out = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tag, typ, count = struct.unpack(e + "HHI", tiff[base : base + 8])
+            out[tag] = (typ, count, tiff[base + 8 : base + 12])
+        return out
+
+    def value_of(typ: int, raw: bytes) -> int:
+        if typ == 3:  # SHORT occupies the first 2 bytes of the slot
+            return struct.unpack(e + "H", raw[:2])[0]
+        return struct.unpack(e + "I", raw)[0]
+
+    try:
+        ifd0 = read_ifd(struct.unpack(e + "I", tiff[4:8])[0])
+        if 0x0112 not in ifd0 or 0x8769 not in ifd0:
+            return None
+        orientation = value_of(*ifd0[0x0112][0::2])
+        sub = read_ifd(value_of(*ifd0[0x8769][0::2]))
+        if 0xA002 not in sub or 0xA003 not in sub:
+            return None
+        return (
+            endian,
+            orientation,
+            value_of(*sub[0xA002][0::2]),
+            value_of(*sub[0xA003][0::2]),
+        )
+    except struct.error:
+        # truncated IFD table / value slot — malformed, not fatal
+        return None

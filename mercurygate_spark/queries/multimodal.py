@@ -413,3 +413,68 @@ def multimodal_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return t["documents"].select("doc_id").mapInPandas(roundtrip, VIDEO_META_SCHEMA)
+
+
+@query(
+    "multimodal_exif_meta",
+    oracle="""
+    SELECT doc_id,
+           82 AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END AS endian,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(320 + doc_id % 640 AS INT) AS width,
+           CAST(240 + doc_id % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata, proven end-to-end like multimodal_video_meta:
+    deterministic JPEG+EXIF containers are BUILT per doc_id
+    (operators.multimodal.build_jpeg_exif — real APP1/TIFF/IFD
+    structure, BOTH byte orders by doc parity), then PARSED back by
+    the no-codec TIFF-IFD walker (parse_jpeg_exif: marker scan, II/MM
+    endianness, SHORT-in-slot left-justification, sub-IFD pointer
+    chase) in Arrow-batched mapInPandas. The oracle replays the
+    synthesis arithmetic, so any drift in IFD offset math or
+    endianness handling breaks the hash. Orientation is the tag real
+    pipelines need BEFORE decode (a rotated image fed to a vision
+    model untransposed is silent training noise)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mercurygate_spark.operators.multimodal import (
+        build_jpeg_exif,
+        parse_jpeg_exif,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payload = build_jpeg_exif(
+                    width=320 + d % 640,
+                    height=240 + d % 480,
+                    orientation=1 + d % 8,
+                    little_endian=d % 2 == 0,
+                )
+                endian, orientation, w, h = parse_jpeg_exif(payload)
+                rows.append((d, len(payload), endian, orientation, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "endian",
+                    "orientation", "width", "height",
+                ],
+            )
+
+    return t["documents"].select("doc_id").mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, n_bytes int, endian string, "
+            "orientation int, width int, height int"
+        ),
+    )

@@ -780,3 +780,24 @@ def test_pagerank_star_graph_exact_and_mass_conserving(spark):
         if iters == 1:
             assert abs(rows["c"] - 2.70) < 1e-9
             assert abs(rows["l1"] - (0.15 + 0.85 / 3)) < 1e-9
+
+
+def test_jpeg_exif_build_parse_round_trip():
+    """EXIF builder/parser: both byte orders, every orientation, edge
+    dims; malformed payloads return None instead of raising."""
+    from mercurygate_spark.operators.multimodal import (
+        build_jpeg_exif,
+        parse_jpeg_exif,
+    )
+
+    for le in (True, False):
+        for orient in range(1, 9):
+            b = build_jpeg_exif(7680, 4320, orient, le)
+            assert parse_jpeg_exif(b) == (
+                "little" if le else "big", orient, 7680, 4320,
+            )
+    assert parse_jpeg_exif(b"\xff\xd8\xff\xd9") is None      # no APP1
+    assert parse_jpeg_exif(b"not a jpeg") is None
+    assert parse_jpeg_exif(b"") is None
+    good = build_jpeg_exif(100, 100, 1, True)
+    assert parse_jpeg_exif(good[:40]) is None                # truncated TIFF
