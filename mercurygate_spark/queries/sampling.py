@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mercurygate_spark.functions import md5_long, r2
+from mercurygate_spark.functions import md5_long, r2, r6
 from mercurygate_spark.queries.registry import load_tables, query
 
 
@@ -415,4 +415,80 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
         )
+    )
+
+
+SAMPLE_TEMP_ALPHA = 0.7  # temperature exponent (XLM-style rebalancing)
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), q AS (
+      SELECT lang, n,
+             pow(n * 1.0 / (sum(n) OVER ()), {SAMPLE_TEMP_ALPHA}) AS qraw,
+             sum(n) OVER () AS total
+      FROM c
+    ), r AS (
+      SELECT lang, n, total,
+             round(least(1.0,
+               floor(qraw / (sum(qraw) OVER ()) * total / 2) / n), 6) AS rate
+      FROM q
+    )
+    SELECT d.lang, any_value(r.n) AS n_docs, any_value(r.rate) AS rate,
+           CAST(count_if(
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000
+             < CAST(floor(r.rate * 1000000 + 0.5) AS BIGINT)
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN r USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual
+    rebalancing formula (XLM / mT5 style): sampling weight ∝ p_lang^α
+    with α={SAMPLE_TEMP_ALPHA}, which up-samples tail languages and
+    down-samples the head WITHOUT flattening to uniform
+    (sample_mixture_rebalance's equalize-to-smallest is the α→0
+    limit; α=1 is natural frequency). Per-lang keep rates derive from
+    the 5-row count frame (window-over-() on a bounded frame),
+    membership is the family's md5 integer threshold — rate r6-
+    rounded on both sides BEFORE thresholding so the transcendental
+    pow's last-ulp engine difference cannot move the cut. One scan +
+    a broadcast of 5 rates; nothing about the corpus reshuffles."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    c = t["documents"].groupBy("lang").agg(F.count("*").alias("n"))
+    q = c.select(
+        "lang",
+        "n",
+        F.pow(F.col("n") / F.sum("n").over(w), SAMPLE_TEMP_ALPHA).alias("qraw"),
+        F.sum("n").over(w).alias("total"),
+    )
+    r = q.select(
+        "lang",
+        "n",
+        r6(
+            F.least(
+                F.lit(1.0),
+                F.floor(
+                    F.col("qraw") / F.sum("qraw").over(w) * F.col("total") / 2
+                )
+                / F.col("n"),
+            )
+        ).alias("rate"),
+    )
+    d = t["documents"].join(F.broadcast(r), "lang")
+    threshold = F.floor(F.col("rate") * 1000000 + F.lit(0.5)).cast("long")
+    return d.groupBy("lang").agg(
+        F.any_value("n").alias("n_docs"),
+        F.any_value("rate").alias("rate"),
+        F.count_if(
+            md5_long(F.col("doc_id").cast("string")) % 1000000 < threshold
+        ).alias("n_kept"),
     )
