@@ -862,3 +862,72 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment || '_v' || v AS segment_version,
+             CASE v WHEN 1 THEN TIMESTAMP '1990-01-01 00:00:00'
+                    ELSE TIMESTAMP '1998-01-01 00:00:00' END AS valid_from,
+             CASE v WHEN 1 THEN TIMESTAMP '1998-01-01 00:00:00'
+                    ELSE TIMESTAMP '2999-01-01 00:00:00' END AS valid_to
+      FROM customer, UNNEST([1, 2]) AS u(v)
+    )
+    SELECT d.segment_version,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    GROUP BY d.segment_version
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension — the warehouse
+    must-have the silver MERGE pipeline produces versions FOR: each
+    fact row joins the ONE dimension version whose
+    [valid_from, valid_to) span covers the fact's event date. The dim
+    here is synthesized (two versions per customer split at
+    1998-01-01, half-open so no date double-matches); the join is
+    equi on the business key + a range residual, which Spark plans as
+    a hash join on custkey with the range as a cheap post-filter —
+    NOT a theta join: the equi key does the distribution, so at
+    100 TB it shuffles like any equi join and the version fan-out (2)
+    is the only amplification. Half-open intervals guarantee exactly
+    one match per fact row, so n_orders across groups sums to
+    |orders| — the SCD2 integrity property the oracle hash pins."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    lo = F.lit("1990-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2999-01-01 00:00:00").cast("timestamp")
+    dim = (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("v"),
+        )
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("_v"), F.col("v")).alias(
+                "segment_version"
+            ),
+            F.when(F.col("v") == 1, lo).otherwise(split).alias("valid_from"),
+            F.when(F.col("v") == 1, split).otherwise(hi).alias("valid_to"),
+        )
+    )
+    o = t["orders"]
+    joined = o.join(
+        dim,
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (o["o_orderdate"] < dim["valid_to"]),
+    )
+    return joined.groupBy("segment_version").agg(
+        F.count("*").alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("revenue"),
+    )
