@@ -479,3 +479,105 @@ def test_adjacent_pairs_matches_python_zip(spark, toks):
     got = Counter((r["w1"], r["w2"]) for r in out)
     expect = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
     assert got == expect
+
+
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),   # event_id
+            st.integers(min_value=0, max_value=10**9),   # user_id
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_geohash_formula_matches_subdivision_reference(keys):
+    """fn_geohash's closed-form bit interleave must equal the geohash
+    SPEC's algorithm — alternating binary midpoint subdivision, lon
+    bit first. The production SQL text (_geohash_sql_parts, the same
+    string Spark executes) is evaluated in DuckDB over random ids and
+    compared against an independent iterative reference."""
+    import duckdb
+
+    from mercurygate_spark.queries.scalar_fns import (
+        GEOHASH_ALPHA,
+        _geohash_sql_parts,
+    )
+
+    def reference(gx: int, gy: int) -> str:
+        # subdivision on [0, 32768): alternating lon/lat bits, MSB first
+        code = 0
+        lo_x, hi_x, lo_y, hi_y = 0, 32768, 0, 32768
+        for b in range(30):
+            if b % 2 == 0:  # even position (MSB side): longitude bit
+                mid = (lo_x + hi_x) // 2
+                bit = 1 if gx >= mid else 0
+                lo_x, hi_x = (mid, hi_x) if bit else (lo_x, mid)
+            else:
+                mid = (lo_y + hi_y) // 2
+                bit = 1 if gy >= mid else 0
+                lo_y, hi_y = (mid, hi_y) if bit else (lo_y, mid)
+            code = (code << 1) | bit
+        return "".join(
+            GEOHASH_ALPHA[(code >> (25 - 5 * i)) & 31] for i in range(6)
+        )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", keys)
+    xi, yi, code_sql = _geohash_sql_parts()
+    rows = con.execute(
+        f"SELECT {xi}, {yi}, {code_sql.replace(' div ', ' // ')} FROM events"
+    ).fetchall()
+    for (e, u), (xv, yv, code) in zip(keys, rows):
+        gx, gy = (xv * 32768) // 1000, (yv * 32768) // 1000
+        got = "".join(
+            GEOHASH_ALPHA[(code >> (25 - 5 * i)) & 31] for i in range(6)
+        )
+        assert got == reference(gx, gy), (e, u, gx, gy)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=50),   # ts offset
+            st.sampled_from(["a", "b", "c"]),         # type
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_markov_transitions_match_sequential_replay(spark, events):
+    """agg_markov_transitions' lag-pairing must equal a plain
+    sequential replay of each user's ordered chain, for any event
+    multiset — pinning the (ts, event_id) tie-break and the
+    prev-NULL head drop."""
+    from collections import Counter, defaultdict
+
+    rows = [
+        (uid, i, float(ts), et) for i, (uid, ts, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, event_id long, ts double, event_type string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = Counter(
+        (r["prev_type"], r["event_type"])
+        for r in df.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        ).collect()
+        if r["prev_type"] is not None
+    )
+    chains = defaultdict(list)
+    for uid, eid, ts, et in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        chains[uid].append(et)
+    expect = Counter(
+        (a, b) for chain in chains.values() for a, b in zip(chain, chain[1:])
+    )
+    assert got == expect
