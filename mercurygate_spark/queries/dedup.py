@@ -434,3 +434,75 @@ def pipeline_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sh AS ({duck_simhash_sql()}),
+    banded AS (
+      SELECT doc_id, simhash, simhash >> 16 AS val, 0 AS band FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, simhash & 65535, 1 FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 1
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming radius 1 — dedup_simhash
+    computes fingerprints; this key finds the pairs, EXACTLY, without
+    all-pairs comparison: split the 32-bit fingerprint into 2 bands
+    of 16; by pigeonhole, any pair within Hamming distance 1 agrees
+    exactly on at least one band, so a band-equi self-join generates
+    a candidate superset and bit_count(xor) ≤ 1 verifies — banding
+    here is a lossless plan rewrite (the same guarantee structure as
+    join_spatial_grid), not an approximation. Shuffle carries
+    (band, 16-bit value, id, fingerprint); bucket sizes are bounded
+    by fingerprint collisions, not corpus size. At radius k, use k+1
+    bands — the standard simhash dedup deployment shape."""
+    from mercurygate_spark.operators.dedup import simhash
+
+    t = load_tables(spark, sf_dir, "documents")
+    sh = simhash(t["documents"], "doc_id")
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.shiftright("simhash", 16).alias("val"),
+        F.lit(0).alias("band"),
+    ).unionByName(
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.col("simhash").bitwiseAND(65535).alias("val"),
+            F.lit(1).alias("band"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(hamming <= 1).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

@@ -836,3 +836,84 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("order_date").alias("first_date"),
         F.max("order_date").alias("last_date"),
     )
+
+
+@query(
+    "pipeline_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price,
+             0 AS seq, 'I' AS op
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ), log AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice + 1000 AS price,
+             1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
+      FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'I'
+      FROM orders WHERE o_orderkey % 4 = 3
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 5000, 4, 'U'
+      FROM orders WHERE o_orderkey % 8 = 2
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM log
+    ), latest AS (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM unioned
+    )
+    SELECT st AS o_orderstatus,
+           count(*) AS n_rows,
+           round(sum(price), 2) AS sum_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY st
+    """,
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application (the Debezium-style apply step): a base
+    snapshot plus an ordered change log of upserts (I/U) and deletes
+    (D) reduce to the final table state — per key, the HIGHEST
+    sequence number wins; a trailing D erases, a U after a D
+    resurrects (exercised here: keys ≡2 mod 8 are deleted at seq 2
+    and re-upserted at seq 4). This generalizes sink_merge_upsert
+    (one batch of upserts) to the multi-op, delete-bearing log every
+    lakehouse ingestion pipeline replays. The reduction is
+    window_dedupe_latest's shape — one shuffle keyed on the business
+    key, log order as the tiebreak — so applying a log at 100 TB
+    costs exactly one co-partitioned pass, not one MERGE per
+    operation batch. Log rows derive from orders arithmetic so the
+    oracle replays the identical reduction."""
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"]
+
+    def frame(where, price, seq, op):
+        return o.where(where).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            price.alias("price"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    p = F.col("o_totalprice")
+    unioned = (
+        frame(F.col("o_orderkey") % 4 != 3, p, 0, "I")
+        .unionByName(frame(F.col("o_orderkey") % 4 == 1, p + 1000, 1, "U"))
+        .unionByName(frame(F.col("o_orderkey") % 4 == 2, p, 2, "D"))
+        .unionByName(frame(F.col("o_orderkey") % 4 == 3, p, 3, "I"))
+        .unionByName(frame(F.col("o_orderkey") % 8 == 2, p + 5000, 4, "U"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = unioned.withColumn("rn", F.row_number().over(w))
+    return (
+        latest.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            r2(F.sum("price")).alias("sum_price"),
+        )
+    )
