@@ -236,3 +236,61 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.avg("l_extendedprice")).alias("mean_raw"),
         r2(F.avg(clipped)).alias("mean_winsorized"),
     )
+
+
+PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+    "o_orderpriority",
+)
+
+
+@query(
+    "dq_column_profile",
+    oracle=f"""
+    WITH stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM orders"
+          for c in PROFILE_COLS
+      )}
+    )
+    SELECT col_name,
+           count(*) AS n_rows,
+           CAST(count_if(val IS NULL) AS BIGINT) AS n_nulls,
+           count(DISTINCT val) AS n_distinct,
+           min(val) AS min_str,
+           max(val) AS max_str
+    FROM stacked GROUP BY col_name
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass COLUMN PROFILER — the table-shaped sibling of
+    pipeline_dataset_card: every column's row/null/distinct counts
+    and lexicographic min/max in ONE scan, by stacking (col_name,
+    stringified value) pairs map-side (explode of a literal struct
+    array — Spark's unpivot) and grouping by column name. Values
+    compare AS STRINGS by contract (so one schema covers every
+    column type; numeric range profiling per column is
+    agg_group_sum_avg_minmax's job). At 100 TB profiling N columns
+    costs one scan + one (N × distinct-values)-keyed shuffle — not N
+    scans — which is the entire point of the stacked layout."""
+    t = load_tables(spark, sf_dir, "orders")
+    stacked = t["orders"].select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.val")
+    return stacked.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("val").isNull()).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_str"),
+        F.max("val").alias("max_str"),
+    )

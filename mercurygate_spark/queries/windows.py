@@ -750,3 +750,110 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.max(F.abs("c"))).alias("max_abs_cusum"),
         (F.max(F.abs("c")) > 5 * F.any_value("sd")).alias("drift_flag"),
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count_if(t_next IS NOT NULL) AS BIGINT) AS n_segments,
+           CAST(sum(t_next - t) AS BIGINT) AS span_us,
+           round(sum(value * (t_next - t)) / sum(t_next - t), 6) AS twap
+    FROM seg WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so its weight is its holding DURATION, not 1 — the
+    correct average for irregularly-sampled series (a plain avg
+    overweights bursts). lead() pairs each event with its successor
+    (event_id tiebreak → deterministic chain), the last open-ended
+    segment is dropped, weights are exact integer µs. One window pass
+    + one agg on the same user partitioning. The division runs on the
+    integer-weighted double sum — r6 absorbs the engines' last-ulp
+    summation difference."""
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = t["events"].select(
+        "user_id",
+        "value",
+        ts_us("ts").alias("t"),
+        F.lead(ts_us("ts")).over(w).alias("t_next"),
+    )
+    dur = F.col("t_next") - F.col("t")
+    return (
+        seg.where(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("t_next").isNotNull()).alias("n_segments"),
+            F.sum(dur).cast("long").alias("span_us"),
+            r6(F.sum(F.col("value") * dur) / F.sum(dur)).alias("twap"),
+        )
+    )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(running_peak - equity), 2) AS max_drawdown,
+           round(sum(value), 2) AS final_equity
+    FROM (
+      SELECT user_id, value, equity,
+             max(equity) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running_peak
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               sum(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS equity
+        FROM events
+      ) x
+    ) y
+    GROUP BY user_id
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown — the canonical path-dependent risk metric
+    (largest peak-to-trough fall of the running total), unreachable
+    for plain aggregates because it depends on ORDER: equity =
+    running sum of value, running peak = running max of equity,
+    drawdown = peak − equity, answer = max of that; final_equity is
+    the plain total (the path's endpoint). Two stacked window frames
+    over ONE (user_id, ts, event_id) sort — Spark plans a single
+    exchange+sort reused by both — then one agg: the metric costs one
+    ordered pass at any scale. Summation order is pinned by the sort
+    in both engines, so equity is bit-identical; r2 is
+    belt-and-braces."""
+    t = load_tables(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("value").over(w_run).alias("equity"),
+    )
+    peaked = eq.withColumn("running_peak", F.max("equity").over(w_run))
+    return peaked.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        r2(F.max(F.col("running_peak") - F.col("equity"))).alias("max_drawdown"),
+        r2(F.sum("value")).alias("final_equity"),
+    )
