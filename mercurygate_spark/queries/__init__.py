@@ -18,6 +18,7 @@ from mercurygate_spark.queries import (  # noqa: F401,E402
     analytics,
     corpus,
     dedup,
+    graphs,
     joins,
     multimodal,
     projections,
@@ -28,6 +29,7 @@ from mercurygate_spark.queries import (  # noqa: F401,E402
     setops,
     similarity,
     sorts,
+    star,
     streaming_queries,
     text,
     udfs,

@@ -1,0 +1,174 @@
+"""Graph analytics beyond PageRank/connected-components: triangle
+counting and breadth-first shortest paths, both on a deterministic
+synthetic graph derived arithmetically from `events` so the DuckDB
+oracle replays the identical edge set.
+
+Public algorithms: triangle counting by oriented-wedge join (Suri &
+Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+WWW 2011); BFS as iterative frontier expansion (the same
+iterate-join-checkpoint doctrine as operators.graph.pagerank and
+operators.dedup.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mercurygate_spark.queries.registry import load_tables, query
+
+# Edge synthesis: node space of 997, edges from the event-id residue
+# space 0..4095 — the edge SET is a pure function of which residues
+# occur, so it saturates at ~4096 edges and the graph (avg degree ~8,
+# sparse) is IDENTICAL at every sf once all residues appear. Both
+# engines evaluate the same integer arithmetic; no float anywhere.
+GRAPH_M = 997  # node space (prime)
+GRAPH_RES = 4096  # event_id residue space that generates edges
+BFS_MAX_LVL = 6  # frontier iterations (diameter of this graph is ~4)
+
+_EDGE_SQL = f"""
+    SELECT DISTINCT
+           least((e % {GRAPH_RES}) * 193 % {GRAPH_M},
+                 ((e % {GRAPH_RES}) * 389 + 71) % {GRAPH_M}) AS lo,
+           greatest((e % {GRAPH_RES}) * 193 % {GRAPH_M},
+                    ((e % {GRAPH_RES}) * 389 + 71) % {GRAPH_M}) AS hi
+    FROM (SELECT event_id AS e FROM events)
+    WHERE (e % {GRAPH_RES}) * 193 % {GRAPH_M}
+          <> ((e % {GRAPH_RES}) * 389 + 71) % {GRAPH_M}
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge list (lo < hi), distinct."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    e = F.col("event_id") % GRAPH_RES
+    a = (e * 193) % GRAPH_M
+    b = (e * 389 + 71) % GRAPH_M
+    return (
+        ev.select(
+            F.least(a, b).alias("lo"),
+            F.greatest(a, b).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_EDGE_SQL}),
+    wedges AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+    )
+    SELECT 'n_nodes' AS metric,
+           count(*) AS value
+    FROM (SELECT lo FROM e UNION SELECT hi FROM e)
+    UNION ALL SELECT 'n_edges', count(*) FROM e
+    UNION ALL SELECT 'n_wedges', count(*) FROM wedges
+    UNION ALL
+    SELECT 'n_triangles', count(*)
+    FROM wedges w JOIN e e3 ON e3.lo = w.a AND e3.hi = w.c
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by oriented wedge join: with every edge
+    canonicalized lo<hi, a triangle a<b<c is counted exactly once as
+    wedge (a,b)+(b,c) closed by edge (a,c) — two equi-joins, zero
+    cartesian surface. At 100 TB the refinement is degree-based
+    orientation (orient each edge toward the HIGHER-degree endpoint so
+    wedge counts are bounded by sum(min-degree²) instead of
+    sum(degree²) — Suri & Vassilvitskii 2011); id-orientation here
+    keeps the oracle twin one expression, and the join shape (edges ⋈
+    edges on the shared vertex, then closure probe) is identical under
+    either orientation."""
+    e = _edges(spark, sf_dir)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.hi") == F.col("e2.lo")).select(
+        F.col("e1.lo").alias("a"), F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("e3.lo") == F.col("a")) & (F.col("e3.hi") == F.col("c"))
+    )
+    nodes = e.select(F.col("lo").alias("n")).union(e.select(F.col("hi").alias("n")))
+
+    def row(metric: str, frame: DataFrame) -> DataFrame:
+        return frame.select(F.lit(metric).alias("metric"), F.col("value"))
+
+    return (
+        row("n_nodes", nodes.agg(F.countDistinct("n").alias("value")))
+        .unionAll(row("n_edges", e.agg(F.count("*").alias("value"))))
+        .unionAll(row("n_wedges", wedges.agg(F.count("*").alias("value"))))
+        .unionAll(row("n_triangles", tri.agg(F.count("*").alias("value"))))
+    )
+
+
+@query(
+    "graph_shortest_path_bfs",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGE_SQL}),
+    bi AS (
+      SELECT lo AS src, hi AS dst FROM e
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e
+    ),
+    bfs AS (
+      SELECT 0 AS node, 0 AS lvl
+      UNION
+      SELECT bi.dst, bfs.lvl + 1
+      FROM bfs JOIN bi ON bi.src = bfs.node
+      WHERE bfs.lvl < {BFS_MAX_LVL}
+    ),
+    d AS (SELECT node, min(lvl) AS lvl FROM bfs GROUP BY node)
+    SELECT lvl,
+           count(*) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM d GROUP BY lvl
+    """,
+)
+def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (unweighted shortest paths) from node 0,
+    capped at 6 levels: iterative frontier expansion where each round
+    is ONE src-keyed equi-join (frontier ⋈ edges) plus ONE left-anti
+    join against the visited set, with the accumulated distance frame
+    localCheckpointed per round to truncate iterative lineage (the
+    connected_components doctrine — lineage growth, not data volume,
+    is what kills iterative DataFrame jobs). Frontier size is bounded
+    by the node set, never by paths: the anti-join dedupes BEFORE the
+    next expansion, so the combinatorial path explosion the naive
+    UNION ALL recursion hits can't occur. The oracle replays the same
+    min-level semantics with a recursive UNION-distinct CTE."""
+    e = _edges(spark, sf_dir)
+    edges = e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
+        e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    spark_ = spark
+    dist = spark_.createDataFrame([(0, 0)], "node long, lvl int").localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for i in range(BFS_MAX_LVL):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(i + 1).alias("lvl"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        dist.groupBy("lvl")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .select("lvl", "n_nodes", "min_node", "max_node")
+    )

@@ -101,6 +101,7 @@ _EAGER_ROUNDTRIP_KEYS = {
         "scan_csv_infer", "scan_json_lines", "scan_text_lines",
         "scan_csv_malformed", "scan_binary_files", "scan_schema_evolution",
         "scan_observe_metrics", "scan_jsonl_corrupt", "scan_fixed_width",
+        "join_dynamic_partition_pruning",
     }
 }
 
@@ -456,3 +457,28 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """join_dynamic_partition_pruning's claim: the fact scan over the
+    year-partitioned layout carries a DynamicPruning subquery on
+    o_year (broadcast-reuse DPP), so only the dim-selected year
+    directories are read. Pinned in the executed plan — losing this
+    is invisible at sf0.001 and a full-table scan at 100 TB."""
+    from mercurygate_spark.queries.star import (
+        dpp_join,
+        write_orders_partitioned_by_year,
+    )
+
+    path = write_orders_partitioned_by_year(spark, SF)
+    s = dpp_join(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in s.lower()
+
+
+def test_star_multijoin_broadcasts_constant_dims(spark):
+    """agg_star_multijoin: region and nation join as broadcast-hash
+    (constant-size dims); the date filter reaches the orders scan as a
+    pushed predicate rather than a post-scan Filter."""
+    s = _plan(spark, "agg_star_multijoin")
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in s
