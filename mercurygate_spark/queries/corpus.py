@@ -474,3 +474,98 @@ def pipeline_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("r.rendered").cast("long").alias("n_chars"),
         )
     )
+
+
+_DPO_SCORED_SQL = """
+    WITH feat AS (
+      SELECT doc_id, source, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens,
+             len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                           t -> t <> ''))) AS n_distinct
+      FROM documents
+    ),
+    s AS (
+      SELECT source, lang, doc_id, n_distinct / n_tokens AS score
+      FROM feat WHERE n_tokens > 0
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score ASC, doc_id) AS rw
+      FROM s
+    )
+"""
+
+
+@query(
+    "pipeline_dpo_pairs",
+    oracle=_DPO_SCORED_SQL
+    + """
+    SELECT b.source, b.lang,
+           b.doc_id AS chosen_doc_id,
+           w.doc_id AS rejected_doc_id,
+           round(b.score - w.score, 6) AS margin
+    FROM (SELECT * FROM r WHERE rb = 1) b
+    JOIN (SELECT * FROM r WHERE rw = 1) w USING (source, lang)
+    WHERE b.doc_id <> w.doc_id
+    """,
+)
+def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep step):
+    within each (source, lang) prompt group, pair the highest-scoring
+    document (chosen) with the lowest (rejected), scored by type-token
+    ratio from the shared quality_features operator. Tie-break is
+    doc_id ascending on BOTH extremes, so an all-tied group collapses
+    to chosen == rejected and is dropped — every emitted pair has a
+    strictly positive margin. One shuffle keyed on (source, lang)
+    serves both window ranks; nothing about the corpus is collected or
+    cross-joined, and at 100 TB the group count (sources × langs) is
+    the small frame, so the best⋈worst join broadcasts."""
+    feat = quality_features(
+        load_tables(spark, sf_dir, "documents")["documents"], "text"
+    ).where(F.col("n_tokens") > 0)
+    scored = feat.select(
+        "source",
+        "lang",
+        "doc_id",
+        (F.col("n_distinct_tokens") / F.col("n_tokens")).alias("score"),
+    )
+    w_best = Window.partitionBy("source", "lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_worst = Window.partitionBy("source", "lang").orderBy(
+        F.asc("score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+    )
+    best = ranked.where(F.col("rb") == 1).select(
+        "source",
+        "lang",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.where(F.col("rw") == 1).select(
+        "source",
+        "lang",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    from mercurygate_spark.functions import r6
+
+    return (
+        best.join(worst, ["source", "lang"])
+        .where(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .select(
+            "source",
+            "lang",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            r6(F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

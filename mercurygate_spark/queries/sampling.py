@@ -492,3 +492,116 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.col("doc_id").cast("string")) % 1000000 < threshold
         ).alias("n_kept"),
     )
+
+
+NEG_K = 2  # negatives per anchor
+NEG_ANCHOR_PCT = 5  # anchors = this % of the 'en' partition, by id hash
+
+_MD5L = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@query(
+    "sample_negative_sampling",
+    oracle=f"""
+    WITH pool AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               - 1 AS rnk
+      FROM documents WHERE lang <> 'en'
+    ),
+    cnt AS (
+      SELECT lang, count(*) AS c,
+             row_number() OVER (ORDER BY lang) - 1 AS li
+      FROM pool GROUP BY lang
+    ),
+    nl AS (SELECT count(*) AS n_langs FROM cnt),
+    anch AS (
+      SELECT doc_id AS anchor_id, {_MD5L} AS h
+      FROM documents
+      WHERE lang = 'en' AND {_MD5L} % 100 < {NEG_ANCHOR_PCT}
+    ),
+    cand AS (
+      SELECT a.anchor_id, t.i, (a.h + t.i) % nl.n_langs AS pick_li
+      FROM anch a
+      CROSS JOIN (SELECT unnest([0, 1]) AS i) t
+      CROSS JOIN nl
+    ),
+    pick AS (
+      SELECT c2.anchor_id, c2.i, k.lang,
+             ('0x' || substr(md5(CAST(c2.anchor_id AS VARCHAR) || ':'
+                                 || CAST(c2.i AS VARCHAR)), 1, 15))::BIGINT
+               % k.c AS rnk
+      FROM cand c2 JOIN cnt k ON k.li = c2.pick_li
+    )
+    SELECT p.anchor_id, p.i, pool.doc_id AS neg_doc_id, pool.lang AS neg_lang
+    FROM pick p JOIN pool ON pool.lang = p.lang AND pool.rnk = p.rnk
+    """,
+)
+def sample_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor ('en' document, ~5% by id hash) draws NEG_K negatives
+    from the other-language pool, with BOTH the pool language and the
+    within-language rank chosen by content hashes — reproducible on
+    any engine, any partitioning, no RNG state.
+
+    The scale shape is the point: the pool is ranked WITHIN each
+    language partition (never a global row_number — the pack_sequences
+    sharding doctrine), the per-language counts and the language index
+    are a broadcast-size frame, and each (anchor, i) resolves its
+    negative through two equi-joins — (lang-index) then
+    (lang, rank) — so no anchor ever scans the pool. The only
+    nested-loop surface is the 1-row n_langs frame broadcast onto the
+    anchors (bounded by construction, exempt-listed)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    from mercurygate_spark.functions import md5_hex
+
+    pool_w = Window.partitionBy("lang").orderBy(
+        md5_hex(F.col("doc_id")), F.col("doc_id")
+    )
+    pool = d.where(F.col("lang") != "en").select(
+        "doc_id", "lang", (F.row_number().over(pool_w) - 1).alias("rnk")
+    )
+    cnt = (
+        pool.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "lang",
+            "c",
+            (F.row_number().over(Window.orderBy("lang")) - 1).alias("li"),
+        )
+    )
+    nl = cnt.agg(F.count("*").alias("n_langs"))
+    anch = d.where(
+        (F.col("lang") == "en") & (hash_bucket(F.col("doc_id")) < NEG_ANCHOR_PCT)
+    ).select(F.col("doc_id").alias("anchor_id"), md5_long(F.col("doc_id")).alias("h"))
+    cand = (
+        anch.select("*", F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("i"))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "anchor_id",
+            "i",
+            ((F.col("h") + F.col("i")) % F.col("n_langs")).alias("pick_li"),
+        )
+    )
+    pick = cand.join(F.broadcast(cnt), F.col("li") == F.col("pick_li")).select(
+        "anchor_id",
+        "i",
+        "lang",
+        (
+            md5_long(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % F.col("c")
+        ).alias("rnk"),
+    )
+    return pick.join(pool, ["lang", "rnk"]).select(
+        "anchor_id",
+        "i",
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("lang").alias("neg_lang"),
+    )

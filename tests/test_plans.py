@@ -87,6 +87,8 @@ _BOUNDED_BNLJ_OK = {
     "pipeline_dataset_card",
     # 1-row (mu, sd) frame broadcast onto the events scan
     "window_cusum_drift",
+    # 1-row n_langs frame broadcast onto the anchors
+    "sample_negative_sampling",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
