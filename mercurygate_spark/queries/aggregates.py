@@ -594,3 +594,70 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = bitmap_ndv("l_partkey", "n_parts")
     orders = bitmap_ndv("l_orderkey", "n_orders")
     return parts.join(orders, "l_returnflag")
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+             ) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(price) AS weighted_median_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM w
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median unit price per
+    returnflag): sort by price within the group, accumulate weight,
+    take the first price whose running weight crosses half the total.
+    The crossing test is ALL-INTEGER (2*cw >= tw on BIGINT weights, no
+    tw/2 float) and the running sum follows the total (price,
+    orderkey, linenumber) order, so both engines accumulate in the
+    identical sequence and the crossing row cannot flip on a float
+    ulp. One shuffle keyed on the group serves both windows; the
+    median price passes through raw. At 100 TB the exact form needs
+    the per-group sort — the sketch path is weighted approx_percentile
+    (agg_approx_quantile doctrine) when bars of error are acceptable."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(w_run).alias("cw"),
+        F.sum("qty").over(w_all).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tw").alias("total_weight"),
+        )
+    )

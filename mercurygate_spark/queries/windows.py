@@ -857,3 +857,55 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.max(F.col("running_peak") - F.col("equity"))).alias("max_drawdown"),
         r2(F.sum("value")).alias("final_equity"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS bar_us,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_us,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM t GROUP BY event_type, bar_us
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (tick stream → hourly bars per series): open/
+    close are min_by/max_by over the total (ts, event_id) order, high/
+    low plain min/max — so the WHOLE bar is ONE partially-aggregable
+    groupBy. That physical shape is the point versus the window
+    formulation (window_first_last): first_value-over-window must sort
+    every partition before answering, while min_by/max_by combine
+    map-side — each executor keeps one candidate row per (series,
+    bar), and the shuffle moves one pre-aggregated row per group per
+    map task instead of every tick. At 100 TB of ticks that is the
+    difference between a shuffle proportional to the bar count and one
+    proportional to the tick count. Values pass through raw (no
+    derived floats), so parity is exact; the oracle states the same
+    semantics in the windowed form DuckDB optimizes best."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        ts_us(F.date_trunc("hour", F.col("ts"))).alias("bar_us"),
+        "value",
+        F.struct(ts_us("ts").alias("o1"), F.col("event_id").alias("o2")).alias("ord"),
+    )
+    return ev.groupBy("event_type", "bar_us").agg(
+        F.min_by("value", F.col("ord")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("ord")).alias("close"),
+        F.count("*").alias("n_ticks"),
+    )

@@ -484,3 +484,13 @@ def test_star_multijoin_broadcasts_constant_dims(spark):
     s = _plan(spark, "agg_star_multijoin")
     assert s.count("BroadcastHashJoin") >= 2
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in s
+
+
+def test_ohlc_is_partial_aggregable_no_window(spark):
+    """ts_ohlc_bars' claim: the whole bar computes as ONE partially-
+    aggregable groupBy (min_by/max_by combine map-side) — no Window
+    operator, no per-partition sort, exactly one shuffle. Regressing
+    to the window formulation would shuffle every tick at 100 TB."""
+    s = _plan(spark, "ts_ohlc_bars")
+    assert "Window" not in s
+    assert s.count("Exchange") == 1
