@@ -889,3 +889,142 @@ def parse_jpeg_exif(payload: bytes) -> tuple[str, int, int, int] | None:
     except struct.error:
         # truncated IFD table / value slot — malformed, not fatal
         return None
+
+
+# ---------------------------------------------------------------------------
+# PNG build + FULL decode (zlib IDAT inflate + all five scanline
+# filters) — public spec: RFC 2083 / W3C PNG (ISO/IEC 15948). This is
+# a real decode path, not a header peek: stdlib zlib only, no image
+# libraries.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + typ
+        + body
+        + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def build_png(width: int, height: int, seed: int) -> bytes:
+    """Real 8-bit grayscale PNG: signature, IHDR, one zlib IDAT, IEND,
+    every chunk CRC32'd. Pixel (x, y) = (7x + 13y + seed) mod 256; the
+    scanline filter cycles through ALL FIVE spec types (None/Sub/Up/
+    Average/Paeth, y mod 5), so a decoder that shortcuts any filter's
+    reconstruction breaks the round-trip."""
+    import zlib
+
+    rows = [
+        bytes((7 * x + 13 * y + seed) % 256 for x in range(width))
+        for y in range(height)
+    ]
+    out = bytearray()
+    prior = bytes(width)
+    for y, row in enumerate(rows):
+        ft = y % 5
+        out.append(ft)
+        for x in range(width):
+            left = row[x - 1] if x > 0 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x > 0 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            out.append((row[x] - pred) % 256)
+        prior = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # bit depth 8, grayscale, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    if pb <= pc:
+        return up
+    return ul
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Full PNG decode for 8-bit grayscale: chunk walk (IDAT may be
+    split across chunks), zlib inflate, then per-scanline
+    reconstruction of all five filter types (bpp=1). Returns
+    (width, height, recovered pixel bytes, row-major) or None when the
+    payload is not a decodable grayscale-8 PNG."""
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != _PNG_SIG:
+        return None
+    width = height = None
+    idat = bytearray()
+    i = 8
+    n = len(payload)
+    while i + 12 <= n:
+        length = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if typ == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            if body[8] != 8 or body[9] != 0 or body[12] != 0:
+                return None  # only gray-8 non-interlaced here
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    if width is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != (width + 1) * height:
+        return None
+    pixels = bytearray()
+    prior = bytes(width)
+    for y in range(height):
+        ft = raw[y * (width + 1)]
+        line = raw[y * (width + 1) + 1 : (y + 1) * (width + 1)]
+        recon = bytearray()
+        for x in range(width):
+            left = recon[x - 1] if x > 0 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x > 0 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            elif ft == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                return None
+            recon.append((line[x] + pred) % 256)
+        pixels += recon
+        prior = bytes(recon)
+    return width, height, bytes(pixels)

