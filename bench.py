@@ -52,6 +52,10 @@ HEADLINE = [
     # round-7 closing-session additions
     "pipeline_chunk_dedup",       # chunk-granularity hash dedup
     "agg_hll_partial_merge",      # re-aggregatable sketch cascade
+    # round-7 final-session additions
+    "agg_star_multijoin",         # TPC-H Q5 shape: 6-table star join
+    "graph_triangle_count",       # wedge-join triangle counting
+    "ts_ohlc_bars",               # partial-aggregable OHLC downsample
 ]
 
 

