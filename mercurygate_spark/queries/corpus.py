@@ -569,3 +569,92 @@ def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+def _rag_index_oracle() -> str:
+    from mercurygate_spark.operators.similarity import (
+        EMBED_DIMS,
+        KMEANS_ITERS,
+        duck_ivf_kmeans_sql,
+    )
+    from mercurygate_spark.queries.text import _DUCK_TK, CHUNK_STRIDE
+
+    return f"""
+    WITH {duck_ivf_kmeans_sql()},
+    assign_final AS (
+      SELECT e.vec_id, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(range(1, {EMBED_DIMS + 1}),
+                          j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))),
+                        c.cidx
+             ) AS probe_rank
+      FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+    ),
+    lists AS (SELECT vec_id, cidx FROM assign_final WHERE probe_rank = 1),
+    tk AS (SELECT doc_id, len({_DUCK_TK}) AS n FROM documents),
+    ch AS (
+      SELECT doc_id, 1 + greatest(n - 1, 0) // {CHUNK_STRIDE} AS n_chunks
+      FROM tk WHERE n > 0
+    )
+    SELECT CAST(l.cidx AS INT) AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(ch.doc_id) AS BIGINT) AS n_docs_chunked,
+           CAST(coalesce(sum(ch.n_chunks), 0) AS BIGINT) AS total_chunks
+    FROM lists l LEFT JOIN ch ON ch.doc_id = l.vec_id
+    GROUP BY l.cidx
+    """
+
+
+@query("pipeline_rag_index", oracle=_rag_index_oracle())
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing capstone — the retrieval-side composition a
+    vector-store build runs: token-window CHUNKING over the document
+    corpus (text_chunk_split's windows) + TRAINED IVF partitioning of
+    the embedding space (sim_cosine_ivf's deterministic Lloyd's
+    k-means + Arrow-batched nearest-centroid assignment), joined into
+    a per-inverted-list summary: how many vectors each list holds and
+    how much chunk mass those vectors' documents contribute. Proves
+    the two individually-oracle-checked operator families COMPOSE.
+
+    Scale shape: centroid training never collects the corpus (k×dims
+    longs to the driver per iteration), assignment is one Arrow pass
+    with the small centroid matrix closure-shipped, the chunk counts
+    are a linear scan (no explode needed for counts — the window
+    count is (n-1) div stride + 1), and the final join keys on
+    vec_id=doc_id then reduces to {N_CENTROIDS} rows. The oracle
+    replays training/assignment/chunk arithmetic exactly (unrolled
+    integer k-means CTEs), so centroid drift anywhere breaks the
+    hash."""
+    from mercurygate_spark.functions import tokens
+    from mercurygate_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from mercurygate_spark.queries.text import CHUNK_STRIDE
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    emb = t["embeddings"]
+    cmat = train_ivf_centroids(emb)
+    assigned = ivf_assign(emb, cmat, "vec_id", "embedding", n_probe=1).select(
+        "vec_id", "centroid_id"
+    )
+    n = F.size(tokens("text"))
+    ch = (
+        t["documents"]
+        .select("doc_id", n.alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            (1 + F.expr(f"greatest(n - 1, 0) div {CHUNK_STRIDE}")).alias("n_chunks"),
+        )
+    )
+    return (
+        assigned.join(ch, assigned["vec_id"] == ch["doc_id"], "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("doc_id").alias("n_docs_chunked"),
+            F.coalesce(F.sum("n_chunks"), F.lit(0)).cast("long").alias("total_chunks"),
+        )
+    )
