@@ -473,3 +473,39 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         r2(F.col("sum_value")).alias("sum_value"),
     )
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS bar_us,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_us,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM t GROUP BY event_type, bar_us
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_ohlc_bars' streaming twin: identical bars computed
+    incrementally from the event stream (tumbling event-time windows,
+    min_by/max_by mergeable state — the property that makes OHLC
+    streamable at all). One operator definition, two execution modes,
+    one oracle: the strongest form of batch/stream parity the engine
+    claims."""
+    from mercurygate_spark.streaming.windows import ohlc_bars_stream
+
+    return run_to_memory(
+        ohlc_bars_stream(read_events_stream(spark, sf_dir)), output_mode="complete"
+    )

@@ -293,3 +293,36 @@ def typed_state_type_counts(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ohlc_bars_stream(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Streaming OHLC bars — the batch ts_ohlc_bars operator run
+    incrementally: tumbling event-time windows per series, open/close
+    via min_by/max_by over the total (ts, event_id) order. The same
+    declarative aggregate works in both engines BECAUSE it is
+    order-insensitive mergeable state (each partial keeps one
+    candidate row); a first_value/window formulation would not be
+    expressible in a streaming aggregate at all. Watermark bounds
+    state for continuous runs; under availableNow the final bars equal
+    the batch groupBy — the oracle contract."""
+    ordc = F.struct(F.unix_micros("ts").alias("o1"), F.col("event_id").alias("o2"))
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ordc).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordc).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bar_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
