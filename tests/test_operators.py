@@ -831,3 +831,160 @@ def test_png_full_decode_roundtrip():
     ihdr_color_off = 8 + 8 + 9  # sig + len/typ + width/height/bitdepth
     rgb[ihdr_color_off] = 2
     assert decode_png_gray(bytes(rgb)) is None
+
+
+def _py_edges(sf_dir):
+    """Pure-Python replay of queries.graphs edge synthesis."""
+    import duckdb
+
+    from mercurygate_spark.queries.graphs import GRAPH_M, GRAPH_RES
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_id % {GRAPH_RES} FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    ]
+    edges = set()
+    for e in ids:
+        a, b = (e * 193) % GRAPH_M, (e * 389 + 71) % GRAPH_M
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def test_triangle_count_matches_brute_force(spark, sf_dir):
+    """graph_triangle_count vs an independent adjacency-set brute
+    force over the same derived edges — pins the wedge-join counting
+    (each triangle exactly once) against first principles."""
+    from mercurygate_spark.queries import all_queries
+
+    edges = _py_edges(sf_dir)
+    adj = {}
+    for lo, hi in edges:
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    tri = sum(
+        1
+        for lo, hi in edges
+        for c in adj[lo] & adj[hi]
+        if lo < hi < c
+    )
+    nodes = {n for e in edges for n in e}
+    got = {
+        r.metric: r.value
+        for r in all_queries()["graph_triangle_count"](spark, sf_dir).collect()
+    }
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(edges)
+    assert got["n_triangles"] == tri
+
+
+def test_bfs_levels_match_python_bfs(spark, sf_dir):
+    """graph_shortest_path_bfs vs a deque BFS over the same edges —
+    pins the iterative frontier loop (min-level, 6-level cap) against
+    the textbook algorithm."""
+    from collections import deque
+
+    from mercurygate_spark.queries import all_queries
+    from mercurygate_spark.queries.graphs import BFS_MAX_LVL
+
+    adj = {}
+    for lo, hi in _py_edges(sf_dir):
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        n = q.popleft()
+        if dist[n] >= BFS_MAX_LVL:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    ref = {}
+    for n, lvl in dist.items():
+        cur = ref.setdefault(lvl, [0, None, None])
+        cur[0] += 1
+        cur[1] = n if cur[1] is None else min(cur[1], n)
+        cur[2] = n if cur[2] is None else max(cur[2], n)
+    got = {
+        r.lvl: (r.n_nodes, r.min_node, r.max_node)
+        for r in all_queries()["graph_shortest_path_bfs"](spark, sf_dir).collect()
+    }
+    assert got == {lvl: tuple(v) for lvl, v in ref.items()}
+
+
+def test_weighted_median_matches_sequential_reference(spark, sf_dir):
+    """agg_weighted_median (range-bucketed two-pass) vs a sequential
+    Python accumulation over the naive definition — pins the bucketed
+    plan to the semantics it claims are identical."""
+    import duckdb
+
+    from mercurygate_spark.queries import all_queries
+
+    rows = duckdb.sql(
+        "SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT),"
+        " l_orderkey, l_linenumber"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+        " ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber"
+    ).fetchall()
+    ref = {}
+    by_group = {}
+    for rf, price, qty, _, _ in rows:
+        by_group.setdefault(rf, []).append((price, qty))
+    for rf, items in by_group.items():
+        tw = sum(q for _, q in items)
+        cw = 0
+        for price, qty in items:  # already in total order
+            cw += qty
+            if 2 * cw >= tw:
+                ref[rf] = (price, tw)
+                break
+    got = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in all_queries()["agg_weighted_median"](spark, sf_dir).collect()
+    }
+    assert got == ref
+
+
+def test_negative_sampling_invariants(spark, sf_dir):
+    """sample_negative_sampling: every anchor draws exactly NEG_K
+    negatives, no negative is from the anchor language, and the draw
+    is a pure function of content (two runs agree row-for-row)."""
+    from mercurygate_spark.queries import all_queries
+    from mercurygate_spark.queries.sampling import NEG_K
+
+    fn = all_queries()["sample_negative_sampling"]
+    out1 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    out2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert out1 == out2 and out1
+    per_anchor = {}
+    for anchor_id, i, neg_doc_id, neg_lang in out1:
+        assert neg_lang != "en"
+        per_anchor.setdefault(anchor_id, set()).add(i)
+    assert all(v == set(range(NEG_K)) for v in per_anchor.values())
+
+
+def test_dpo_pairs_strict_margin_and_membership(spark, sf_dir):
+    """pipeline_dpo_pairs: every pair has strictly positive margin,
+    distinct docs, and both docs belong to the pair's (source, lang)
+    prompt group."""
+    import duckdb
+
+    from mercurygate_spark.queries import all_queries
+
+    groups = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT doc_id, source, lang FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    }
+    out = all_queries()["pipeline_dpo_pairs"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.margin > 0
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert groups[r.chosen_doc_id] == (r.source, r.lang)
+        assert groups[r.rejected_doc_id] == (r.source, r.lang)

@@ -581,3 +581,24 @@ def test_markov_transitions_match_sequential_replay(spark, events):
         (a, b) for chain in chains.values() for a, b in zip(chain, chain[1:])
     )
     assert got == expect
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(**SETTINGS)
+def test_png_codec_round_trip_property(w, h, seed):
+    """build_png → decode_png_gray is the identity on pixels for ANY
+    (width, height, seed) — heights ≥5 exercise all five scanline
+    filters; 1-pixel-wide images exercise the left=0 edge of Sub/
+    Average/Paeth."""
+    from mercurygate_spark.operators.multimodal import build_png, decode_png_gray
+
+    dw, dh, pix = decode_png_gray(build_png(w, h, seed))
+    assert (dw, dh) == (w, h)
+    assert len(pix) == w * h
+    for y in range(h):
+        for x in range(w):
+            assert pix[y * w + x] == (7 * x + 13 * y + seed) % 256
