@@ -997,3 +997,76 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         r6(F.col("n_transitions") / F.col("row_total")).alias("p_transition"),
     )
+
+
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@query(
+    "join_attribution_linear",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS v_cents,
+             count(*) OVER (PARTITION BY p.event_id) AS n_clicks
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+       AND epoch_us(c.ts) > epoch_us(p.ts) - {ATTRIB_WINDOW_US}
+    )
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum((v_cents * 10000) // n_clicks) AS BIGINT)
+             AS total_credit_microcents
+    FROM pairs GROUP BY click_id
+    """,
+)
+def join_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the 7-day lookback, and each
+    click accumulates its credit across purchases — the marketing-
+    analytics join the stream_interval_join key does as last-touch,
+    here in full multi-touch batch form. Shape: ONE user-keyed
+    equi-join (per-user histories bound the pair fanout — the range
+    predicate rides on the join, never a cross join), one window
+    keyed on purchase_id for the click count, one groupBy on
+    click_id. Timestamps compare in microseconds (the engine-wide
+    ns→µs truncation parity), and credit is allocated in INTEGER
+    micro-cents with floor-division shares — the money-allocation
+    rule that makes the cross-purchase credit sum exact and
+    summation-order-independent on both engines (a float value/n sum
+    measurably flips r2 rounding boundaries between engines)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        ts_us("ts").alias("c_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        ts_us("ts").alias("p_us"),
+        "value",
+    )
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - ATTRIB_WINDOW_US),
+    )
+    w_p = Window.partitionBy("purchase_id")
+    v_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pairs = pairs.select(
+        "click_id",
+        "purchase_id",
+        v_cents.alias("v_cents"),
+        F.count("*").over(w_p).alias("n_clicks"),
+    )
+    return pairs.groupBy("click_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.expr("(v_cents * 10000) div n_clicks")).alias(
+            "total_credit_microcents"
+        ),
+    )

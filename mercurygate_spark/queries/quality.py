@@ -294,3 +294,87 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_str"),
         F.max("val").alias("max_str"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH rel AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS relation,
+             (SELECT count(*) FROM lineitem) AS n_rows,
+             (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_orderkey IS NULL) AS n_unmatched
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey
+               WHERE c.c_custkey IS NULL)
+      UNION ALL
+      SELECT 'events.user_id -> customer',
+             (SELECT count(*) FROM events),
+             (SELECT count(*) FROM events e LEFT JOIN customer c
+                ON e.user_id = c.c_custkey
+               WHERE c.c_custkey IS NULL)
+      UNION ALL
+      SELECT 'documents.doc_id -> embeddings',
+             (SELECT count(*) FROM documents),
+             (SELECT count(*) FROM documents d LEFT JOIN embeddings e
+                ON d.doc_id = e.vec_id
+               WHERE e.vec_id IS NULL)
+    )
+    SELECT relation,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_unmatched AS BIGINT) AS n_unmatched,
+           round(n_unmatched / n_rows, 6) AS unmatched_pct
+    FROM rel
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate: for each declared FK-ish relation,
+    count child rows whose key has no parent (LEFT-ANTI join), as a
+    fraction of the child table — the check a warehouse runs before
+    trusting a join not to silently drop rows. Each relation is one
+    anti-join keyed on the FK (shuffle or broadcast as the parent's
+    size dictates — customer/embeddings broadcast, orders shuffles);
+    nothing is collected. The documents→embeddings relation is
+    genuinely partial at sf0.1 (docs outnumber vectors), so the
+    nonzero branch is exercised by the sweep, and the orphan logic is
+    unit-pinned on crafted frames (tests/test_operators.py)."""
+
+    def rel(name: str, child: DataFrame, key: str, parent: DataFrame, pkey: str):
+        n = child.agg(F.count("*").alias("n_rows"))
+        orphans = child.join(
+            parent.select(F.col(pkey).alias("__pk")).distinct(),
+            child[key] == F.col("__pk"),
+            "left_anti",
+        ).agg(F.count("*").alias("n_unmatched"))
+        return (
+            n.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_unmatched",
+                r6(F.col("n_unmatched") / F.col("n_rows")).alias("unmatched_pct"),
+            )
+        )
+
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "events", "documents",
+        "embeddings",
+    )
+    rows = [
+        rel("lineitem.l_orderkey -> orders", t["lineitem"], "l_orderkey",
+            t["orders"], "o_orderkey"),
+        rel("orders.o_custkey -> customer", t["orders"], "o_custkey",
+            t["customer"], "c_custkey"),
+        rel("events.user_id -> customer", t["events"], "user_id",
+            t["customer"], "c_custkey"),
+        rel("documents.doc_id -> embeddings", t["documents"], "doc_id",
+            t["embeddings"], "vec_id"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -988,3 +988,29 @@ def test_dpo_pairs_strict_margin_and_membership(spark, sf_dir):
         assert r.chosen_doc_id != r.rejected_doc_id
         assert groups[r.chosen_doc_id] == (r.source, r.lang)
         assert groups[r.rejected_doc_id] == (r.source, r.lang)
+
+
+def test_referential_orphan_logic_on_crafted_frames(spark, sf_dir):
+    """The testdata's FK relations are fully covered (zeros), so pin
+    the orphan anti-join on crafted frames with REAL orphans — and
+    assert the genuinely-partial documents→embeddings relation is
+    consistent with the table sizes at this SF."""
+    from mercurygate_spark.queries import all_queries
+
+    out = {
+        r.relation: (r.n_rows, r.n_unmatched)
+        for r in all_queries()["dq_referential_integrity"](spark, sf_dir).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert out["documents.doc_id -> embeddings"] == (n_docs, max(0, n_docs - n_vecs))
+    assert out["lineitem.l_orderkey -> orders"][1] == 0
+    # crafted orphans through the same anti-join shape
+    child = spark.createDataFrame([(1,), (2,), (3,), (99,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    orphans = child.join(
+        parent.select(F.col("pk").alias("__pk")).distinct(),
+        child["k"] == F.col("__pk"),
+        "left_anti",
+    ).collect()
+    assert [r.k for r in orphans] == [99]

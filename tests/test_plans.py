@@ -89,6 +89,8 @@ _BOUNDED_BNLJ_OK = {
     "window_cusum_drift",
     # 1-row n_langs frame broadcast onto the anchors
     "sample_negative_sampling",
+    # four (n_rows × n_unmatched) 1-row count frames crossed per relation
+    "dq_referential_integrity",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
