@@ -1168,3 +1168,52 @@ def text_lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp") / F.nullif(F.col("n_true") + F.col("n_pred"), F.lit(0))
         ).alias("f1"),
     )
+
+
+FEATURE_DIM = 32       # hashed feature space width
+FEATURE_SHARD_PCT = 20  # feature-hash the 20% deterministic shard
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100 < {FEATURE_SHARD_PCT}
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % {FEATURE_DIM} AS INT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    tokens map straight into a fixed {FEATURE_DIM}-dim space via the
+    content hash, emitted as sparse (doc, bucket, count) entries over
+    the deterministic 20% training shard. The scale property IS the
+    operator: no vocabulary is ever built, broadcast, or synchronized
+    — the feature id is a pure function of the token, so the same
+    token lands in the same bucket on any executor, any engine, any
+    day, and the whole computation is explode → map-side hash →
+    partially-aggregable groupBy. The vocabulary-indexed alternative
+    (text_tfidf_topk's df frame) needs a corpus-wide build + join;
+    this needs nothing."""
+    from mercurygate_spark.functions import md5_long, tokens
+    from mercurygate_spark.queries.sampling import hash_bucket
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].where(hash_bucket(F.col("doc_id")) < FEATURE_SHARD_PCT)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return tok.groupBy(
+        "doc_id",
+        (md5_long(F.col("token")) % FEATURE_DIM).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
