@@ -1217,3 +1217,94 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (md5_long(F.col("token")) % FEATURE_DIM).cast("int").alias("bucket"),
     ).agg(F.count("*").alias("cnt"))
+
+
+PMI_MIN_PAIRS = 5   # collocation support floor
+PMI_TOPK = 20
+
+
+@query(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {{tk}} AS tk FROM documents
+    ),
+    uni AS (
+      SELECT unnest(tk) AS w FROM tk
+    ),
+    ucnt AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+    utot AS (SELECT CAST(count(*) AS BIGINT) AS u FROM uni),
+    p AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2
+      FROM tk, UNNEST(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2
+    ),
+    pcnt AS (SELECT w1, w2, count(*) AS n_ab FROM p GROUP BY w1, w2),
+    ptot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p),
+    scored AS (
+      SELECT pc.w1, pc.w2,
+             CAST(pc.n_ab AS BIGINT) AS n_pairs,
+             ln((pc.n_ab::DOUBLE * ut.u * ut.u)
+                / (pt.t::DOUBLE * a.n_w * b.n_w)) AS pmi_raw
+      FROM pcnt pc
+      JOIN ucnt a ON a.w = pc.w1
+      JOIN ucnt b ON b.w = pc.w2
+      CROSS JOIN utot ut CROSS JOIN ptot pt
+      WHERE pc.n_ab >= {PMI_MIN_PAIRS}
+    )
+    SELECT w1, w2, n_pairs, round(pmi_raw, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_raw DESC, w1, w2 LIMIT {PMI_TOPK}
+    """.format(tk=_DUCK_TK),
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection by pointwise mutual information over
+    adjacent token pairs (Church & Hanks 1990) — the corpus statistic
+    behind phrase mining and word2vec-era preprocessing. Pairs come
+    from the map-side adjacent_pairs zip (no self-join, no
+    posexplode+join); unigram and pair counts are two partially-
+    aggregable groupBys; PMI joins each pair to its two unigram
+    counts WITHOUT broadcast hints (the vocabulary is unbounded at
+    web scale — the tfidf doctrine), while the two 1-row totals ARE
+    broadcast. The double arithmetic is one identical expression tree
+    on both engines (counts cast to double before multiplying, so no
+    int64 overflow at any corpus size), r6-rounded; top-{PMI_TOPK}
+    rides TakeOrderedAndProject, never a global sort."""
+    from mercurygate_spark.functions import let1, r6, tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    tk = t["documents"].select(let1(tokens("text"), lambda x: x).alias("tk"))
+    uni = tk.select(F.explode(F.col("tk")).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    utot = F.broadcast(uni.agg(F.count("*").alias("u")))
+    pairs = tk.select(
+        F.explode(let1(F.col("tk"), adjacent_pairs)).alias("pr")
+    ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    ptot = F.broadcast(pairs.agg(F.count("*").alias("t")))
+    a = ucnt.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    b = ucnt.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    scored = (
+        pcnt.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(utot)
+        .crossJoin(ptot)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").alias("n_pairs"),
+            F.log(
+                (F.col("n_ab").cast("double") * F.col("u") * F.col("u"))
+                / (F.col("t").cast("double") * F.col("n_a") * F.col("n_b"))
+            ).alias("pmi_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_raw").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+        .select("w1", "w2", "n_pairs", r6(F.col("pmi_raw")).alias("pmi"))
+    )

@@ -91,6 +91,8 @@ _BOUNDED_BNLJ_OK = {
     "sample_negative_sampling",
     # four (n_rows × n_unmatched) 1-row count frames crossed per relation
     "dq_referential_integrity",
+    # 1-row unigram-total × 1-row pair-total frames crossed into PMI
+    "text_collocation_pmi",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
