@@ -1014,3 +1014,62 @@ def test_referential_orphan_logic_on_crafted_frames(spark, sf_dir):
         "left_anti",
     ).collect()
     assert [r.k for r in orphans] == [99]
+
+
+def test_attribution_window_boundary_semantics(spark):
+    """join_attribution_linear's window is (p_ts - 7d, p_ts]: a click
+    AT the purchase instant attributes, one exactly 7 days before
+    does NOT (strict >), and value splits in floor-divided
+    micro-cents. Pinned on crafted events through the same SQL the
+    key runs, at 1 µs resolution."""
+    from mercurygate_spark.queries.analytics import ATTRIB_WINDOW_US
+
+    base = 1_700_000_000_000_000  # µs
+    rows = [
+        # (event_id, ts_us, user_id, event_type, value)
+        (1, base, 7, "click", 0.0),                          # at purchase instant -> in
+        (2, base - ATTRIB_WINDOW_US, 7, "click", 0.0),       # exactly -7d -> OUT (strict >)
+        (3, base - ATTRIB_WINDOW_US + 1, 7, "click", 0.0),   # -7d + 1µs -> in
+        (4, base + 1, 7, "click", 0.0),                      # after purchase -> out
+        (10, base, 7, "purchase", 100.0),                    # 2 clicks share 100.00
+        (11, base, 8, "purchase", 55.55),                    # no clicks -> unattributed
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, et, v) for e, t, u, et, v in rows],
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_micros("ts_us").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="attrib_edge_")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        dst = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    out = {
+        r.click_id: (r.n_purchases, r.total_credit_microcents)
+        for r in all_queries()["join_attribution_linear"](spark, d).collect()
+    }
+    # 100.00 -> 10_000 cents -> 100_000_000 microcents / 2 clicks
+    assert out == {1: (1, 50_000_000), 3: (1, 50_000_000)}
+
+
+def test_feature_hashing_is_repartition_invariant(spark, sf_dir):
+    """text_feature_hashing: bucket ids are pure content functions —
+    the sparse entries are identical regardless of input partitioning
+    (the property that makes hashed features reproducible across any
+    cluster layout)."""
+    from mercurygate_spark.queries import all_queries
+
+    fn = all_queries()["text_feature_hashing"]
+    a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b and a
