@@ -985,10 +985,14 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes] | None:
         typ = payload[i + 4 : i + 8]
         body = payload[i + 8 : i + 8 + length]
         if typ == b"IHDR":
+            if len(body) < 13:
+                return None  # malformed IHDR (spec: exactly 13 bytes)
             width = int.from_bytes(body[0:4], "big")
             height = int.from_bytes(body[4:8], "big")
-            if body[8] != 8 or body[9] != 0 or body[12] != 0:
-                return None  # only gray-8 non-interlaced here
+            # bit depth 8, grayscale, deflate, adaptive filtering,
+            # non-interlaced — anything else is out of scope → None
+            if bytes(body[8:13]) != b"\x08\x00\x00\x00\x00":
+                return None
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":

@@ -476,13 +476,11 @@ def pipeline_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DPO_SCORED_SQL = """
+_DPO_SCORED_SQL = f"""
     WITH feat AS (
       SELECT doc_id, source, lang,
-             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                             t -> t <> '')) AS n_tokens,
-             len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                           t -> t <> ''))) AS n_distinct
+             len({_TK}) AS n_tokens,
+             len(list_distinct({_TK})) AS n_distinct
       FROM documents
     ),
     s AS (

@@ -146,8 +146,7 @@ def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
         e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
     )
-    spark_ = spark
-    dist = spark_.createDataFrame([(0, 0)], "node long, lvl int").localCheckpoint(
+    dist = spark.createDataFrame([(0, 0)], "node long, lvl int").localCheckpoint(
         eager=True
     )
     frontier = dist

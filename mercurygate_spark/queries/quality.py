@@ -346,7 +346,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rel(name: str, child: DataFrame, key: str, parent: DataFrame, pkey: str):
         n = child.agg(F.count("*").alias("n_rows"))
         orphans = child.join(
-            parent.select(F.col(pkey).alias("__pk")).distinct(),
+            parent.select(F.col(pkey).alias("__pk")),
             child[key] == F.col("__pk"),
             "left_anti",
         ).agg(F.count("*").alias("n_unmatched"))

@@ -524,7 +524,7 @@ _MD5L = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     cand AS (
       SELECT a.anchor_id, t.i, (a.h + t.i) % nl.n_langs AS pick_li
       FROM anch a
-      CROSS JOIN (SELECT unnest([0, 1]) AS i) t
+      CROSS JOIN (SELECT unnest({list(range(NEG_K))}) AS i) t
       CROSS JOIN nl
     ),
     pick AS (

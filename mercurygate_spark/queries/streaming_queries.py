@@ -475,28 +475,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stream_ohlc_bars",
-    oracle="""
-    WITH t AS (
-      SELECT event_type,
-             epoch_us(date_trunc('hour', ts)) AS bar_us,
-             value,
-             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT event_type, bar_us,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           count(*) AS n_ticks
-    FROM t GROUP BY event_type, bar_us
-    """,
-)
+from mercurygate_spark.operators.ohlc import OHLC_ORACLE_SQL as _OHLC_ORACLE
+
+
+@query("stream_ohlc_bars", oracle=_OHLC_ORACLE)
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_ohlc_bars' streaming twin: identical bars computed
     incrementally from the event stream (tumbling event-time windows,

@@ -859,28 +859,10 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ts_ohlc_bars",
-    oracle="""
-    WITH t AS (
-      SELECT event_type,
-             epoch_us(date_trunc('hour', ts)) AS bar_us,
-             value,
-             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT event_type, bar_us,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           count(*) AS n_ticks
-    FROM t GROUP BY event_type, bar_us
-    """,
-)
+from mercurygate_spark.operators.ohlc import OHLC_ORACLE_SQL, ohlc_aggs, ohlc_ord
+
+
+@query("ts_ohlc_bars", oracle=OHLC_ORACLE_SQL)
 def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling (tick stream → hourly bars per series): open/
     close are min_by/max_by over the total (ts, event_id) order, high/
@@ -900,12 +882,6 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         ts_us(F.date_trunc("hour", F.col("ts"))).alias("bar_us"),
         "value",
-        F.struct(ts_us("ts").alias("o1"), F.col("event_id").alias("o2")).alias("ord"),
+        ohlc_ord().alias("ord"),
     )
-    return ev.groupBy("event_type", "bar_us").agg(
-        F.min_by("value", F.col("ord")).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max_by("value", F.col("ord")).alias("close"),
-        F.count("*").alias("n_ticks"),
-    )
+    return ev.groupBy("event_type", "bar_us").agg(*ohlc_aggs(F.col("ord")))

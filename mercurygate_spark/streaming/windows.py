@@ -295,7 +295,7 @@ def typed_state_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def ohlc_bars_stream(events: DataFrame, minutes: int = 60) -> DataFrame:
+def ohlc_bars_stream(events: DataFrame, minutes: int | None = None) -> DataFrame:
     """Streaming OHLC bars — the batch ts_ohlc_bars operator run
     incrementally: tumbling event-time windows per series, open/close
     via min_by/max_by over the total (ts, event_id) order. The same
@@ -305,17 +305,14 @@ def ohlc_bars_stream(events: DataFrame, minutes: int = 60) -> DataFrame:
     expressible in a streaming aggregate at all. Watermark bounds
     state for continuous runs; under availableNow the final bars equal
     the batch groupBy — the oracle contract."""
-    ordc = F.struct(F.unix_micros("ts").alias("o1"), F.col("event_id").alias("o2"))
+    from mercurygate_spark.operators.ohlc import BAR_MINUTES, ohlc_aggs, ohlc_ord
+
+    if minutes is None:
+        minutes = BAR_MINUTES
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
-        .agg(
-            F.min_by("value", ordc).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", ordc).alias("close"),
-            F.count("*").alias("n_ticks"),
-        )
+        .agg(*ohlc_aggs(ohlc_ord()))
         .select(
             "event_type",
             F.unix_micros(F.col("w.start")).alias("bar_us"),

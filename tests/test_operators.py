@@ -831,6 +831,20 @@ def test_png_full_decode_roundtrip():
     ihdr_color_off = 8 + 8 + 9  # sig + len/typ + width/height/bitdepth
     rgb[ihdr_color_off] = 2
     assert decode_png_gray(bytes(rgb)) is None
+    # short IHDR body (9 bytes instead of the spec's 13) must return
+    # None, never raise (review-found IndexError regression)
+    from mercurygate_spark.operators.multimodal import _png_chunk, _PNG_SIG
+    short_ihdr = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", b"\x00" * 8 + b"\x08")
+        + _png_chunk(b"IDAT", b"x" * 20)
+    )
+    assert decode_png_gray(short_ihdr) is None
+    # spec-invalid filter method (IHDR body[11] != 0) -> None, not
+    # silently-wrong pixels
+    bad_filter = bytearray(good)
+    bad_filter[8 + 8 + 11] = 9
+    assert decode_png_gray(bytes(bad_filter)) is None
 
 
 def _py_edges(sf_dir):
