@@ -931,17 +931,7 @@ def build_png(width: int, height: int, seed: int) -> bytes:
             left = row[x - 1] if x > 0 else 0
             up = prior[x]
             ul = prior[x - 1] if x > 0 else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = left
-            elif ft == 2:
-                pred = up
-            elif ft == 3:
-                pred = (left + up) // 2
-            else:
-                pred = _paeth(left, up, ul)
-            out.append((row[x] - pred) % 256)
+            out.append((row[x] - _predict(ft, left, up, ul)) % 256)
         prior = row
     ihdr = (
         width.to_bytes(4, "big")
@@ -954,6 +944,22 @@ def build_png(width: int, height: int, seed: int) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def _predict(ft: int, left: int, up: int, ul: int) -> int:
+    """The spec's per-filter predictor — ONE implementation shared by
+    the encoder (build_png subtracts it) and the decoder
+    (decode_png_gray adds it back), so the filter math cannot drift
+    between the two sides of the round-trip."""
+    if ft == 0:
+        return 0
+    if ft == 1:
+        return left
+    if ft == 2:
+        return up
+    if ft == 3:
+        return (left + up) // 2
+    return _paeth(left, up, ul)
 
 
 def _paeth(left: int, up: int, ul: int) -> int:
@@ -1011,24 +1017,14 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes] | None:
     for y in range(height):
         ft = raw[y * (width + 1)]
         line = raw[y * (width + 1) + 1 : (y + 1) * (width + 1)]
+        if ft > 4:
+            return None
         recon = bytearray()
         for x in range(width):
             left = recon[x - 1] if x > 0 else 0
             up = prior[x]
             ul = prior[x - 1] if x > 0 else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = left
-            elif ft == 2:
-                pred = up
-            elif ft == 3:
-                pred = (left + up) // 2
-            elif ft == 4:
-                pred = _paeth(left, up, ul)
-            else:
-                return None
-            recon.append((line[x] + pred) % 256)
+            recon.append((line[x] + _predict(ft, left, up, ul)) % 256)
         pixels += recon
         prior = bytes(recon)
     return width, height, bytes(pixels)

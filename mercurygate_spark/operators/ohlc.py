@@ -14,19 +14,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-BAR_MINUTES = 60  # one bar per hour — mirrored by date_trunc('hour')
+BAR_MINUTES = 60  # the ONE bar-width constant all three paths derive from
+BAR_US = BAR_MINUTES * 60 * 1_000_000
 
-# Shared oracle: the same windowed-SQL statement of the bar semantics,
-# valid for both keys because under availableNow the final streaming
-# bars equal the batch groupBy.
-OHLC_ORACLE_SQL = """
+# Shared oracle: bar start = integer floor of the epoch-µs timestamp to
+# BAR_US — the same alignment Spark's window() uses (epoch-anchored
+# floor) and the same arithmetic bar_start() computes, so changing
+# BAR_MINUTES re-derives batch, stream, AND oracle together. Valid for
+# both keys because under availableNow the final streaming bars equal
+# the batch groupBy.
+OHLC_ORACLE_SQL = f"""
     WITH t AS (
       SELECT event_type,
-             epoch_us(date_trunc('hour', ts)) AS bar_us,
+             (epoch_us(ts) // {BAR_US}) * {BAR_US} AS bar_us,
              value,
-             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {BAR_US}
                                 ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {BAR_US}
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events
     )
@@ -38,6 +42,12 @@ OHLC_ORACLE_SQL = """
            count(*) AS n_ticks
     FROM t GROUP BY event_type, bar_us
     """
+
+
+def bar_start(ts_col: str = "ts") -> Column:
+    """Bar start in epoch µs: integer floor of the tick timestamp to
+    BAR_US — the batch twin of window('{BAR_MINUTES} minutes')."""
+    return (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(ts_col)) % BAR_US)
 
 
 def ohlc_ord() -> Column:

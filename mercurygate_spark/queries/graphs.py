@@ -83,12 +83,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the oracle twin one expression, and the join shape (edges ⋈
     edges on the shared vertex, then closure probe) is identical under
     either orientation."""
-    e = _edges(spark, sf_dir)
+    # the edge frame feeds FIVE consumers (both wedge sides, the
+    # closure probe, the node list, the edge count) and the wedge
+    # frame two — materialize each once so the events scan + DISTINCT
+    # shuffle and the wedge join don't recompute per unionAll branch
+    # (at 100 TB you'd persist to cluster storage; localCheckpoint is
+    # the local[] equivalent, same doctrine as connected_components)
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
-    wedges = e1.join(e2, F.col("e1.hi") == F.col("e2.lo")).select(
-        F.col("e1.lo").alias("a"), F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c")
+    wedges = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+        .localCheckpoint(eager=True)
     )
     tri = wedges.join(
         e3, (F.col("e3.lo") == F.col("a")) & (F.col("e3.hi") == F.col("c"))

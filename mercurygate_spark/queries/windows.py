@@ -859,7 +859,12 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from mercurygate_spark.operators.ohlc import OHLC_ORACLE_SQL, ohlc_aggs, ohlc_ord
+from mercurygate_spark.operators.ohlc import (
+    OHLC_ORACLE_SQL,
+    bar_start,
+    ohlc_aggs,
+    ohlc_ord,
+)
 
 
 @query("ts_ohlc_bars", oracle=OHLC_ORACLE_SQL)
@@ -880,7 +885,7 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"].select(
         "event_type",
-        ts_us(F.date_trunc("hour", F.col("ts"))).alias("bar_us"),
+        bar_start("ts").alias("bar_us"),
         "value",
         ohlc_ord().alias("ord"),
     )

@@ -1081,9 +1081,10 @@ def test_feature_hashing_is_repartition_invariant(spark, sf_dir):
 
     fn = all_queries()["text_feature_hashing"]
     a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "3")
     try:
         b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert a == b and a
