@@ -835,13 +835,29 @@ def parse_jpeg_exif(payload: bytes) -> tuple[str, int, int, int] | None:
         return None
     pos = 2
     tiff = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
+        # JPEG allows any number of 0xFF fill bytes before a marker
+        # code (ITU-T T.81 §B.1.1.2) — skip them.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            return None
         marker = payload[pos + 1]
-        if marker == 0xD9:
+        if marker == 0xD9 or marker == 0xDA:
+            # EOI, or SOS: entropy-coded data follows with no framed
+            # length — an APP1 after this point is not spec-reachable.
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length field.
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            return None
         seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if seg_len < 2:
+            return None
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             tiff = body[6:]

@@ -46,8 +46,13 @@ OHLC_ORACLE_SQL = f"""
 
 def bar_start(ts_col: str = "ts") -> Column:
     """Bar start in epoch µs: integer floor of the tick timestamp to
-    BAR_US — the batch twin of window('{BAR_MINUTES} minutes')."""
-    return (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(ts_col)) % BAR_US)
+    BAR_US — the batch twin of window('{BAR_MINUTES} minutes').
+    Uses pmod (non-negative remainder) rather than %, which truncates
+    toward zero: for pre-1970 (negative-epoch) timestamps only the
+    floor-mod form agrees with the oracle's floor division and with
+    streaming window()'s epoch-anchored bucketing."""
+    us = F.unix_micros(F.col(ts_col))
+    return us - F.pmod(us, F.lit(BAR_US))
 
 
 def ohlc_ord() -> Column:

@@ -565,16 +565,26 @@ def sink_clustered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's default parquet timestamp encoding is legacy INT96,
     # which carries NO min/max statistics — clustering would be
     # invisible to pruning. TIMESTAMP_MICROS (INT64) is the
-    # stats-bearing encoding every lakehouse layout relies on.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    (
-        t["lineitem"]
-        .select("l_orderkey", "l_shipdate", "l_extendedprice")
-        .repartitionByRange(8, "l_shipdate")
-        .sortWithinPartitions("l_shipdate", "l_orderkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # stats-bearing encoding every lakehouse layout relies on. The
+    # conf only needs to cover the write, so save/restore it — the
+    # driver sweeps all keys in one shared session.
+    _TS_CONF = "spark.sql.parquet.outputTimestampType"
+    saved_ts = spark.conf.get(_TS_CONF, None)
+    try:
+        spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+        (
+            t["lineitem"]
+            .select("l_orderkey", "l_shipdate", "l_extendedprice")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate", "l_orderkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if saved_ts is None:
+            spark.conf.unset(_TS_CONF)
+        else:
+            spark.conf.set(_TS_CONF, saved_ts)
     spans = []
     rg_ordered = True
     for f in sorted(glob.glob(os.path.join(path, "part-*"))):

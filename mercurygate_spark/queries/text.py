@@ -1254,7 +1254,7 @@ PMI_TOPK = 20
     )
     SELECT w1, w2, n_pairs, round(pmi_raw, 6) AS pmi
     FROM scored
-    ORDER BY pmi_raw DESC, w1, w2 LIMIT {PMI_TOPK}
+    ORDER BY round(pmi_raw, 6) DESC, w1, w2 LIMIT {PMI_TOPK}
     """.format(tk=_DUCK_TK),
 )
 def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,8 +1303,14 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_raw"),
         )
     )
+    # Rank on the r6-ROUNDED pmi (with the lexicographic tiebreak):
+    # Spark's Math.log and the oracle's libm ln can differ in the
+    # last ulp, so the rank-20 cutoff must be computed on values that
+    # are bit-identical after rounding on both engines.
     return (
-        scored.orderBy(F.col("pmi_raw").desc(), "w1", "w2")
+        scored.select(
+            "w1", "w2", F.col("n_pairs"), r6(F.col("pmi_raw")).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOPK)
-        .select("w1", "w2", "n_pairs", r6(F.col("pmi_raw")).alias("pmi"))
     )
