@@ -246,6 +246,77 @@ def duck_minhash_pairs_sql(id_col: str = "doc_id", table: str = "documents") -> 
     """
 
 
+# Incremental cross-batch dedup: deterministic corpus/new-batch split
+# (same role as the reference's first-load-vs-refresh routing,
+# mm_source_to_bronze.py:156-167, transposed to the dedup domain).
+INCR_SPLIT_MOD = 5  # doc_id % 5 == 0 → "new batch"; else → indexed corpus
+
+
+def duck_incremental_dedup_sql(id_col: str = "doc_id", table: str = "documents") -> str:
+    """Generated DuckDB oracle for dedup_incremental_index: replays
+    the SAME minhash/banding pipeline over both halves of the
+    deterministic corpus/batch split, joins batch bands against
+    corpus bands, and picks each new doc's best match
+    (max shared bands, then min corpus id)."""
+    p = MINHASH_PRIME
+    mins = ",\n             ".join(
+        f"min(({a} * h0 + {b}) % {p}) AS m{j}" for j, (a, b) in enumerate(HASH_PARAMS)
+    )
+
+    def bands_union(sig_cte: str) -> str:
+        rows = []
+        for bi in range(N_BANDS):
+            parts = " || ',' || ".join(
+                f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            )
+            rows.append(
+                f"SELECT {id_col}, {bi} AS band_idx, md5({parts}) AS band_key"
+                f" FROM {sig_cte}"
+            )
+        return "\n      UNION ALL\n      ".join(rows)
+
+    def side(prefix: str, pred: str) -> str:
+        return f"""{prefix}_sh AS (
+      SELECT {id_col}, {duck_shingles_sql()} AS shingles
+      FROM {table} WHERE {pred}
+    ), {prefix}_ex AS (
+      SELECT {id_col}, unnest(shingles) AS s FROM {prefix}_sh
+    ), {prefix}_hashed AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h0
+      FROM {prefix}_ex
+    ), {prefix}_sig AS (
+      SELECT {id_col},
+             {mins}
+      FROM {prefix}_hashed GROUP BY {id_col}
+    ), {prefix}_bands AS (
+      {bands_union(prefix + "_sig")}
+    )"""
+
+    return f"""
+    WITH {side("corpus", f"{id_col} % {INCR_SPLIT_MOD} <> 0")},
+    {side("batch", f"{id_col} % {INCR_SPLIT_MOD} = 0")},
+    cand AS (
+      SELECT b.{id_col} AS new_id, c.{id_col} AS match_id,
+             count(*) AS shared
+      FROM batch_bands b JOIN corpus_bands c
+        ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT new_id, match_id, shared,
+             CAST(count(*) OVER (PARTITION BY new_id) AS BIGINT)
+               AS n_candidates,
+             row_number() OVER (
+               PARTITION BY new_id ORDER BY shared DESC, match_id
+             ) AS rn
+      FROM cand
+    )
+    SELECT new_id, match_id,
+           CAST(shared AS BIGINT) AS shared_bands,
+           n_candidates
+    FROM ranked WHERE rn = 1
+    """
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

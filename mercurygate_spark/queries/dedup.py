@@ -14,6 +14,7 @@ from mercurygate_spark.functions import r6
 from mercurygate_spark.operators.dedup import (
     connected_components,
     duck_connected_components_sql,
+    duck_incremental_dedup_sql,
     duck_minhash_pairs_sql,
     duck_shingles_sql,
     duck_simhash_sql,
@@ -61,6 +62,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same HASH_PARAMS constants)."""
     t = load_tables(spark, sf_dir, "documents")
     return minhash_candidate_pairs(t["documents"], "doc_id")
+
+
+@query("dedup_incremental_index", oracle=duck_incremental_dedup_sql())
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch dedup against a PERSISTED minhash band
+    index — the continuous-ingestion pattern a 100 TB pipeline needs
+    (each new batch dedups against the accumulated corpus WITHOUT
+    rescanning it; the reference's first-load-vs-refresh routing,
+    mm_source_to_bronze.py:156-167, transposed to dedup):
+
+    1. index build (the "first load"): the corpus's LSH band table is
+       written ONCE as a catalog table bucketed by the band bucket key
+       — at 100 TB this happens at ingest time and is amortized over
+       every future batch;
+    2. probe (every "refresh"): the new batch's bands (tiny relative
+       to the corpus) equi-join the index on the bucket key. Because
+       the index is bucketed on exactly that key, its side of the
+       sort-merge join needs NO Exchange — only the new batch
+       shuffles, so probe cost scales with batch size, never corpus
+       size (plan pinned in tests/test_plans.py).
+
+    Output: per new doc with ≥1 candidate, the best corpus match
+    (max shared bands, tie → min corpus id) + candidate count. The
+    oracle replays both halves of the deterministic doc_id%5 split
+    end-to-end, so index persistence must be value-invisible."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.operators.dedup import (
+        INCR_SPLIT_MOD,
+        lsh_bands,
+        minhash_signature_arrow,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    corpus = docs.where(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    batch = docs.where(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    # single combined bucket key: joining on ONE key lets the bucketed
+    # side's HashPartitioning(bk, 8) satisfy the join's distribution
+    # outright ('#' can't appear in an md5 hex digest, so this is
+    # bijective with (band_idx, band_key))
+    bk = F.concat_ws("#", F.col("band_idx").cast("string"), F.col("band_key"))
+    index_bands = lsh_bands(minhash_signature_arrow(corpus, "doc_id"), "doc_id").select(
+        F.col("doc_id").alias("match_id"), bk.alias("bk")
+    )
+    # per-PID table name: driver may run correctness+bench in parallel
+    idx_name = f"mg_dedup_band_index_{_os.getpid()}"
+    write_bucketed(index_bands, idx_name, "bk", 8, sort_by="bk")
+    idx = spark.table(idx_name)
+    probe = lsh_bands(minhash_signature_arrow(batch, "doc_id"), "doc_id").select(
+        F.col("doc_id").alias("new_id"), bk.alias("bk")
+    )
+    cand = (
+        probe.join(idx, "bk")
+        .groupBy("new_id", "match_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return cand.groupBy("new_id").agg(
+        F.min_by(
+            "match_id",
+            F.struct(
+                (-F.col("shared")).alias("neg_shared"),
+                F.col("match_id").alias("id"),
+            ),
+        ).alias("match_id"),
+        F.max("shared").alias("shared_bands"),
+        F.count("*").alias("n_candidates"),
+    )
 
 
 @query("dedup_simhash", oracle=duck_simhash_sql())

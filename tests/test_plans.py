@@ -234,6 +234,29 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_incremental_dedup_index_side_never_shuffles(spark):
+    """dedup_incremental_index's 100 TB contract: the persisted band
+    index is bucketed on the join key, so probing a new batch never
+    re-shuffles (or re-scans more than) the corpus index. With
+    broadcast disabled (forcing the SMJ path a 100 TB batch would
+    take), the ONLY bk-keyed Exchange in the plan must be the probe
+    side; the index side reads its bucketed layout directly."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "dedup_incremental_index")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert "SortMergeJoin" in s
+        # exactly one shuffle on the join key — the probe batch; a
+        # second would mean the index's bucketing went unused
+        assert s.count("Exchange hashpartitioning(bk") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS mg_dedup_band_index_{os.getpid()}")
+
+
 def test_cms_probe_broadcasts_sketch(spark):
     """The CMS counter grid (≤ D×W rows by construction) must reach the
     probe join as a broadcast — shuffling probes against it would add a
