@@ -20,6 +20,7 @@ from mercurygate_spark.queries import (  # noqa: F401,E402
     dedup,
     graphs,
     joins,
+    medallion,
     multimodal,
     projections,
     quality,
