@@ -1104,6 +1104,139 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 8  # rounds trained by text_bpe_train
+
+
+def _bpe_train_oracle() -> str:
+    """Generated unrolled-CTE oracle for text_bpe_train: per round,
+    select the winning pair (count desc, lexicographic, self-pairs
+    excluded) and apply it with the SAME triple string-replace both
+    engines use, so merge order can never drift (the
+    pagerank_oracle_sql doctrine applied to a data-dependent loop —
+    the iteration COUNT is unrolled, each round's merge choice is
+    computed in SQL)."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous round ~7× (pair count + 6 scalar subqueries in the
+    # triple replace); DuckDB inlines plain CTEs, which would expand
+    # the 8-round chain to ~7^8 copies of the base scan
+    parts = [
+        f"""docs0 AS MATERIALIZED (
+      SELECT doc_id, ' ' || array_to_string({_DUCK_TK}, ' ') || ' ' AS s
+      FROM documents
+    )"""
+    ]
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        prev = f"docs{k - 1}"
+        pat = f"(SELECT ' ' || w1 || ' ' || w2 || ' ' FROM sel{k})"
+        rep = f"(SELECT ' ' || w1 || '_' || w2 || ' ' FROM sel{k})"
+        parts.append(
+            f"""pc{k} AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c FROM (
+        SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT string_split(trim(s), ' ') AS tk FROM {prev}) t,
+             UNNEST(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2
+      ) p WHERE w1 <> w2 GROUP BY 1, 2
+    ), sel{k} AS MATERIALIZED (
+      SELECT w1, w2, c FROM pc{k} ORDER BY c DESC, w1, w2 LIMIT 1
+    ), docs{k} AS MATERIALIZED (
+      SELECT doc_id,
+             replace(replace(replace(s, {pat}, {rep}), {pat}, {rep}),
+                     {pat}, {rep}) AS s
+      FROM {prev}
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS step, w1, w2, w1 || '_' || w2 AS merged,"
+        f" CAST(c AS BIGINT) AS n_pairs FROM sel{k}"
+        for k in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop ({BPE_TRAIN_MERGES} merges) at
+    token granularity: per round, count adjacent pairs across the
+    corpus, pick ONE winning merge (count desc, then lexicographic;
+    self-pairs w1=w2 excluded — see below), apply it everywhere, and
+    repeat on the merged corpus — the data-dependent iteration
+    text_bpe_merge_step does one round of.
+
+    Spark-first mechanics, per round:
+    - pair counting is the bpe_merge_step plan (map-side slice+zip,
+      one partial-agg shuffle, winner via TakeOrderedAndProject);
+    - the winner — ONE row — is the only thing the driver ever sees
+      (bounded collect, same doctrine as IVF centroids);
+    - merge application is a TRIPLE ``replace`` over the space-joined
+      token string — a codegen JVM scan, no shuffle, no Python. One
+      leftmost-restart replace pass can skip an occurrence whose
+      leading delimiter the previous match consumed; with self-pairs
+      excluded, matches are token-disjoint and every skipped
+      occurrence has an intact delimiter on the next pass, so three
+      passes are ≥1 more than worst-case. Self-pairs are excluded
+      from ranking because run-collapsing (aaaa) needs run-parity
+      semantics no string replay can express — a documented spec
+      choice, not an accident;
+    - the corpus is localCheckpoint-ed each round (CC/PageRank
+      lineage-truncation doctrine), so round k never replays rounds
+      1..k-1.
+
+    The oracle replays every round — including each round's winner
+    SELECTION — in one generated unrolled CTE, so a drift in merge
+    order, application semantics, or round count fails the hash."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
+    )
+    docs = docs.localCheckpoint(eager=True)
+
+    rows = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        tk = F.split(F.trim(F.col("s")), " ")
+        pairs = (
+            docs.select(F.explode(adjacent_pairs(tk)).alias("p"))
+            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .where(F.col("w1") != F.col("w2"))
+        )
+        top = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "w1", "w2")
+            .limit(1)
+            .collect()  # bounded by construction: exactly 1 row/round
+        )
+        w1, w2, c = top[0]["w1"], top[0]["w2"], top[0]["c"]
+        merged = f"{w1}_{w2}"
+        rows.append((step, w1, w2, merged, c))
+        pat, rep = F.lit(f" {w1} {w2} "), F.lit(f" {w1}_{w2} ")
+        s = F.col("s")
+        for _ in range(3):
+            s = F.replace(s, pat, rep)
+        docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("w1", StringType()),
+            StructField("w2", StringType()),
+            StructField("merged", StringType()),
+            StructField("n_pairs", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 @query(
     "text_lang_id_metrics",
     oracle=f"""

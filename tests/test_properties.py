@@ -602,3 +602,66 @@ def test_png_codec_round_trip_property(w, h, seed):
     for y in range(h):
         for x in range(w):
             assert pix[y * w + x] == (7 * x + 13 * y + seed) % 256
+
+
+def _greedy_bpe_merge(tk: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge application."""
+    out, i = [], 0
+    while i < len(tk):
+        if i + 1 < len(tk) and tk[i] == a and tk[i + 1] == b:
+            out.append(f"{a}_{b}")
+            i += 2
+        else:
+            out.append(tk[i])
+            i += 1
+    return out
+
+
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=16),
+    pair=st.sampled_from([("a", "b"), ("b", "a"), ("a", "c"), ("c", "b")]),
+)
+@settings(**SETTINGS)
+def test_bpe_triple_replace_equals_greedy(toks, pair):
+    """text_bpe_train applies a merge as a TRIPLE leftmost-no-rescan
+    string replace over the space-joined corpus. For non-self pairs
+    (the only kind the trainer selects) that must equal the greedy
+    left-to-right merge — one pass can skip an occurrence whose
+    leading delimiter the previous match consumed; three passes must
+    recover all of them. Python str.replace shares the leftmost
+    no-rescan semantics of JVM StringReplace and DuckDB replace, so
+    this pins the algorithm all three engines run."""
+    a, b = pair
+    s = " " + " ".join(toks) + " "
+    for _ in range(3):
+        s = s.replace(f" {a} {b} ", f" {a}_{b} ")
+    got = s.split()
+    assert got == _greedy_bpe_merge(toks, a, b)
+
+
+def test_bpe_spark_replace_matches_python(spark):
+    """F.replace must share Python str.replace's leftmost-no-rescan
+    semantics on the boundary-sharing sequences the property test
+    exercises (runs of alternating pairs)."""
+    cases = [
+        ["a", "b", "a", "b", "a", "b", "a", "b"],
+        ["a", "b", "a", "b", "a"],
+        ["c", "a", "b", "b", "a", "b"],
+        ["a", "a", "b", "b"],
+        [],
+        ["a"],
+    ]
+    df = spark.createDataFrame(
+        [(i, " " + " ".join(t) + " ") for i, t in enumerate(cases)],
+        schema="i long, s string",
+    )
+    col = F.col("s")
+    for _ in range(3):
+        col = F.replace(col, F.lit(" a b "), F.lit(" a_b "))
+    rows = {r["i"]: r["out"] for r in df.select("i", col.alias("out")).collect()}
+    for i, t in enumerate(cases):
+        py = " " + " ".join(t) + " "
+        for _ in range(3):
+            py = py.replace(" a b ", " a_b ")
+        assert rows[i] == py
+        assert py.split() == _greedy_bpe_merge(t, "a", "b")
