@@ -56,6 +56,11 @@ HEADLINE = [
     "agg_star_multijoin",         # TPC-H Q5 shape: 6-table star join
     "graph_triangle_count",       # wedge-join triangle counting
     "ts_ohlc_bars",               # partial-aggregable OHLC downsample
+    # round-8 additions
+    "dedup_incremental_index",    # cross-batch dedup vs bucketed band index
+    "pipeline_medallion_e2e",     # bronze→silver→gold lifecycle
+    "text_bpe_train",             # 8-round iterative BPE training loop
+    "dedup_lsh_star_edges",       # skew-safe linear LSH candidates
 ]
 
 

@@ -1,7 +1,7 @@
 """Custom Python Data Source (Spark 4 DataSource API).
 
 The modern extension point for sources Spark has no built-in reader
-for (internal feeds, bespoke formats, device streams): schema,
+for (in-house feeds, bespoke formats, device streams): schema,
 partition planning, and per-partition reads all declared in Python,
 executed distributed — each InputPartition becomes one Spark task, so
 parallelism is the source author's contract, not an afterthought.

@@ -246,6 +246,78 @@ def duck_minhash_pairs_sql(id_col: str = "doc_id", table: str = "documents") -> 
     """
 
 
+def lsh_star_edges(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Skew-safe LSH candidate generation: per (band_idx, band_key)
+    bucket emit only STAR edges (bucket-min id → every other member)
+    instead of all pairs.
+
+    Why: a duplicate FAMILY holding fraction f of the corpus lands in
+    shared band buckets, and all-pairs generation emits Θ((fN)²)
+    candidates — at f=0.1, 100× the corpus size squared. No salting
+    can fix that: the quadratic cost is the OUTPUT, not the shuffle.
+    Star edges emit ≤ N_BANDS·N rows total while preserving exactly
+    the connectivity all-pairs gives (every member of a bucket is
+    connected through the bucket's min), so transitive clustering
+    (connected_components) produces IDENTICAL components — proven by
+    tests and by scripts/dedup_skew_probe.py on a head-heavy corpus.
+
+    Plan: bucket→min is a map-side-combinable groupBy (a hot bucket
+    collapses to one row per task before the shuffle); the join back
+    is bucket-equi and its output is linear; AQE skew-join splits the
+    hot bucket's probe side if needed. No windows over hot partitions,
+    no collect."""
+    bands = lsh_bands(minhash_signature_arrow(df, id_col, text_col), id_col)
+    bands = bands.localCheckpoint(eager=False)
+    roots = bands.groupBy("band_idx", "band_key").agg(F.min(id_col).alias("id_a"))
+    return (
+        bands.join(roots, ["band_idx", "band_key"])
+        .where(F.col(id_col) != F.col("id_a"))
+        .groupBy("id_a", F.col(id_col).alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def duck_lsh_star_edges_sql(id_col: str = "doc_id", table: str = "documents") -> str:
+    """Generated DuckDB oracle replaying lsh_star_edges: same bands,
+    bucket-min roots, star edges with shared-band counts."""
+    p = MINHASH_PRIME
+    mins = ",\n             ".join(
+        f"min(({a} * h0 + {b}) % {p}) AS m{j}" for j, (a, b) in enumerate(HASH_PARAMS)
+    )
+    band_rows = []
+    for bi in range(N_BANDS):
+        parts = " || ',' || ".join(
+            f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT {id_col}, {bi} AS band_idx, md5({parts}) AS band_key FROM sig"
+        )
+    bands_union = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col}, {duck_shingles_sql()} AS shingles FROM {table}
+    ), ex AS (
+      SELECT {id_col}, unnest(shingles) AS s FROM sh
+    ), hashed AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h0 FROM ex
+    ), sig AS (
+      SELECT {id_col},
+             {mins}
+      FROM hashed GROUP BY {id_col}
+    ), bands AS (
+      {bands_union}
+    ), roots AS (
+      SELECT band_idx, band_key, min({id_col}) AS id_a
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT r.id_a, b.{id_col} AS id_b, count(*) AS n_shared_bands
+    FROM bands b JOIN roots r
+      ON b.band_idx = r.band_idx AND b.band_key = r.band_key
+    WHERE b.{id_col} <> r.id_a
+    GROUP BY 1, 2
+    """
+
+
 # Incremental cross-batch dedup: deterministic corpus/new-batch split
 # (same role as the reference's first-load-vs-refresh routing,
 # mm_source_to_bronze.py:156-167, transposed to the dedup domain).

@@ -15,6 +15,7 @@ from mercurygate_spark.operators.dedup import (
     connected_components,
     duck_connected_components_sql,
     duck_incremental_dedup_sql,
+    duck_lsh_star_edges_sql,
     duck_minhash_pairs_sql,
     duck_shingles_sql,
     duck_simhash_sql,
@@ -62,6 +63,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same HASH_PARAMS constants)."""
     t = load_tables(spark, sf_dir, "documents")
     return minhash_candidate_pairs(t["documents"], "doc_id")
+
+
+@query("dedup_lsh_star_edges", oracle=duck_lsh_star_edges_sql())
+def dedup_lsh_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe LSH candidates: per band bucket, star edges from the
+    bucket-min doc instead of all pairs — the duplicate-FAMILY
+    mitigation (a family holding 10% of a 100 TB corpus makes
+    all-pairs generation quadratic in family size; star edges stay
+    linear and give connected_components identical clusters — see
+    operators.dedup.lsh_star_edges and scripts/dedup_skew_probe.py)."""
+    from mercurygate_spark.operators.dedup import lsh_star_edges
+
+    t = load_tables(spark, sf_dir, "documents")
+    return lsh_star_edges(t["documents"], "doc_id")
 
 
 @query("dedup_incremental_index", oracle=duck_incremental_dedup_sql())

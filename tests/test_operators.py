@@ -374,6 +374,44 @@ def test_connected_components_star_and_reversed_edges(spark):
     assert out.columns == ["node", "component"] and out.count() == 0
 
 
+def test_lsh_star_edges_preserve_components(spark):
+    """Star edges must give connected_components EXACTLY the clusters
+    all-pairs candidates give — on a corpus with a large duplicate
+    family (the skew case star edges exist for: all-pairs is quadratic
+    in family size, star edges linear)."""
+    from mercurygate_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+        minhash_candidate_pairs,
+    )
+
+    family = [
+        (i, "the quick brown fox jumps over the lazy dog near the river "
+            f"bank variant {i % 3}")
+        for i in range(20)
+    ]
+    others = [
+        (100 + i, f"completely unrelated document number {i} about "
+                  f"topic{i} with its own distinct vocabulary {i * 17}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(family + others, "doc_id long, text string")
+    cc_pairs = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            minhash_candidate_pairs(docs, "doc_id")
+        ).collect()
+    }
+    cc_star = {
+        (r["node"], r["component"])
+        for r in connected_components(lsh_star_edges(docs, "doc_id")).collect()
+    }
+    assert cc_star == cc_pairs and len(cc_pairs) > 0
+    # and the family really is one cluster (the probe's premise)
+    fam_components = {c for n, c in cc_pairs if n < 100}
+    assert len(fam_components) <= 3  # per-variant at worst, not per-doc
+
+
 def test_ivf_trained_centroids_recall_and_determinism(spark):
     """Trained-k-means IVF: recall@10 vs brute force must beat random
     probing (n_probe/n_centroids = 1/8 of the corpus → random recall
