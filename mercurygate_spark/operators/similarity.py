@@ -544,13 +544,16 @@ def duck_ivf_kmeans_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix: str = "",
 ) -> str:
     """Generated DuckDB CTE chain replaying train_ivf_centroids()
     bit-for-bit: quantized embeddings (qemb), md5-ordered seeds
     (cent0), then one unrolled Lloyd iteration per CTE pair
     (assign{i}/cent{i}). All arithmetic is integer (or the one exact
     round-half-up double division), so Spark and DuckDB agree on every
-    assignment. Ends with cent{iters} = the trained centroids."""
+    assignment. Ends with cent{iters} = the trained centroids.
+    ``prefix`` namespaces every CTE so several independent trainings
+    (PQ's per-subspace codebooks) can share one WITH clause."""
     q = (
         f"list_transform({vec_col}::DOUBLE[], "
         f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
@@ -559,36 +562,37 @@ def duck_ivf_kmeans_sql(
         f"list_sum(list_transform(range(1, {dims + 1}), "
         "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
     )
+    p = prefix
     parts = [
-        f"""qemb AS (
+        f"""{p}qemb AS (
       SELECT {id_col}, {vec_col}, {q} AS qe FROM {table}
-    ), cent0 AS (
+    ), {p}cent0 AS (
       SELECT cidx, qe AS qc FROM (
         SELECT CAST(row_number() OVER (
                  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS INT) - 1 AS cidx,
                qe
-        FROM qemb
+        FROM {p}qemb
       ) WHERE cidx < {k}
     )"""
     ]
     for i in range(1, iters + 1):
-        parts.append(f"""assign{i} AS (
+        parts.append(f"""{p}assign{i} AS (
       SELECT {id_col}, qe, cidx FROM (
         SELECT e.{id_col}, e.qe, c.cidx,
                row_number() OVER (PARTITION BY e.{id_col}
                                   ORDER BY {dist}, c.cidx) AS rn
-        FROM qemb e CROSS JOIN cent{i - 1} c
+        FROM {p}qemb e CROSS JOIN {p}cent{i - 1} c
       ) WHERE rn = 1
-    ), sums{i} AS (
+    ), {p}sums{i} AS (
       SELECT cidx, j, sum(qe[j + 1]) AS s, count(*) AS cnt
-      FROM assign{i}, (SELECT unnest(range({dims})) AS j)
+      FROM {p}assign{i}, (SELECT unnest(range({dims})) AS j)
       GROUP BY cidx, j
-    ), cent{i} AS (
+    ), {p}cent{i} AS (
       SELECT p.cidx, coalesce(n.qc, p.qc) AS qc
-      FROM cent{i - 1} p LEFT JOIN (
+      FROM {p}cent{i - 1} p LEFT JOIN (
         SELECT cidx,
                list(CAST(floor((2 * s + cnt) / (2.0 * cnt)) AS BIGINT) ORDER BY j) AS qc
-        FROM sums{i} GROUP BY cidx
+        FROM {p}sums{i} GROUP BY cidx
       ) n ON p.cidx = n.cidx
     )""")
     return ",\n    ".join(parts)
@@ -681,3 +685,296 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public algorithm): split each
+# vector into PQ_M subvectors, train an independent PQ_K-code codebook
+# per subspace (the same deterministic quantized-grid Lloyd's as IVF),
+# store each corpus vector as PQ_M uint8-sized codes, and score queries
+# with an asymmetric distance (ADC): exact query subvector vs the
+# candidate's reconstructed centroid, summed over subspaces. This is
+# the 100 TB memory path — 64 floats (256 B) become 4 codes (4 B), a
+# 64× compression that lets a 1000-executor cluster hold a trillion
+# vectors' index in RAM while the float vectors stay in parquet.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16                       # subspaces (4-dim each: recall@10 ~0.42
+                                # vs exact L2 at sf0.01 — best of the
+                                # measured (M,K) grid; M=4/K=16 gave 0.12)
+PQ_SUBDIM = EMBED_DIMS // PQ_M  # dims per subspace
+PQ_K = 16                       # codes per subspace codebook
+
+
+def pq_train_codebooks(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list:
+    """Deterministic Lloyd's training of all PQ_M per-subspace
+    codebooks — semantically one INDEPENDENT training per subspace
+    (same md5-ordered seeds, fixed iterations, integer-grid update
+    rule as train_ivf_centroids, so the DuckDB oracle replays each
+    codebook bit-for-bit via its own prefixed CTE chain), but
+    physically BATCHED: each Lloyd iteration is ONE Arrow pass
+    emitting (subspace, cidx, dim, sum, cnt) partials for all
+    subspaces at once + one groupBy, so the whole training costs
+    KMEANS_ITERS jobs instead of PQ_M x KMEANS_ITERS. The seeds are
+    one bounded collect (the PQ_K md5-first vectors, sliced — the
+    slice of the quantized vector equals the quantized slice because
+    quantization is elementwise). Returns PQ_M (PQ_K, PQ_SUBDIM)
+    int64 matrices; empty clusters keep their previous centroid."""
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    seed_full = kmeans_seeds(corpus, id_col, vec_col, k=PQ_K)
+    cmats = [
+        seed_full[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM].copy()
+        for m in range(PQ_M)
+    ]
+    part_schema = StructType(
+        [
+            StructField("m", IntegerType()),
+            StructField("cidx", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("s", LongType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    for _ in range(KMEANS_ITERS):
+        captured = [c.copy() for c in cmats]
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+                rows = []
+                for m in range(PQ_M):
+                    sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                    d = _int_sq_dists(sub, captured[m])
+                    nearest = np.lexsort(
+                        (np.broadcast_to(np.arange(PQ_K), d.shape), d), axis=1
+                    )[:, 0]
+                    for c in range(PQ_K):
+                        members = sub[nearest == c]
+                        if len(members) == 0:
+                            continue
+                        sums = members.sum(axis=0)
+                        for j in range(PQ_SUBDIM):
+                            rows.append((m, c, j, int(sums[j]), len(members)))
+                yield pd.DataFrame(rows, columns=["m", "cidx", "j", "s", "cnt"])
+
+        agg = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, part_schema)
+            .groupBy("m", "cidx", "j")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()  # bounded: <= PQ_M*PQ_K*PQ_SUBDIM rows
+        )
+        new = [c.copy() for c in cmats]
+        for r in agg:
+            new[r["m"]][r["cidx"], r["j"]] = math.floor(
+                (2 * r["s"] + r["cnt"]) / (2.0 * r["cnt"])
+            )
+        cmats = new
+    return cmats
+
+
+def pq_encode(
+    df: DataFrame, cmats: list, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus → (id, k0..k{PQ_M-1}) codes in ONE Arrow pass: quantize,
+    then per subspace the nearest codebook entry (integer squared
+    distance, tie → lowest code index — the oracle's ORDER BY dist,
+    cidx). The cmats are closure-captured small matrices (the
+    broadcast-dim pattern); the pass is embarrassingly parallel."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"k{m}", IntegerType()) for m in range(PQ_M)]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cols = {id_col: pdf[id_col].astype("int64")}
+            for m in range(PQ_M):
+                sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                d = _int_sq_dists(sub, cmats[m])
+                nearest = np.lexsort(
+                    (np.broadcast_to(np.arange(PQ_K), d.shape), d), axis=1
+                )[:, 0]
+                cols[f"k{m}"] = nearest.astype("int32")
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    k: int,
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ ANN: train codebooks, encode the corpus, score
+    each query against every candidate's code word by asymmetric
+    distance (sum over subspaces of integer squared distance from the
+    query's EXACT quantized subvector to the candidate's centroid) and
+    rank top-k (adc asc, candidate id).
+
+    Scale shape: the driver touches only bounded data — PQ_M codebooks
+    (PQ_M×PQ_K×PQ_SUBDIM longs) and the n_queries query vectors, from
+    which it precomputes the classic PQ distance TABLE
+    (n_queries × PQ_M × PQ_K ints). Scoring is then a pure table
+    lookup per (candidate, query) in one Arrow pass over the CODES
+    frame — the float vectors are never rescanned, which is the whole
+    point of PQ at 100 TB."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmats = pq_train_codebooks(corpus, id_col, vec_col)
+    codes = pq_encode(corpus, cmats, id_col, vec_col)
+
+    qrows = (
+        corpus.where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()  # bounded by construction: n_queries rows
+    )
+    qmat = _quantize(
+        np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    # dtable[q, m, code] = ||query_q subvector m - codebook_m[code]||²
+    dtable = np.empty((len(qids), PQ_M, PQ_K), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = qmat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        dtable[:, m, :] = _int_sq_dists(sub, cmats[m])
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("candidate_id", LongType()),
+            StructField("adc", LongType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand = pdf[id_col].to_numpy(dtype="int64")
+            code_mat = np.stack(
+                [pdf[f"k{m}"].to_numpy(dtype="int64") for m in range(PQ_M)], axis=1
+            )
+            # adc[q, c] = Σ_m dtable[q, m, code_mat[c, m]]
+            adc = np.zeros((len(qids), len(cand)), dtype=np.int64)
+            for m in range(PQ_M):
+                adc += dtable[:, m, code_mat[:, m]]
+            qcol = np.repeat(qids, len(cand))
+            ccol = np.tile(cand, len(qids))
+            yield pd.DataFrame(
+                {"query_id": qcol, "candidate_id": ccol, "adc": adc.reshape(-1)}
+            )
+
+    scored = codes.mapInPandas(score, schema).where(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "candidate_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def duck_pq_sql(n_queries: int, top_k: int) -> str:
+    """Generated DuckDB oracle replaying the FULL PQ pipeline: per
+    subspace the identical unrolled Lloyd's chain (prefixed CTEs),
+    code assignment, then ADC scoring + ranking. Integer arithmetic
+    end to end, so every codebook entry, code word, and distance
+    matches Spark exactly."""
+    chains, code_ctes = [], []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        chains.append(
+            duck_ivf_kmeans_sql(
+                k=PQ_K,
+                dims=PQ_SUBDIM,
+                table=(
+                    f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings)"
+                ),
+                vec_col="sub",
+                prefix=f"s{m}_",
+            )
+        )
+        dist = (
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+        )
+        code_ctes.append(
+            f"""code{m} AS (
+      SELECT vec_id, cidx AS code FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cidx) AS rn
+        FROM s{m}_qemb e CROSS JOIN s{m}_cent{KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )"""
+        )
+    cand_joins = " ".join(
+        f"JOIN code{m} c{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    cand_cols = ", ".join(f"c{m}.code AS k{m}" for m in range(PQ_M))
+    q_joins = " ".join(
+        f"JOIN s{m}_qemb a{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    q_cols = ", ".join(f"a{m}.qe AS qe{m}" for m in range(PQ_M))
+    cc_joins = " ".join(
+        f"JOIN s{m}_cent{KMEANS_ITERS} cc{m} ON cc{m}.cidx = cd.k{m}"
+        for m in range(PQ_M)
+    )
+    terms = " + ".join(
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"j -> (q.qe{m}[j] - cc{m}.qc[j]) * (q.qe{m}[j] - cc{m}.qc[j])))"
+        for m in range(PQ_M)
+    )
+    chains_sql = ",\n    ".join(chains)
+    codes_sql = ",\n    ".join(code_ctes)
+    return f"""
+    WITH {chains_sql},
+    {codes_sql},
+    cand AS (
+      SELECT vec_id, {cand_cols}
+      FROM code0 c0 {cand_joins}
+    ),
+    q AS (
+      SELECT vec_id, {q_cols}
+      FROM s0_qemb a0 {q_joins}
+      WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS candidate_id,
+             {terms} AS adc
+      FROM cand cd {cc_joins}
+      CROSS JOIN q
+      WHERE q.vec_id <> cd.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
+    """

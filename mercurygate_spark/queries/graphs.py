@@ -183,3 +183,105 @@ def graph_shortest_path_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lvl", "n_nodes", "min_node", "max_node")
     )
+
+
+# k-core edge synthesis: the shared _EDGE_SQL graph is a union of
+# cycles (every node degree exactly 2 — any affine/polynomial map of
+# the residue is periodic mod the node space), which makes every
+# k-core trivial. These generators use integer DIVISION to break the
+# periodicity: degrees spread 3..12 (median 8), and k=5 peeling is
+# genuinely iterative (2 active rounds, ~10% of nodes removed).
+KCORE_K = 5       # the core order: peel nodes with degree < K
+KCORE_ROUNDS = 8  # fixed peel rounds — part of the deterministic spec
+                  # (converged by round 2 on the testdata; the extra
+                  # rounds are provable no-ops on both engines)
+KCORE_M = 131     # k-core node space — small enough that the residue
+KCORE_RES = 512   # space saturates at EVERY sf (event_id 0..999 at
+                  # sf0.001 still covers all 512 residues), so the
+                  # core is non-trivial at every test scale
+
+_KCORE_EDGE_SQL = f"""
+    SELECT DISTINCT
+           least((e * e // 7) % {KCORE_M}, (e * 3 + e // 11) % {KCORE_M}) AS lo,
+           greatest((e * e // 7) % {KCORE_M}, (e * 3 + e // 11) % {KCORE_M}) AS hi
+    FROM (SELECT event_id % {KCORE_RES} AS e FROM events)
+    WHERE (e * e // 7) % {KCORE_M} <> (e * 3 + e // 11) % {KCORE_M}
+"""
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.selectExpr(f"event_id % {KCORE_RES} AS e")
+        .selectExpr(
+            f"least((e * e div 7) % {KCORE_M}, (e * 3 + e div 11) % {KCORE_M}) AS lo",
+            f"greatest((e * e div 7) % {KCORE_M}, (e * 3 + e div 11) % {KCORE_M}) AS hi",
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled-CTE oracle for graph_kcore: KCORE_ROUNDS peel rounds,
+    each MATERIALIZED (each round references the previous one three
+    times — degree count + two endpoint filters — which plain inlined
+    CTEs would expand to 3^rounds copies of the base scan)."""
+    parts = [f"e0 AS MATERIALIZED ({_KCORE_EDGE_SQL})"]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""deg{r} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT lo AS node FROM e{r - 1}
+        UNION ALL SELECT hi AS node FROM e{r - 1}
+      ) GROUP BY node
+    ), keep{r} AS MATERIALIZED (
+      SELECT node FROM deg{r} WHERE d >= {KCORE_K}
+    ), e{r} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{r - 1} e
+      JOIN keep{r} a ON e.lo = a.node
+      JOIN keep{r} b ON e.hi = b.node
+    )""")
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT node, count(*) AS core_degree FROM (
+      SELECT lo AS node FROM e{KCORE_ROUNDS}
+      UNION ALL SELECT hi AS node FROM e{KCORE_ROUNDS}
+    ) GROUP BY node
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS}-round k-core peeling (k={KCORE_K}): repeatedly
+    drop nodes with degree < k and the edges touching them — the
+    standard subgraph-density primitive (Seidman 1983, "Network
+    structure and minimum degree") behind spam-cluster and community
+    filtering. Iterative same-doctrine-as-CC/PageRank plan: per round
+    one partial-aggregable degree count + two semi-join-shaped
+    endpoint filters, edges localCheckpoint-ed to truncate lineage.
+    The fixed round count is the spec (converged rounds are no-ops on
+    both engines); the oracle unrolls every round, so a drift in peel
+    order or survivor set fails the hash. Returns the surviving
+    nodes with their in-core degrees."""
+    edges = _kcore_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("lo").alias("node"))
+            .unionAll(edges.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep.selectExpr("node AS lo"), "lo")
+            .join(keep.selectExpr("node AS hi"), "hi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

@@ -331,3 +331,22 @@ def sim_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_norm"),
     )
+
+
+from mercurygate_spark.operators.similarity import duck_pq_sql, pq_adc_topk  # noqa: E402
+
+
+@query("sim_pq_adc_topk", oracle=duck_pq_sql(N_QUERIES, TOP_K))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    deterministic Lloyd's codebooks (same integer-grid training as
+    IVF), corpus encoded as PQ_M small codes, queries scored by
+    asymmetric distance — a precomputed query×codebook distance table
+    summed over the candidate's codes. The 100 TB memory path: 256 B
+    of floats per vector become 4 B of codes, and the scoring pass
+    reads ONLY the codes frame (one lookup per subspace per
+    candidate), never the float vectors. The oracle replays all four
+    training loops (prefixed unrolled-CTE chains), the code
+    assignment, and the ADC ranking — integer-exact end to end."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return pq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)
