@@ -79,6 +79,45 @@ def dedup_lsh_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_star_edges(t["documents"], "doc_id")
 
 
+def _band_bucket_key():
+    """Single combined bucket key for the band index: joining on ONE
+    key lets the bucketed side's HashPartitioning(bk, 8) satisfy the
+    join's distribution outright ('#' can't appear in an md5 hex
+    digest, so this is bijective with (band_idx, band_key))."""
+    return F.concat_ws("#", F.col("band_idx").cast("string"), F.col("band_key"))
+
+
+def _build_band_index(spark: SparkSession, corpus: DataFrame, table_name: str):
+    """Persist the corpus's LSH band table as a catalog table bucketed
+    by the bucket key — the one-time 'first load' that every future
+    batch (or micro-batch) probes without rescanning the corpus."""
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.operators.dedup import lsh_bands, minhash_signature_arrow
+
+    index_bands = lsh_bands(
+        minhash_signature_arrow(corpus, "doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("match_id"), _band_bucket_key().alias("bk"))
+    write_bucketed(index_bands, table_name, "bk", 8, sort_by="bk")
+    return spark.table(table_name)
+
+
+def _best_index_match(cand: DataFrame) -> DataFrame:
+    """(new_id, match_id, shared) candidate counts → per new doc the
+    best corpus match (max shared bands, tie → min corpus id) plus
+    the candidate count."""
+    return cand.groupBy("new_id").agg(
+        F.min_by(
+            "match_id",
+            F.struct(
+                (-F.col("shared")).alias("neg_shared"),
+                F.col("match_id").alias("id"),
+            ),
+        ).alias("match_id"),
+        F.max("shared").alias("shared_bands"),
+        F.count("*").alias("n_candidates"),
+    )
+
+
 @query("dedup_incremental_index", oracle=duck_incremental_dedup_sql())
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-batch dedup against a PERSISTED minhash band
@@ -104,7 +143,6 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, so index persistence must be value-invisible."""
     import os as _os
 
-    from mercurygate_spark.io.bucketing import write_bucketed
     from mercurygate_spark.operators.dedup import (
         INCR_SPLIT_MOD,
         lsh_bands,
@@ -115,37 +153,77 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     corpus = docs.where(F.col("doc_id") % INCR_SPLIT_MOD != 0)
     batch = docs.where(F.col("doc_id") % INCR_SPLIT_MOD == 0)
-    # single combined bucket key: joining on ONE key lets the bucketed
-    # side's HashPartitioning(bk, 8) satisfy the join's distribution
-    # outright ('#' can't appear in an md5 hex digest, so this is
-    # bijective with (band_idx, band_key))
-    bk = F.concat_ws("#", F.col("band_idx").cast("string"), F.col("band_key"))
-    index_bands = lsh_bands(minhash_signature_arrow(corpus, "doc_id"), "doc_id").select(
-        F.col("doc_id").alias("match_id"), bk.alias("bk")
-    )
     # per-PID table name: driver may run correctness+bench in parallel
-    idx_name = f"mg_dedup_band_index_{_os.getpid()}"
-    write_bucketed(index_bands, idx_name, "bk", 8, sort_by="bk")
-    idx = spark.table(idx_name)
+    idx = _build_band_index(spark, corpus, f"mg_dedup_band_index_{_os.getpid()}")
     probe = lsh_bands(minhash_signature_arrow(batch, "doc_id"), "doc_id").select(
-        F.col("doc_id").alias("new_id"), bk.alias("bk")
+        F.col("doc_id").alias("new_id"), _band_bucket_key().alias("bk")
     )
     cand = (
         probe.join(idx, "bk")
         .groupBy("new_id", "match_id")
         .agg(F.count("*").alias("shared"))
     )
-    return cand.groupBy("new_id").agg(
-        F.min_by(
-            "match_id",
-            F.struct(
-                (-F.col("shared")).alias("neg_shared"),
-                F.col("match_id").alias("id"),
-            ),
-        ).alias("match_id"),
-        F.max("shared").alias("shared_bands"),
-        F.count("*").alias("n_candidates"),
+    return _best_index_match(cand)
+
+
+@query("stream_incremental_dedup", oracle=duck_incremental_dedup_sql())
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_index's STREAMING twin — the shape a real
+    continuous-ingestion pipeline runs: the corpus band index is the
+    same persisted bucketed table, and the new batch arrives as a
+    STREAM (parquet file source, availableNow) whose micro-batches are
+    minhashed (Arrow mapInPandas on the stream), stream-static-joined
+    against the index (no join state, no watermark — the static side
+    is re-planned per micro-batch, so an index refresh is picked up at
+    the next batch), and candidate-counted in one streaming
+    aggregation (complete mode). The final per-doc best-match
+    selection runs batch-side on the bounded sink output — Spark
+    permits one aggregation per stream, and the candidate-count frame
+    IS bounded (≤ batch × bands rows). Oracle: identical to the batch
+    twin — streaming must be value-invisible."""
+    import os as _os
+    import tempfile as _tf
+
+    from mercurygate_spark.operators.dedup import (
+        INCR_SPLIT_MOD,
+        lsh_bands,
+        minhash_signature_arrow,
     )
+    from mercurygate_spark.streaming.windows import run_to_memory
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    corpus = docs.where(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    idx = _build_band_index(
+        spark, corpus, f"mg_dedup_band_index_stream_{_os.getpid()}"
+    )
+
+    # documents.parquet as a stream directory (symlink, no copy)
+    d = _os.path.join(
+        _tf.gettempdir(),
+        "mercurygate_stream_docs",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    _os.makedirs(d, exist_ok=True)
+    link = _os.path.join(d, "documents.parquet")
+    try:
+        _os.symlink(f"{sf_dir}/documents.parquet", link)
+    except FileExistsError:
+        pass
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .parquet(d)
+        .where(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    )
+    probe = lsh_bands(minhash_signature_arrow(stream_docs, "doc_id"), "doc_id").select(
+        F.col("doc_id").alias("new_id"), _band_bucket_key().alias("bk")
+    )
+    cand = (
+        probe.join(idx, "bk")
+        .groupBy("new_id", "match_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return _best_index_match(run_to_memory(cand, output_mode="complete"))
 
 
 @query("dedup_simhash", oracle=duck_simhash_sql())

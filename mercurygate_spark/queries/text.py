@@ -1107,18 +1107,15 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 8  # rounds trained by text_bpe_train
 
 
-def _bpe_train_oracle() -> str:
-    """Generated unrolled-CTE oracle for text_bpe_train: per round,
-    select the winning pair (count desc, lexicographic, self-pairs
-    excluded) and apply it with the SAME triple string-replace both
-    engines use, so merge order can never drift (the
-    pagerank_oracle_sql doctrine applied to a data-dependent loop —
-    the iteration COUNT is unrolled, each round's merge choice is
-    computed in SQL)."""
-    # AS MATERIALIZED is load-bearing: each round references the
-    # previous round ~7× (pair count + 6 scalar subqueries in the
-    # triple replace); DuckDB inlines plain CTEs, which would expand
-    # the 8-round chain to ~7^8 copies of the base scan
+def _bpe_chain_sql() -> str:
+    """The shared unrolled-CTE chain replaying the whole BPE training
+    loop (docs0..docs{BPE_TRAIN_MERGES}, per-round winner selection in
+    sel{k}) — the WITH body both BPE oracles build on.
+
+    AS MATERIALIZED is load-bearing: each round references the
+    previous round ~7× (pair count + 6 scalar subqueries in the
+    triple replace); DuckDB inlines plain CTEs, which would expand
+    the 8-round chain to ~7^8 copies of the base scan."""
     parts = [
         f"""docs0 AS MATERIALIZED (
       SELECT doc_id, ' ' || array_to_string({_DUCK_TK}, ' ') || ' ' AS s
@@ -1146,12 +1143,62 @@ def _bpe_train_oracle() -> str:
       FROM {prev}
     )"""
         )
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_oracle() -> str:
+    """Generated unrolled-CTE oracle for text_bpe_train: per round,
+    select the winning pair (count desc, lexicographic, self-pairs
+    excluded) and apply it with the SAME triple string-replace both
+    engines use, so merge order can never drift (the
+    pagerank_oracle_sql doctrine applied to a data-dependent loop —
+    the iteration COUNT is unrolled, each round's merge choice is
+    computed in SQL)."""
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT {k} AS step, w1, w2, w1 || '_' || w2 AS merged,"
         f" CAST(c AS BIGINT) AS n_pairs FROM sel{k}"
         for k in range(1, BPE_TRAIN_MERGES + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+    return "WITH " + _bpe_chain_sql() + "\n    " + selects
+
+
+def _bpe_train_loop(spark: SparkSession, sf_dir: str):
+    """The shared BPE training loop: returns (final merged corpus
+    frame with column ``s``, list of (step, w1, w2, merged, count)
+    winner rows). Mechanics documented on text_bpe_train."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
+    )
+    docs = docs.localCheckpoint(eager=True)
+
+    rows = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        tk = F.split(F.trim(F.col("s")), " ")
+        pairs = (
+            docs.select(F.explode(adjacent_pairs(tk)).alias("p"))
+            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .where(F.col("w1") != F.col("w2"))
+        )
+        top = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "w1", "w2")
+            .limit(1)
+            .collect()  # bounded by construction: exactly 1 row/round
+        )
+        w1, w2, c = top[0]["w1"], top[0]["w2"], top[0]["c"]
+        merged = f"{w1}_{w2}"
+        rows.append((step, w1, w2, merged, c))
+        pat, rep = F.lit(f" {w1} {w2} "), F.lit(f" {w1}_{w2} ")
+        s = F.col("s")
+        for _ in range(3):
+            s = F.replace(s, pat, rep)
+        docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+    return docs, rows
 
 
 @query("text_bpe_train", oracle=_bpe_train_oracle())
@@ -1192,38 +1239,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from mercurygate_spark.functions import tokens
-
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select(
-        "doc_id",
-        F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
-    )
-    docs = docs.localCheckpoint(eager=True)
-
-    rows = []
-    for step in range(1, BPE_TRAIN_MERGES + 1):
-        tk = F.split(F.trim(F.col("s")), " ")
-        pairs = (
-            docs.select(F.explode(adjacent_pairs(tk)).alias("p"))
-            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-            .where(F.col("w1") != F.col("w2"))
-        )
-        top = (
-            pairs.groupBy("w1", "w2")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.col("c").desc(), "w1", "w2")
-            .limit(1)
-            .collect()  # bounded by construction: exactly 1 row/round
-        )
-        w1, w2, c = top[0]["w1"], top[0]["w2"], top[0]["c"]
-        merged = f"{w1}_{w2}"
-        rows.append((step, w1, w2, merged, c))
-        pat, rep = F.lit(f" {w1} {w2} "), F.lit(f" {w1}_{w2} ")
-        s = F.col("s")
-        for _ in range(3):
-            s = F.replace(s, pat, rep)
-        docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+    _, rows = _bpe_train_loop(spark, sf_dir)
 
     schema = StructType(
         [
@@ -1235,6 +1251,57 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _bpe_apply_oracle() -> str:
+    n = BPE_TRAIN_MERGES
+    return f"""
+    WITH {_bpe_chain_sql()}
+    SELECT
+      (SELECT count(*) FROM docs0) AS n_docs,
+      (SELECT CAST(sum(len({_DUCK_TK})) AS BIGINT)
+       FROM documents) AS tokens_before,
+      (SELECT CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+       FROM docs{n}) AS tokens_after,
+      (SELECT CAST(sum(len(list_filter(string_split(trim(s), ' '),
+                                       t -> contains(t, '_')))) AS BIGINT)
+       FROM docs{n}) AS merged_tokens
+    """
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION after training — the stat a pipeline
+    reports when it re-encodes the corpus with a freshly trained
+    vocabulary: total token count before and after the
+    {BPE_TRAIN_MERGES} learned merges, and how many emitted tokens are
+    merged symbols. Shares the exact training loop (and its oracle
+    chain) with text_bpe_train; the result frame is one aggregate row,
+    so train-then-apply composes without any new shuffle beyond the
+    final count."""
+    docs, _ = _bpe_train_loop(spark, sf_dir)
+    tk = F.split(F.trim(F.col("s")), " ")
+    per_doc = docs.select(
+        F.size(tk).alias("n_after"),
+        F.size(F.filter(tk, lambda t: t.contains("_"))).alias("n_merged"),
+    )
+    # tokens_before comes from the PRE-merge token arrays (not from
+    # the after-count + merges identity), so the check is independent
+    # of the merge bookkeeping.
+    t = load_tables(spark, sf_dir, "documents")
+    from mercurygate_spark.functions import tokens
+
+    before = t["documents"].select(F.size(tokens("text")).alias("n_before"))
+    a = before.agg(
+        F.count("*").alias("n_docs"), F.sum("n_before").alias("tokens_before")
+    )
+    b = per_doc.agg(
+        F.sum("n_after").alias("tokens_after"),
+        F.sum("n_merged").alias("merged_tokens"),
+    )
+    return a.crossJoin(b).select(
+        "n_docs", "tokens_before", "tokens_after", "merged_tokens"
+    )
 
 
 @query(

@@ -46,6 +46,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--configs", default=",".join(MATRIX))
+    ap.add_argument("--keys", default=None, help="comma-separated key subset")
     args = ap.parse_args()
 
     from mercurygate_spark.queries import all_oracles, all_queries
@@ -54,6 +55,9 @@ def main() -> None:
 
     spark = get_spark(app_name="mercurygate_planmatrix", cpus=args.cpus)
     queries, oracles = all_queries(), all_oracles()
+    if args.keys:
+        subset = set(args.keys.split(","))
+        queries = {k: v for k, v in queries.items() if k in subset}
     t_all = time.time()
     passes: dict[str, dict] = {}
     total_fail = 0
