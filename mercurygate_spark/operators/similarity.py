@@ -965,7 +965,7 @@ def duck_pq_sql(n_queries: int, top_k: int) -> str:
     ),
     scored AS (
       SELECT q.vec_id AS query_id, cd.vec_id AS candidate_id,
-             {terms} AS adc
+             CAST({terms} AS BIGINT) AS adc
       FROM cand cd {cc_joins}
       CROSS JOIN q
       WHERE q.vec_id <> cd.vec_id
