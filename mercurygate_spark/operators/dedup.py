@@ -324,6 +324,82 @@ def duck_lsh_star_edges_sql(id_col: str = "doc_id", table: str = "documents") ->
 INCR_SPLIT_MOD = 5  # doc_id % 5 == 0 → "new batch"; else → indexed corpus
 
 
+def duck_incremental_append_sql(
+    id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """Generated DuckDB oracle for dedup_incremental_append — the full
+    continuous-ingestion loop: batch1 (doc_id%5=4) probes the corpus
+    index (%5 in 1..3), its bands are APPENDED to the index, then
+    batch2 (%5=0) probes the grown index. Replayed as pure SQL over
+    the same three deterministic splits."""
+    p = MINHASH_PRIME
+    mins = ",\n             ".join(
+        f"min(({a} * h0 + {b}) % {p}) AS m{j}" for j, (a, b) in enumerate(HASH_PARAMS)
+    )
+
+    def bands_union(sig_cte: str) -> str:
+        rows = []
+        for bi in range(N_BANDS):
+            parts = " || ',' || ".join(
+                f"m{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            )
+            rows.append(
+                f"SELECT {id_col}, {bi} AS band_idx, md5({parts}) AS band_key"
+                f" FROM {sig_cte}"
+            )
+        return "\n      UNION ALL\n      ".join(rows)
+
+    def side(prefix: str, pred: str) -> str:
+        return f"""{prefix}_sh AS (
+      SELECT {id_col}, {duck_shingles_sql()} AS shingles
+      FROM {table} WHERE {pred}
+    ), {prefix}_ex AS (
+      SELECT {id_col}, unnest(shingles) AS s FROM {prefix}_sh
+    ), {prefix}_hashed AS (
+      SELECT {id_col}, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h0
+      FROM {prefix}_ex
+    ), {prefix}_sig AS (
+      SELECT {id_col},
+             {mins}
+      FROM {prefix}_hashed GROUP BY {id_col}
+    ), {prefix}_bands AS (
+      {bands_union(prefix + "_sig")}
+    )"""
+
+    def probe(cand_cte: str, bands: str, index: str, batch_no: int) -> str:
+        return f"""{cand_cte} AS (
+      SELECT b.{id_col} AS new_id, c.{id_col} AS match_id,
+             count(*) AS shared
+      FROM {bands} b JOIN {index} c
+        ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+      GROUP BY 1, 2
+    ), out{batch_no} AS (
+      SELECT {batch_no} AS batch_no, new_id, match_id, shared,
+             CAST(count(*) OVER (PARTITION BY new_id) AS BIGINT)
+               AS n_candidates,
+             row_number() OVER (
+               PARTITION BY new_id ORDER BY shared DESC, match_id
+             ) AS rn
+      FROM {cand_cte}
+    )"""
+
+    m = INCR_SPLIT_MOD
+    return f"""
+    WITH {side("corpus", f"{id_col} % {m} NOT IN (0, {m - 1})")},
+    {side("b1", f"{id_col} % {m} = {m - 1}")},
+    {side("b2", f"{id_col} % {m} = 0")},
+    {probe("cand1", "b1_bands", "corpus_bands", 1)},
+    idx2 AS (
+      SELECT * FROM corpus_bands UNION ALL SELECT * FROM b1_bands
+    ),
+    {probe("cand2", "b2_bands", "idx2", 2)}
+    SELECT batch_no, new_id, match_id,
+           CAST(shared AS BIGINT) AS shared_bands, n_candidates
+    FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
+    WHERE rn = 1
+    """
+
+
 def duck_incremental_dedup_sql(id_col: str = "doc_id", table: str = "documents") -> str:
     """Generated DuckDB oracle for dedup_incremental_index: replays
     the SAME minhash/banding pipeline over both halves of the

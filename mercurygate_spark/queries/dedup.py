@@ -14,6 +14,7 @@ from mercurygate_spark.functions import r6
 from mercurygate_spark.operators.dedup import (
     connected_components,
     duck_connected_components_sql,
+    duck_incremental_append_sql,
     duck_incremental_dedup_sql,
     duck_lsh_star_edges_sql,
     duck_minhash_pairs_sql,
@@ -164,6 +165,73 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
     )
     return _best_index_match(cand)
+
+
+@query("dedup_incremental_append", oracle=duck_incremental_append_sql())
+def dedup_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL continuous-ingestion dedup loop — probe, then GROW the
+    index, then probe again: batch 1 (doc_id%5=4) dedups against the
+    corpus index (%5 in 1..3); batch 1's own band signatures are then
+    APPENDED to the bucketed index table (same bucket spec, so the
+    layout contract survives the append — at 100 TB this is the
+    nightly index maintenance step, costing one batch-sized bucketed
+    write, never a corpus rewrite); batch 2 (%5=0) dedups against the
+    GROWN index, so its matches can hit batch-1 docs. Output: per
+    probed doc the best match + candidate count, tagged by batch.
+    The oracle replays all three splits and the union'd second index
+    in SQL — index persistence AND append must be value-invisible."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.operators.dedup import (
+        INCR_SPLIT_MOD as M,
+    )
+    from mercurygate_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature_arrow,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    corpus = docs.where(~(F.col("doc_id") % M).isin(0, M - 1))
+    b1 = docs.where(F.col("doc_id") % M == M - 1)
+    b2 = docs.where(F.col("doc_id") % M == 0)
+    idx_name = f"mg_dedup_band_index_append_{_os.getpid()}"
+    # fresh run each call: the oracle replays from scratch
+    spark.sql(f"DROP TABLE IF EXISTS {idx_name}")
+    idx = _build_band_index(spark, corpus, idx_name)
+
+    def bands_of(df, alias):
+        return lsh_bands(minhash_signature_arrow(df, "doc_id"), "doc_id").select(
+            F.col("doc_id").alias(alias), _band_bucket_key().alias("bk")
+        )
+
+    def probe(bands, batch_no):
+        cand = (
+            bands.join(idx, "bk")
+            .groupBy("new_id", "match_id")
+            .agg(F.count("*").alias("shared"))
+        )
+        return _best_index_match(cand).select(
+            F.lit(batch_no).cast("int").alias("batch_no"), "*"
+        )
+
+    b1_bands = bands_of(b1, "new_id").localCheckpoint(eager=True)
+    out1 = probe(b1_bands, 1).localCheckpoint(eager=True)
+    # index maintenance: append batch-1's bands with the SAME bucket
+    # spec — the table stays bucketed-by-bk, so future probes keep the
+    # exchange-free layout
+    write_bucketed(
+        b1_bands.select(F.col("new_id").alias("match_id"), "bk"),
+        idx_name,
+        "bk",
+        8,
+        sort_by="bk",
+        mode="append",
+    )
+    idx = spark.table(idx_name)
+    out2 = probe(bands_of(b2, "new_id"), 2)
+    return out1.unionByName(out2)
 
 
 @query("stream_incremental_dedup", oracle=duck_incremental_dedup_sql())
