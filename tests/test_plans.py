@@ -93,6 +93,9 @@ _BOUNDED_BNLJ_OK = {
     "dq_referential_integrity",
     # 1-row unigram-total × 1-row pair-total frames crossed into PMI
     "text_collocation_pmi",
+    # 1-row before-stats × 1-row after-stats frames crossed into the
+    # single tokenizer-application summary row
+    "text_bpe_apply",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
