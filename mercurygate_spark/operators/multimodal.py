@@ -1044,3 +1044,36 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes] | None:
         pixels += recon
         prior = bytes(recon)
     return width, height, bytes(pixels)
+
+
+def ahash64(width: int, height: int, pix: bytes) -> str:
+    """64-bit average perceptual hash (aHash — the classic image
+    near-dup fingerprint) over an 8-bit grayscale buffer, specified
+    integer-exactly so a SQL oracle can replay it:
+
+    - pixel (x, y) belongs to block (bx, by) with bx = (8x+7)//width,
+      by = (8y+7)//height — a monotone 8-way partition that needs no
+      resampling kernel;
+    - bit(by, bx) = 1 iff the block mean strictly exceeds the global
+      mean, compared cross-multiplied in integers
+      (block_sum · n_total > total_sum · n_block) so no division or
+      float ever happens;
+    - bits packed row-major, MSB first; returned as 16 lowercase hex
+      chars."""
+    bsum = [[0] * 8 for _ in range(8)]
+    bn = [[0] * 8 for _ in range(8)]
+    for y in range(height):
+        by = (8 * y + 7) // height
+        row = y * width
+        for x in range(width):
+            bx = (8 * x + 7) // width
+            bsum[by][bx] += pix[row + x]
+            bn[by][bx] += 1
+    total = sum(map(sum, bsum))
+    n = width * height
+    bits = 0
+    for by in range(8):
+        for bx in range(8):
+            if bsum[by][bx] * n > total * bn[by][bx]:
+                bits |= 1 << (63 - (by * 8 + bx))
+    return f"{bits:016x}"
