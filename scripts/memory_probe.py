@@ -41,6 +41,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 KEYS = ["dedup_minhash_lsh", "dedup_connected_components", "pipeline_corpus_curate"]
+# second wave (round-8 close): the merge/index/training paths
+KEYS_B = ["pipeline_medallion_e2e", "dedup_incremental_index", "text_bpe_train"]
 SCALED_DIR = "/tmp/mercurygate_memory_probe_data"
 
 
@@ -87,7 +89,7 @@ def worker(args: argparse.Namespace) -> None:
     )
     queries = all_queries()
     out: dict[str, dict] = {}
-    for name in KEYS:
+    for name in (KEYS if args.wave == "a" else KEYS_B):
         t0 = time.time()
         res = queries[name](spark, SCALED_DIR)
         chk = _checksum(res)
@@ -108,6 +110,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--wave", choices=["a", "b"], default="a")
     ap.add_argument("--label", default="tight")
     ap.add_argument("--ui-port", type=int, default=4058)
     args = ap.parse_args()
@@ -130,7 +133,7 @@ def main() -> None:
         cmd = [
             sys.executable, __file__, "--worker", "--label", label,
             "--fraction", str(fraction), "--cpus", str(args.cpus),
-            "--ui-port", str(port),
+            "--ui-port", str(port), "--wave", args.wave,
         ]
         p = subprocess.run(
             cmd, env=env, cwd=repo, capture_output=True, text=True, timeout=7200
@@ -148,7 +151,7 @@ def main() -> None:
         and "error" not in fat
         and all(tight["keys"][k]["hash_sum"] == fat["keys"][k]["hash_sum"]
                 and tight["keys"][k]["rows"] == fat["keys"][k]["rows"]
-                for k in KEYS)
+                for k in (KEYS if args.wave == "a" else KEYS_B))
     )
     artifact = {
         "factor": args.factor,

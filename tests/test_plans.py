@@ -260,6 +260,28 @@ def test_incremental_dedup_index_side_never_shuffles(spark):
         spark.sql(f"DROP TABLE IF EXISTS mg_dedup_band_index_{os.getpid()}")
 
 
+def test_incremental_append_keeps_bucketed_layout(spark):
+    """dedup_incremental_append's index-maintenance contract: AFTER
+    the batch-1 bands are appended, the grown index must still read
+    as a bucketed table (Bucketed: true) and the only bk-keyed
+    Exchange under the forced-SMJ probe must be the probe side —
+    an append that silently dropped the bucket spec would turn every
+    future probe into a full corpus shuffle."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "dedup_incremental_append")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert s.count("Exchange hashpartitioning(bk") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(
+            f"DROP TABLE IF EXISTS mg_dedup_band_index_append_{os.getpid()}"
+        )
+
+
 def test_cms_probe_broadcasts_sketch(spark):
     """The CMS counter grid (≤ D×W rows by construction) must reach the
     probe join as a broadcast — shuffling probes against it would add a
