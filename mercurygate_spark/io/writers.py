@@ -35,9 +35,23 @@ def write_parquet_partitioned(
     target_partitions: int | None = None,
 ) -> None:
     """Partitioned parquet overwrite — reference K1
-    (mm_source_to_bronze.py:164) as one idempotent call."""
+    (mm_source_to_bronze.py:164) as one idempotent call.
+
+    ``sortWithinPartitions(partition_by)`` before the write bounds
+    each task to ONE open parquet writer at a time (FileFormatWriter
+    closes the current file when the sorted partition key changes):
+    without it a task holds a column-buffering writer per partition
+    value it sees — with ~80 year_month values that is the JVM-heap
+    blowup the round-8 memory probe measured (OOM at a 1.4 GB heap,
+    unreachable by execution-memory spilling because writer buffers
+    live on the heap). The sort is a per-task, spillable operation —
+    exactly the memory class that degrades gracefully — and, unlike a
+    repartition(partition_by), it neither adds a shuffle nor
+    concentrates a hot month into one task."""
     if target_partitions:
         df = df.repartition(target_partitions, *(partition_by or []))
+    if partition_by:
+        df = df.sortWithinPartitions(*partition_by)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
