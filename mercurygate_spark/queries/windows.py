@@ -890,3 +890,73 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ohlc_ord().alias("ord"),
     )
     return ev.groupBy("event_type", "bar_us").agg(*ohlc_aggs(F.col("ord")))
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, floor(median(value)*1000000+0.5)/1000000 AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.event_id, e.value,
+             abs(e.value - m.med) AS adev, m.med AS med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, floor(median(adev)*1000000+0.5)/1000000 AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_events,
+           min(d.med) AS med,
+           min(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           floor(max(d.adev)*1000000+0.5)/1000000 AS max_abs_dev,
+           (max({'adev': d.adev, 'event_id': d.event_id})).event_id
+             AS top_outlier_id
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly detection: median + MAD (median
+    absolute deviation), flagging events whose deviation exceeds
+    3 sigma-equivalents (4.4478 = 3 x 1.4826, the normal-consistency
+    constant). Two holistic median passes grouped by event_type; the
+    5-row per-series stats frames are explicitly broadcast back, so
+    the event stream is scanned twice but never shuffled beyond the
+    two grouped medians. Cross-engine float doctrine: med and mad are
+    r6-quantized BEFORE any downstream comparison, so the outlier
+    threshold compares bit-identical doubles in both engines (the
+    remaining ops are IEEE +,-,*,abs — exactly rounded everywhere).
+    The deterministic top-outlier pick is max-of-struct
+    (adev, event_id) — never a bare max_by, whose tie behavior is
+    engine-defined. Exact median is inherently holistic (each group's
+    values buffer on one reducer); at 100 TB the same query swaps in
+    the mergeable sketch path (agg_approx_quantile) — this key pins
+    the exact-stats semantics the sketch is graded against."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select("event_type", "event_id", "value")
+    med = ev.groupBy("event_type").agg(r6(F.median("value")).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(r6(F.median("adev")).alias("mad"))
+    thr = F.lit(4.4478) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("adev") > thr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            r6(F.max("adev")).alias("max_abs_dev"),
+            F.max(F.struct(F.col("adev"), F.col("event_id")))
+            .getField("event_id")
+            .alias("top_outlier_id"),
+        )
+    )
