@@ -792,3 +792,117 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_rows").alias("n_b"),
         )
     )
+
+
+def _semdedup_oracle() -> str:
+    from mercurygate_spark.operators.similarity import (
+        EMBED_DIMS,
+        KMEANS_ITERS,
+        duck_ivf_kmeans_sql,
+    )
+
+    dims = EMBED_DIMS
+    dist = (
+        f"list_sum(list_transform(range(1,{dims + 1}), "
+        "j -> (e.qe[j]-c.qc[j])*(e.qe[j]-c.qc[j])))"
+    )
+    return f"""
+    WITH {duck_ivf_kmeans_sql()},
+    assign_final AS (
+      SELECT vec_id, qe, cidx FROM (
+        SELECT e.vec_id, e.qe, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cidx) AS rn
+        FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+      ) WHERE rn = 1
+    ),
+    base AS (
+      SELECT a.vec_id, a.cidx AS centroid_id, a.qe,
+             CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT) AS n2,
+             CAST(list_sum(list_transform(range(1,{dims + 1}),
+                  j -> (a.qe[j]-c.qc[j])*(a.qe[j]-c.qc[j]))) AS BIGINT) AS cdist
+      FROM assign_final a JOIN cent{KMEANS_ITERS} c ON a.cidx = c.cidx
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.centroid_id, a.cdist,
+             CAST(list_sum(list_transform(range(1,{dims + 1}),
+                  j -> a.qe[j]*b.qe[j])) AS BIGINT) AS dot,
+             b.cdist AS bcdist, b.vec_id AS bvec, a.n2 AS an2, b.n2 AS bn2
+      FROM base a JOIN base b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, centroid_id, cdist, count(*) AS n_dominating
+    FROM pairs
+    WHERE dot > 0
+      AND CAST(dot*dot AS DOUBLE)/CAST(an2*bn2 AS DOUBLE) >= 0.16
+      AND (bcdist > cdist OR (bcdist = cdist AND bvec < vec_id))
+    GROUP BY vec_id, centroid_id, cdist
+    """
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means-cluster the embeddings, then drop every
+    vector that has a cosine-similar neighbor (cos >= 0.4) INSIDE its
+    cluster with higher keep-priority. Keep-priority follows the
+    paper: the vector FARTHEST from its centroid survives (keeps the
+    outliers, drops the redundant core), ties broken by id. The
+    clustering bounds the quadratic step — pairwise cosine runs per
+    inverted list, sum-of-cluster-sizes squared instead of N^2, and
+    at 100 TB the cluster count scales with the corpus so list sizes
+    stay bounded. Cross-engine exactness: clustering is the
+    integer-grid Lloyd's already replayed bit-for-bit by the IVF
+    oracle; the similarity test compares cos^2 = dot^2/(n2a*n2b) with
+    dot/n2 computed as exact BIGINTs on the quantized grid (all
+    magnitudes < 2^53, so the final DOUBLE division is bit-identical
+    in both engines) — no transcendental, no rounding anywhere in the
+    decision path; priority (centroid distance) is an exact integer."""
+    from mercurygate_spark.operators.similarity import (
+        QUANT,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    cmat = train_ivf_centroids(e)
+    cent = spark.createDataFrame(
+        [(int(i), [int(v) for v in row]) for i, row in enumerate(cmat)],
+        "cidx int, qc array<bigint>",
+    )
+    assigned = ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1)
+    lsum = lambda col: F.aggregate(  # noqa: E731 — integer fold, exact
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qe = F.transform("embedding", lambda x: F.floor(x * QUANT + F.lit(0.5)).cast("long"))
+    base = (
+        assigned.join(F.broadcast(cent), assigned.centroid_id == cent.cidx)
+        .withColumn("qe", qe)
+        .select(
+            "vec_id",
+            "centroid_id",
+            "qe",
+            lsum(F.transform("qe", lambda x: x * x)).alias("n2"),
+            lsum(F.zip_with("qe", "qc", lambda a, b: (a - b) * (a - b))).alias("cdist"),
+        )
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = lsum(F.zip_with(F.col("a.qe"), F.col("b.qe"), lambda x, y: x * y))
+    cos2 = (dot * dot).cast("double") / (F.col("a.n2") * F.col("b.n2")).cast("double")
+    dominated = (F.col("b.cdist") > F.col("a.cdist")) | (
+        (F.col("b.cdist") == F.col("a.cdist")) & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .where((dot > 0) & (cos2 >= F.lit(0.16)) & dominated)
+        .groupBy(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col("a.cdist").alias("cdist"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dominating"))
+    )
