@@ -1,0 +1,172 @@
+"""Distributed logistic-regression training (full-batch gradient
+descent) with a DuckDB oracle that replays every iteration.
+
+The 100 TB training doctrine (same as MLlib's LogisticRegression): the
+DATA never moves — each iteration is one map-side-combined aggregation
+that reduces the corpus to d+1 scalars (per-feature gradient sums + a
+row count); only those scalars reach the driver, which applies the
+weight update and broadcasts the new weights back into the next plan
+as literals. Iterations are fixed (ITERS) and the learning rate is a
+power of two, so the whole trajectory is deterministic.
+
+Cross-engine exactness: the per-row gradient contribution is quantized
+to an integer grid BEFORE aggregation — gq = floor((sig - y) * x * 1e9
++ 0.5) as BIGINT — so the gradient SUM is exact integer arithmetic in
+both engines (double summation is order-dependent; integer summation
+is not). The only transcendental (exp in the sigmoid) sits upstream of
+the quantizer, where a last-ulp engine difference can flip a floor
+boundary with probability ~1e-6 per sample; even then the weight
+perturbation is ~1e-13 — invisible at the r6-rounded output grid. The
+weight update itself is a short chain of IEEE basic ops (exactly
+rounded everywhere): w - 0.5 * ((sum/n) / 1e9), evaluated with the
+same association in Python (driver), and DuckDB (oracle CTE chain).
+
+The training task is weak-label distillation — the real corpus
+pattern (CCNet/fastText-style quality classifiers are trained on
+heuristic silver labels): label = "high type-token ratio" from the
+text_quality_score heuristic, features = the OTHER quality stats
+(char length, token count, stopword ratio), so the classifier has to
+approximate the held-out signal from correlated features. On the
+testdata corpus 8 iterations at lr=8 reach ~0.84 accuracy vs a ~0.56
+majority baseline (pinned by tests) — the loop demonstrably learns.
+All features are int/int divisions with identical operand trees in
+both engines → bit-identical doubles; the label threshold (0.5) is
+exactly representable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ITERS = 8
+LR = 8.0          # power of two: scaling by it is exact
+GQ = 1_000_000_000  # gradient quantization grid (1e-9 resolution)
+N_FEATURES = 4    # bias, char_len/1000, n_tokens/100, stopword_ratio
+
+# DuckDB twin of the feature frame (documents table pre-registered).
+# Token/stopword expressions are the SAME text the green
+# text_quality_score oracle uses (queries/text.py) — parity of the
+# underlying counts is already pinned by that key.
+_DUCK_STOP_PAT = r"(^| )(the|a|of|and|to|is|in|it)( |$)"
+DUCK_FEAT_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN CAST(n_dist AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.5
+              THEN 1 ELSE 0 END AS y,
+         CAST(char_len AS DOUBLE) / CAST(1000 AS DOUBLE) AS x1,
+         CAST(n_tokens AS DOUBLE) / CAST(100 AS DOUBLE) AS x2,
+         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS x3
+  FROM (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS n_tokens,
+           len(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               t -> t <> ''))) AS n_dist,
+           len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                  '{_DUCK_STOP_PAT}')) AS n_stop,
+           length(text) AS char_len
+    FROM documents
+  ) WHERE n_tokens > 0
+"""
+
+
+def feature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x1, x2, x3) — Spark twin of DUCK_FEAT_SQL, built on
+    operators.text.quality_features (whose count parity the
+    text_quality_score key pins)."""
+    from mercurygate_spark.operators.text import quality_features
+
+    q = quality_features(docs, "text").where(F.col("n_tokens") > 0)
+    ttr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")
+    return q.select(
+        "doc_id",
+        F.when(ttr >= F.lit(0.5), 1).otherwise(0).alias("y"),
+        (F.col("char_len").cast("double") / F.lit(1000.0)).alias("x1"),
+        (F.col("n_tokens").cast("double") / F.lit(100.0)).alias("x2"),
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")).alias("x3"),
+    )
+
+
+def _z(w: list[float]) -> Column:
+    # left-associated sum, mirrored exactly by the oracle SQL text
+    return (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+
+
+def sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train(feat: DataFrame, iters: int = ITERS) -> list[list[float]]:
+    """Run ``iters`` full-batch GD iterations; returns the weight
+    trajectory [[w0..w3] after iter 1, ..., after iter ``iters``].
+    One distributed aggregation per iteration (d+1 scalars to the
+    driver — the bounded-collect pattern, like the IVF centroids)."""
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    w = [0.0] * N_FEATURES
+    trace: list[list[float]] = []
+    for _ in range(iters):
+        err = sigmoid(_z(w)) - F.col("y")
+        gq = [
+            F.floor((err * x) * F.lit(float(GQ)) + F.lit(0.5)).alias(f"g{j}")
+            for j, x in enumerate(xs)
+        ]
+        row = feat.agg(
+            *[F.sum(g).alias(f"g{j}") for j, g in enumerate(gq)],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = row["n"]
+        w = [w[j] - LR * ((row[f"g{j}"] / n) / float(GQ)) for j in range(N_FEATURES)]
+        trace.append(list(w))
+    return trace
+
+
+def duck_logreg_cte(iters: int = ITERS) -> str:
+    """Generated CTE chain: feat, it0 (zero weights), then one CTE per
+    GD iteration replaying train() — integer gradient sums, the same
+    exactly-rounded update chain. Ends with it{iters}."""
+    parts = [
+        f"feat AS ({DUCK_FEAT_SQL})",
+        "it0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,"
+        " CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)",
+    ]
+    xs = ["1", "f.x1", "f.x2", "f.x3"]
+    for i in range(1, iters + 1):
+        sig = "(1 / (1 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3))))"
+        gcols = [
+            f"CAST(sum(CAST(floor((({sig} - f.y) * {x}) * {GQ} + 0.5) AS BIGINT))"
+            f" AS DOUBLE) AS g{j}"
+            for j, x in enumerate(xs)
+        ]
+        gsums = ", ".join(gcols + ["count(*) AS n0"])
+        upd = ", ".join(
+            f"w.w{j} - {LR} * ((g.g{j} / g.n0) / {GQ}) AS w{j}"
+            for j in range(N_FEATURES)
+        )
+        parts.append(
+            f"g{i} AS (SELECT {gsums} FROM feat f CROSS JOIN it{i - 1} w)"
+        )
+        parts.append(
+            f"it{i} AS (SELECT {upd} FROM g{i} g CROSS JOIN it{i - 1} w)"
+        )
+    return ",\n    ".join(parts)
+
+
+def duck_trace_sql(iters: int = ITERS) -> str:
+    """Full oracle: the CTE chain, then the r6-rounded weight
+    trajectory (one row per iteration)."""
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS iter, "
+        + ", ".join(
+            f"floor(w{j} * 1000000 + 0.5) / 1000000 AS w{j}"
+            for j in range(N_FEATURES)
+        )
+        + f" FROM it{i}"
+        for i in range(1, iters + 1)
+    )
+    return f"WITH {duck_logreg_cte(iters)}\n    {rows}"

@@ -21,6 +21,7 @@ from mercurygate_spark.queries import (  # noqa: F401,E402
     graphs,
     joins,
     medallion,
+    ml,
     multimodal,
     projections,
     quality,

@@ -1157,3 +1157,49 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert {(r["query_id"], r["candidate_id"], r["adc"], r["rk"]) for r in out} == {
         (r["query_id"], r["candidate_id"], r["adc"], r["rk"]) for r in again
     }
+
+
+def test_logreg_training_learns_and_matches_numpy(spark, sf_dir):
+    """The GD loop must (a) beat the majority-class baseline — the
+    weak-label distillation actually learns — and (b) reproduce a
+    plain-numpy reference of the same quantized-gradient recurrence,
+    proving the distributed aggregation computes full-batch GD and
+    not something that merely converges similarly."""
+    import math
+
+    import numpy as np
+
+    from mercurygate_spark.operators.logreg import (
+        GQ,
+        ITERS,
+        LR,
+        feature_frame,
+        train,
+    )
+    from mercurygate_spark.queries.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    feat = feature_frame(docs)
+    pdf = feat.toPandas().sort_values("doc_id")
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["x1"], pdf["x2"], pdf["x3"]]
+    ).astype(np.float64)
+    y = pdf["y"].to_numpy().astype(np.float64)
+
+    w_ref = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(ITERS):
+        z = X @ np.array(w_ref)
+        err = 1.0 / (1.0 + np.exp(-z)) - y
+        for j in range(4):
+            s = int(np.sum(np.floor(err * X[:, j] * GQ + 0.5).astype(np.int64)))
+            w_ref[j] = w_ref[j] - LR * ((s / len(y)) / float(GQ))
+
+    trace = train(feat, ITERS)
+    assert len(trace) == ITERS
+    for got, ref in zip(trace[-1], w_ref):
+        assert math.isclose(got, ref, rel_tol=0, abs_tol=1e-9), (trace[-1], w_ref)
+
+    w = np.array(trace[-1])
+    acc = float((((X @ w) >= 0) == (y == 1)).mean())
+    baseline = max(y.mean(), 1 - y.mean())
+    assert acc >= baseline + 0.15, (acc, baseline)
