@@ -12,7 +12,7 @@ operators.dedup.connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mercurygate_spark.queries.registry import load_tables, query
@@ -284,4 +284,80 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("core_degree"))
+    )
+
+
+LPA_ROUNDS = 4  # synchronous label-propagation rounds (fixed — part of the spec)
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-CTE oracle for graph_label_propagation: LPA_ROUNDS
+    synchronous rounds; each round's label = most frequent neighbor
+    label, ties to the smallest label — pure integer argmax, so both
+    engines agree exactly."""
+    parts = [
+        f"ud AS MATERIALIZED ({_EDGE_SQL})",
+        """dir AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst FROM ud
+      UNION ALL SELECT hi AS src, lo AS dst FROM ud
+    )""",
+        "lab0 AS (SELECT DISTINCT src AS node, src AS label FROM dir)",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f"""lab{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT d.src AS node, l.label, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY d.src ORDER BY count(*) DESC, l.label
+               ) AS rn
+        FROM dir d JOIN lab{r - 1} l ON d.dst = l.node
+        GROUP BY d.src, l.label
+      ) WHERE rn = 1
+    )""")
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT l.node, l.label,
+           count(*) OVER (PARTITION BY l.label) AS community_size
+    FROM lab{LPA_ROUNDS} l
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, "Near
+    linear time algorithm to detect community structures") with the
+    deterministic tie rule that makes it oracle-replayable: each
+    round, every node adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label (plain LPA
+    breaks ties randomly — useless under a correctness gate). Fixed
+    {LPA_ROUNDS} rounds, unrolled in the oracle so round count can't
+    drift. Plan doctrine = PageRank/CC: per round one join (neighbor
+    labels) + one groupBy argmax — the argmax is min-of-struct
+    (-count, label), partially aggregable, never a sort — with
+    localCheckpoint truncating lineage between rounds. Everything is
+    integer arithmetic: exact on both engines."""
+    edges = _edges(spark, sf_dir)
+    dirc = edges.selectExpr("lo AS src", "hi AS dst").unionAll(
+        edges.selectExpr("hi AS src", "lo AS dst")
+    ).localCheckpoint(eager=True)
+    labels = dirc.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LPA_ROUNDS):
+        nbr = dirc.join(labels, dirc.dst == labels.node).select("src", "label")
+        counts = nbr.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lab")))
+                .getField("lab")
+                .alias("label")
+            )
+            .withColumnRenamed("src", "node")
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("label")
+    return labels.select(
+        "node", "label", F.count(F.lit(1)).over(w).alias("community_size")
     )
