@@ -906,3 +906,85 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_dominating"))
     )
+
+
+_ER_NAMES_SQL = """
+      SELECT p_name, count(*) AS n_rows, min(p_partkey) AS name_id,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part GROUP BY p_name
+"""
+
+_ER_PAIRS_SQL = f"""
+      WITH names AS ({_ER_NAMES_SQL})
+      SELECT a.name_id AS id_a, b.name_id AS id_b
+      FROM names a JOIN names b
+        ON a.block = b.block AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query(
+    "er_cluster_canonical",
+    oracle=f"""
+    WITH names AS ({_ER_NAMES_SQL}),
+    cc AS ({duck_connected_components_sql(_ER_PAIRS_SQL)})
+    SELECT n.p_name, n.n_rows,
+           coalesce(c.component, n.name_id) AS cluster_id,
+           min({{'neg': -m.n_rows, 'nm': m.p_name}}).nm AS canonical_name,
+           count(*) AS cluster_size
+    FROM names n
+    LEFT JOIN cc c ON n.name_id = c.node
+    JOIN (SELECT nn.p_name, nn.n_rows, nn.name_id,
+                 coalesce(cx.component, nn.name_id) AS cluster_id
+          FROM names nn LEFT JOIN cc cx ON nn.name_id = cx.node) m
+      ON coalesce(c.component, n.name_id) = m.cluster_id
+    GROUP BY n.p_name, n.n_rows, coalesce(c.component, n.name_id)
+    """,
+)
+def er_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete entity-resolution pipeline: blocking → pairwise
+    match (er_blocked_match's rule) → TRANSITIVE clustering →
+    golden-record survivorship. Matching alone leaves a~b, b~c in
+    limbo; large-star/small-star connected components (the same
+    operator the corpus dedup uses) closes the transitive hull, and
+    each cluster elects one canonical record — highest support,
+    ties toward the smaller name (min-of-struct, never an
+    engine-defined arg-pick). All the quadratic work happens on the
+    vocabulary-bounded distinct-name frame; the clustering input is
+    the match pairs only. Output: every distinct name with its
+    cluster id, the cluster's canonical name, and cluster size."""
+    t = load_tables(spark, sf_dir, "part")
+    names = (
+        t["part"]
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("p_partkey").alias("name_id"))
+        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+        .localCheckpoint(eager=True)
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.name_id").alias("id_a"), F.col("b.name_id").alias("id_b"))
+    )
+    comps = connected_components(pairs)
+    labeled = names.join(
+        F.broadcast(comps), names.name_id == comps.node, "left"
+    ).select(
+        "p_name",
+        "n_rows",
+        F.coalesce(F.col("component"), F.col("name_id")).alias("cluster_id"),
+    )
+    canon = labeled.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("n_rows")).alias("neg"), F.col("p_name").alias("nm")))
+        .getField("nm")
+        .alias("canonical_name"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return labeled.join(F.broadcast(canon), "cluster_id").select(
+        "p_name", "n_rows", "cluster_id", "canonical_name", "cluster_size"
+    )
