@@ -126,13 +126,18 @@ def train(feat: DataFrame, iters: int = ITERS) -> list[list[float]]:
     return trace
 
 
-def duck_logreg_cte(iters: int = ITERS) -> str:
+def duck_logreg_cte(iters: int = ITERS, prefix: str = "", where: str = "") -> str:
     """Generated CTE chain: feat, it0 (zero weights), then one CTE per
     GD iteration replaying train() — integer gradient sums, the same
-    exactly-rounded update chain. Ends with it{iters}."""
+    exactly-rounded update chain. Ends with {prefix}it{iters}.
+    ``prefix`` namespaces every CTE so several independent trainings
+    (k-fold CV) share one WITH clause; ``where`` filters the feature
+    frame (e.g. a fold predicate over doc_id)."""
+    p = prefix
+    flt = f" WHERE {where}" if where else ""
     parts = [
-        f"feat AS ({DUCK_FEAT_SQL})",
-        "it0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,"
+        f"{p}feat AS (SELECT * FROM ({DUCK_FEAT_SQL}){flt})",
+        f"{p}it0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,"
         " CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)",
     ]
     xs = ["1", "f.x1", "f.x2", "f.x3"]
@@ -149,10 +154,10 @@ def duck_logreg_cte(iters: int = ITERS) -> str:
             for j in range(N_FEATURES)
         )
         parts.append(
-            f"g{i} AS (SELECT {gsums} FROM feat f CROSS JOIN it{i - 1} w)"
+            f"{p}g{i} AS (SELECT {gsums} FROM {p}feat f CROSS JOIN {p}it{i - 1} w)"
         )
         parts.append(
-            f"it{i} AS (SELECT {upd} FROM g{i} g CROSS JOIN it{i - 1} w)"
+            f"{p}it{i} AS (SELECT {upd} FROM {p}g{i} g CROSS JOIN {p}it{i - 1} w)"
         )
     return ",\n    ".join(parts)
 

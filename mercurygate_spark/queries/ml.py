@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r6
 from mercurygate_spark.operators.logreg import (
+    DUCK_FEAT_SQL,
     ITERS,
     duck_logreg_cte,
     duck_trace_sql,
@@ -98,3 +99,78 @@ def ml_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(z).alias("score"),
         F.when(z >= 0, 1).otherwise(0).alias("pred"),
     )
+
+
+_KFOLDS = 4
+
+
+def _kfold_oracle() -> str:
+    blocks, rows = [], []
+    for f in range(_KFOLDS):
+        p = f"f{f}_"
+        blocks.append(duck_logreg_cte(prefix=p, where=f"doc_id % {_KFOLDS} <> {f}"))
+        blocks.append(
+            f"{p}test AS (SELECT * FROM ({DUCK_FEAT_SQL})"
+            f" WHERE doc_id % {_KFOLDS} = {f})"
+        )
+        rows.append(f"""
+    SELECT {f} AS fold, count(*) AS n_test,
+           CAST(sum(CASE WHEN (CASE WHEN
+                 (w.w0 + w.w1 * t.x1 + w.w2 * t.x2 + w.w3 * t.x3) >= 0
+                 THEN 1 ELSE 0 END) = t.y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           floor((CAST(sum(CASE WHEN (CASE WHEN
+                 (w.w0 + w.w1 * t.x1 + w.w2 * t.x2 + w.w3 * t.x3) >= 0
+                 THEN 1 ELSE 0 END) = t.y THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM {p}test t CROSS JOIN {p}it{ITERS} w""")
+    chain = ",\n    ".join(blocks)
+    return f"WITH {chain}\n    " + "\n    UNION ALL\n    ".join(rows)
+
+
+@query("ml_kfold_cv", oracle=_kfold_oracle())
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KFOLDS}-fold cross-validation of the quality classifier:
+    deterministic fold assignment (doc_id mod {_KFOLDS} — re-shard
+    stable, the sampling family's membership doctrine), one full GD
+    training per held-out fold, held-out accuracy scored distributed
+    (the trained weights enter each fold's scoring plan as literals —
+    no per-row model state, no crossJoin). The oracle replays all
+    {_KFOLDS} trainings through prefix-namespaced CTE chains in ONE
+    WITH clause — the same multi-training composition PQ uses for its
+    per-subspace codebooks. Generalization, not memorization, is what
+    the held-out accuracy measures; the unit-test floor (baseline +
+    0.15 in-sample) transfers because folds are corpus-representative."""
+    t = load_tables(spark, sf_dir, "documents")
+    feat = feature_frame(t["documents"])
+    fold = F.col("doc_id") % _KFOLDS
+    cached = feat.withColumn("fold", fold).cache()
+    out = None
+    try:
+        for f in range(_KFOLDS):
+            w = train(cached.where(F.col("fold") != f), ITERS)[-1]
+            z = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                + F.lit(w[3]) * F.col("x3")
+            )
+            correct = F.when(
+                F.when(z >= 0, 1).otherwise(0) == F.col("y"), 1
+            ).otherwise(0)
+            part = (
+                cached.where(F.col("fold") == f)
+                .agg(
+                    F.count(F.lit(1)).alias("n_test"),
+                    F.sum(correct).cast("long").alias("n_correct"),
+                    r6(
+                        F.sum(correct).cast("double") / F.count(F.lit(1))
+                    ).alias("accuracy"),
+                )
+                .select(F.lit(f).alias("fold"), "n_test", "n_correct", "accuracy")
+            )
+            out = part if out is None else out.unionAll(part)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
+    return out
