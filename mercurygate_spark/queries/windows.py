@@ -960,3 +960,79 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top_outlier_id"),
         )
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), hodagg AS (
+      SELECT event_type, hod, count(*) AS n_events,
+             CAST(sum(cents) AS DOUBLE) AS sum_cents
+      FROM base GROUP BY event_type, hod
+    ), overall AS (
+      SELECT event_type,
+             CAST(sum(cents) AS DOUBLE) AS tot_cents,
+             count(*) AS tot_n
+      FROM base GROUP BY event_type
+    )
+    SELECT h.event_type, h.hod, h.n_events,
+           floor(((h.sum_cents / h.n_events) / 100) * 1000000 + 0.5) / 1000000
+             AS mean_value,
+           floor(((h.sum_cents / h.n_events) / 100
+                  - (o.tot_cents / o.tot_n) / 100) * 1000000 + 0.5) / 1000000
+             AS seasonal_delta,
+           CASE WHEN (h.sum_cents / h.n_events)
+                     = max(h.sum_cents / h.n_events)
+                         OVER (PARTITION BY h.event_type)
+                THEN 1 ELSE 0 END AS is_peak
+    FROM hodagg h JOIN overall o USING (event_type)
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile extraction (the additive-decomposition seasonal
+    term): per (series, hour-of-day) mean value, its delta against the
+    series mean, and a peak-hour flag. Exactness doctrine: values are
+    quantized to integer cents BEFORE any aggregation, so every sum is
+    exact integer arithmetic (double summation is order-dependent;
+    integer summation is not) and the means are single exact-rounded
+    divisions — the peak comparison then operates on bit-identical
+    doubles in both engines. Hour-of-day comes from pure integer
+    epoch-microsecond arithmetic, not calendar functions — no timezone
+    surface at all. Plan: two partial-aggregable groupBys sharing one
+    scan, the 5-row series-means frame broadcast back, and a
+    24-row-per-series window for the peak flag — nothing scales with
+    the event count but the first groupBy's map side."""
+    t = load_tables(spark, sf_dir, "events")
+    base = t["events"].select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    hodagg = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("double").alias("sum_cents"),
+    )
+    overall = base.groupBy("event_type").agg(
+        F.sum("cents").cast("double").alias("tot_cents"),
+        F.count(F.lit(1)).alias("tot_n"),
+    )
+    mean_c = F.col("sum_cents") / F.col("n_events")
+    mean_v = mean_c / F.lit(100)
+    overall_v = F.col("tot_cents") / F.col("tot_n") / F.lit(100)
+    w = Window.partitionBy("event_type")
+    return (
+        hodagg.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n_events",
+            r6(mean_v).alias("mean_value"),
+            r6(mean_v - overall_v).alias("seasonal_delta"),
+            F.when(mean_c == F.max(mean_c).over(w), 1).otherwise(0).alias("is_peak"),
+        )
+    )
