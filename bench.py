@@ -61,6 +61,10 @@ HEADLINE = [
     "pipeline_medallion_e2e",     # bronze→silver→gold lifecycle
     "text_bpe_train",             # 8-round iterative BPE training loop
     "dedup_lsh_star_edges",       # skew-safe linear LSH candidates
+    # round-8 closing-session additions
+    "ml_logreg_train",            # iterative GD classifier training loop
+    "dedup_semantic",             # SemDeDup: clustered embedding dedup
+    "er_cluster_canonical",       # entity resolution + golden record
 ]
 
 
