@@ -65,6 +65,7 @@ HEADLINE = [
     "ml_logreg_train",            # iterative GD classifier training loop
     "dedup_semantic",             # SemDeDup: clustered embedding dedup
     "er_cluster_canonical",       # entity resolution + golden record
+    "dedup_semantic_lsh",         # SemDeDup scale path: LSH candidates
 ]
 
 

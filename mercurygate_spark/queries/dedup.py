@@ -902,15 +902,24 @@ def _semdedup_frame(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFra
     )
     a, b = base.alias("a"), base.alias("b")
     if bucketed:
+        # Candidate join key is (table, bucket, CLUSTER): the final
+        # pair set needs same-cluster anyway, so folding centroid_id
+        # into the equi-key changes nothing semantically but bounds
+        # each join cell to |bucket ∩ cluster| — the 10× probe showed
+        # bucket-only candidates re-growing quadratically once buckets
+        # outgrow clusters (32 buckets/table vs k clusters), while the
+        # intersected key scales with the FINER of the two partitions.
         mt = lsh_bucket_multi(e, "vec_id", "embedding").select(
             "vec_id", "lsh_table", "bucket"
         )
+        mt = mt.join(base.select("vec_id", "centroid_id"), "vec_id")
         am, bm = mt.alias("am"), mt.alias("bm")
         cand = (
             am.join(
                 bm,
                 (F.col("am.lsh_table") == F.col("bm.lsh_table"))
                 & (F.col("am.bucket") == F.col("bm.bucket"))
+                & (F.col("am.centroid_id") == F.col("bm.centroid_id"))
                 & (F.col("am.vec_id") != F.col("bm.vec_id")),
             )
             .select(
