@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_semantic",             # SemDeDup: clustered embedding dedup
     "er_cluster_canonical",       # entity resolution + golden record
     "dedup_semantic_lsh",         # SemDeDup scale path: LSH candidates
+    "dedup_winnowing",            # MOSS winnowing fingerprint pairs
 ]
 
 

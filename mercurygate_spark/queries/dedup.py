@@ -1074,3 +1074,117 @@ def er_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(F.broadcast(canon), "cluster_id").select(
         "p_name", "n_rows", "cluster_id", "canonical_name", "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+# Constants chosen so every intermediate stays an exact int64 in BOTH
+# engines: base 27, k=12 → max term 122 * 27^11 ≈ 6.9e17 and the
+# 12-term sum < 7.2e17, far under 2^63; one % at the end.
+WINNOW_K = 12          # gram length (chars of normalized text)
+WINNOW_W = 8           # winnowing window (grams per window)
+_WINNOW_B = 27
+_WINNOW_M = 2147483647
+WINNOW_MAX_DF = 20     # stop-fingerprint cap (shared by > this many docs)
+WINNOW_MIN_SHARED = 5  # pair report threshold
+
+_WPOW = [_WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
+
+
+def _winnow_gram_sql(sub: str) -> str:
+    """Polynomial k-gram hash as a flat 12-term sum — identical
+    arithmetic in Spark and DuckDB; ``sub`` formats the j-th char."""
+    terms = " + ".join(
+        f"{sub.format(j=j)} * {_WPOW[j]}" for j in range(WINNOW_K)
+    )
+    return f"({terms}) % {_WINNOW_M}"
+
+
+def _winnow_oracle() -> str:
+    gram = _winnow_gram_sql("ascii(s[i+{j}])::BIGINT")
+    win = ", ".join(f"gh[j+{j}]" for j in range(WINNOW_W))
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(s) - {WINNOW_K} + 2),
+                            i -> {gram}) AS gh
+      FROM norm WHERE length(s) >= {WINNOW_K + WINNOW_W - 1}
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(gh) - {WINNOW_W} + 2),
+                                          j -> least({win}))) AS fps
+      FROM g
+    ), fp AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), fpk AS (
+      SELECT doc_id, fp FROM fp
+      WHERE fp IN (SELECT fp FROM fp GROUP BY fp
+                   HAVING count(DISTINCT doc_id) <= {WINNOW_MAX_DF})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@query("dedup_winnowing", oracle=_winnow_oracle())
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprinting (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): polynomial k-gram hashes over
+    normalized text, min-hash per sliding window of w grams (the
+    winnowing guarantee: any shared substring of length >= k + w - 1
+    yields at least one shared fingerprint), distinct fingerprints per
+    doc, stop-fingerprints shared by > MAX_DF docs dropped (the
+    standard common-substring guard), then pairs sharing >= T
+    fingerprints — local-overlap near-dup detection that catches
+    PARTIAL copies minhash's whole-document Jaccard dilutes away.
+
+    Scale posture: gram hashing and window-min selection run as ONE
+    Arrow mapInPandas pass (winnow_fingerprints_arrow — numpy
+    sliding_window_view + int64 matmul per doc; the interpreted
+    transform/least lambda version measured ~20× slower, the
+    minhash_signature_arrow tradeoff); only (fp, doc_id) longs ever
+    shuffle — one groupBy for the df cap, one fp-equi self-join for
+    pairs (band-join doctrine, never all-pairs). The fingerprint
+    frame is localCheckpoint-ed so the Arrow pass runs once, not
+    once per self-join branch (the connected_components
+    lineage-truncation doctrine). Cross-engine exactness: the hash
+    is a flat integer polynomial — every term < 7e17, sum < 2^63,
+    one modulo — so fingerprints are bit-identical in both engines
+    by construction."""
+    from mercurygate_spark.operators.dedup import winnow_fingerprints_arrow
+
+    t = load_tables(spark, sf_dir, "documents")
+    fp = winnow_fingerprints_arrow(
+        t["documents"],
+        "doc_id",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        base=_WINNOW_B,
+        mod=_WINNOW_M,
+    ).localCheckpoint(eager=True)
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp")
+    a, b = fpk.alias("a"), fpk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

@@ -378,3 +378,106 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+_PSI_SPLIT = "TIMESTAMP '1998-01-01'"
+_PSI_BIN_W = 50000
+_PSI_NBINS = 10
+
+
+def _psi_oracle() -> str:
+    def block(bin_expr: str, feature: str) -> str:
+        return f"""(
+      WITH b AS (
+        SELECT {bin_expr} AS bin,
+               CAST(sum(CASE WHEN o_orderdate < {_PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+               CAST(sum(CASE WHEN o_orderdate >= {_PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        FROM orders GROUP BY 1
+      ), tot AS (
+        SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur, count(*) AS nb FROM b
+      ), term AS (
+        SELECT round(((c_cur + 0.5) / (n_cur + 0.5*nb)
+                      - (c_ref + 0.5) / (n_ref + 0.5*nb))
+               * ln(((c_cur + 0.5) / (n_cur + 0.5*nb))
+                    / ((c_ref + 0.5) / (n_ref + 0.5*nb))), 6) AS t
+        FROM b CROSS JOIN tot
+      )
+      SELECT '{feature}' AS feature, round(sum(t), 6) AS psi,
+             CAST(count(*) AS BIGINT) AS n_bins FROM term
+    )"""
+    price = block(
+        f"least(CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT), {_PSI_NBINS - 1})",
+        "o_totalprice_bin50k",
+    )
+    status = block("CAST(ascii(o_orderstatus) AS BIGINT)", "o_orderstatus")
+    return f"SELECT * FROM {price} UNION ALL SELECT * FROM {status}"
+
+
+def _psi_feature(
+    binned: DataFrame, feature: str, is_ref: F.Column
+) -> DataFrame:
+    """One PSI summary row from a frame with a ``bin`` column: bin
+    counts per side in ONE conditional-agg pass, Laplace-smoothed
+    proportions, r6-rounded per-bin terms (so the final sum adds
+    bit-identical doubles in both engines), r6-rounded total."""
+    b = binned.groupBy("bin").agg(
+        F.sum(is_ref.cast("long")).alias("c_ref"),
+        F.sum((~is_ref).cast("long")).alias("c_cur"),
+    )
+    tot = b.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    p_ref = (F.col("c_ref") + 0.5) / (F.col("n_ref") + 0.5 * F.col("nb"))
+    p_cur = (F.col("c_cur") + 0.5) / (F.col("n_cur") + 0.5 * F.col("nb"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(r6((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("t"))
+        .agg(
+            r6(F.sum("t")).alias("psi"),
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+        )
+        .select(F.lit(feature).alias("feature"), "psi", "n_bins")
+    )
+
+
+@query("dq_psi_drift", oracle=_psi_oracle())
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the standard
+    train/serve distribution-shift gate a production training
+    pipeline runs before promoting a new data batch (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 retrain): reference = orders
+    before 1998-01-01, current = after; one numeric feature
+    (o_totalprice, 10 fixed-width bins, overflow clamped into the top
+    bin — literal bin edges, so bins mean the same thing in every
+    batch and both engines) and one categorical (o_orderstatus, keyed
+    by ascii code). Zero-count bins are Laplace-smoothed
+    ((c+0.5)/(N+0.5*B)) instead of dropped, the standard fix for
+    PSI's ln(0) hole. Status drifts hard (old orders are finished,
+    new ones open) while price stays stable — the pair demonstrates
+    both verdicts on real data.
+
+    Scale posture: per feature ONE map-side-combined conditional agg
+    over the scan (bin counts for both sides in a single pass — no
+    per-side scans), a 1-row broadcast of the totals, and a <=B-row
+    final agg. Cross-engine exactness: proportions are exact
+    rationals; each ln term is r6-rounded BEFORE the sum (the
+    agg_entropy doctrine), so the final sum adds identical doubles."""
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    is_ref = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    price = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("long"),
+            F.lit(_PSI_NBINS - 1).cast("long"),
+        ).alias("bin"),
+        is_ref.alias("is_ref"),
+    )
+    status = o.select(
+        F.ascii("o_orderstatus").cast("long").alias("bin"),
+        is_ref.alias("is_ref"),
+    )
+    return _psi_feature(price, "o_totalprice_bin50k", F.col("is_ref")).unionAll(
+        _psi_feature(status, "o_orderstatus", F.col("is_ref"))
+    )

@@ -96,6 +96,9 @@ _BOUNDED_BNLJ_OK = {
     # 1-row before-stats × 1-row after-stats frames crossed into the
     # single tokenizer-application summary row
     "text_bpe_apply",
+    # per feature, a 1-row (n_ref, n_cur, nb) totals frame broadcast
+    # onto the <=B-row bin-count frame
+    "dq_psi_drift",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
