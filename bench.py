@@ -67,6 +67,7 @@ HEADLINE = [
     "er_cluster_canonical",       # entity resolution + golden record
     "dedup_semantic_lsh",         # SemDeDup scale path: LSH candidates
     "dedup_winnowing",            # MOSS winnowing fingerprint pairs
+    "ml_naive_bayes",             # exact-integer-grid NB classifier
 ]
 
 

@@ -174,3 +174,161 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cached.unpersist()
     return out
+
+
+_NB_Q = 1_000_000_000  # log-prob quantization grid (1e-9)
+_NB_SPLIT = 3          # doc_id % 3 == 0 → test, else train
+
+
+def _nb_oracle() -> str:
+    q = _NB_Q
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), train_docs AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % {_NB_SPLIT} <> 0
+    ), test_docs AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % {_NB_SPLIT} = 0
+    ), cnt AS (
+      SELECT d.lang AS y, tok.t, CAST(count(*) AS BIGINT) AS c
+      FROM tok JOIN train_docs d USING (doc_id) GROUP BY 1, 2
+    ), vocab AS (
+      SELECT DISTINCT t FROM cnt
+    ), vsize AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+    ), cls AS (
+      SELECT y, sum(c) AS n_y FROM cnt GROUP BY y
+    ), prior AS (
+      SELECT lang AS y,
+             CAST(floor(ln(count(*) / (SELECT count(*) FROM train_docs))
+                        * {q} + 0.5) AS BIGINT) AS lpq
+      FROM train_docs GROUP BY lang
+    ), llik AS (
+      SELECT vocab.t, cls.y,
+             CAST(floor(ln((coalesce(cnt.c, 0) + 1)
+                           / (cls.n_y + vsize.v)) * {q} + 0.5) AS BIGINT) AS llq
+      FROM vocab CROSS JOIN cls CROSS JOIN vsize
+      LEFT JOIN cnt ON cnt.t = vocab.t AND cnt.y = cls.y
+    ), tok_test AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE doc_id % {_NB_SPLIT} = 0 GROUP BY 1, 2
+    ), tscore AS (
+      SELECT tok_test.doc_id, llik.y, sum(tok_test.n * llik.llq) AS s
+      FROM tok_test JOIN llik USING (t) GROUP BY 1, 2
+    ), score AS (
+      SELECT d.doc_id, d.lang AS labeled_lang, prior.y,
+             prior.lpq + coalesce(tscore.s, 0) AS total
+      FROM test_docs d CROSS JOIN prior
+      LEFT JOIN tscore ON tscore.doc_id = d.doc_id AND tscore.y = prior.y
+    ), pred AS (
+      SELECT doc_id, labeled_lang, y AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY total DESC, y) AS rn
+      FROM score
+    )
+    SELECT pred_lang, labeled_lang, count(*) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """
+
+
+@query("ml_naive_bayes", oracle=_nb_oracle())
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (the CCNet/fastText
+    classification step a corpus pipeline trains on its own data):
+    train on doc_id%3 != 0, predict the held-out third, output the
+    confusion matrix vs the labeled lang. (On this synthetic corpus
+    the lang label is independent of the text — every lang draws the
+    same vocabulary — so held-out accuracy sits at the majority
+    baseline BY CONSTRUCTION, same property text_lang_id exhibits;
+    the key pins the full trained-model decision path exactly, not
+    model quality.) Laplace-smoothed token
+    log-likelihoods ln((c+1)/(N_y+V)) and class log-priors are
+    quantized to a 1e-9 integer grid at the source, so every score is
+    an EXACT bigint sum — no float accumulation order anywhere (the
+    ml_logreg gradient doctrine); argmax via row_number ordered on
+    (score DESC, lang), deterministic in both engines.
+
+    Scale posture: token counts and the vocab × class likelihood grid
+    are shuffle joins on the token (the vocabulary of a web corpus is
+    unbounded — never broadcast, the text_unigram_logprob doctrine);
+    the only broadcasts are the 5-row class/prior frames and the
+    1-row vocab-size frame. Per-doc-class scores are one groupBy; the
+    argmax is a 5-rows-per-doc window."""
+    from mercurygate_spark.functions import tokens
+
+    q = _NB_Q
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    is_test = F.col("doc_id") % _NB_SPLIT == 0
+    tok = docs.select("doc_id", "lang", is_test.alias("is_test"),
+                      F.explode(tokens("text")).alias("t"))
+    train_docs = docs.where(~is_test).select("doc_id", "lang")
+    test_docs = docs.where(is_test).select("doc_id", "lang")
+
+    cnt = (
+        tok.where(~F.col("is_test"))
+        .groupBy(F.col("lang").alias("y"), "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vocab = cnt.select("t").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    cls = cnt.groupBy("y").agg(F.sum("c").alias("n_y"))
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("n_tr"))
+    prior = (
+        train_docs.groupBy(F.col("lang").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_docs_y"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "y",
+            F.floor(
+                F.log(F.col("n_docs_y").cast("double") / F.col("n_tr")) * q + 0.5
+            ).cast("long").alias("lpq"),
+        )
+    )
+    qln = lambda x: F.floor(F.log(x) * q + 0.5).cast("long")  # noqa: E731
+    llik = (
+        vocab.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["t", "y"], "left")
+        .select(
+            "t", "y",
+            qln(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_y") + F.col("v")).cast("double")
+            ).alias("llq"),
+        )
+    )
+    tok_test = (
+        tok.where(F.col("is_test"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tscore = (
+        tok_test.join(llik, "t")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("n") * F.col("llq")).alias("s"))
+    )
+    score = (
+        test_docs.crossJoin(F.broadcast(prior))
+        .join(tscore, ["doc_id", "y"], "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            "y",
+            (F.col("lpq") + F.coalesce(F.col("s"), F.lit(0))).alias("total"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("total").desc(), F.col("y"))
+    )
+    return (
+        score.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("y").alias("pred_lang"), "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -99,6 +99,9 @@ _BOUNDED_BNLJ_OK = {
     # per feature, a 1-row (n_ref, n_cur, nb) totals frame broadcast
     # onto the <=B-row bin-count frame
     "dq_psi_drift",
+    # 5-row class/prior frames and a 1-row vocab-size frame crossed
+    # onto the vocab grid and the test docs
+    "ml_naive_bayes",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
