@@ -1094,8 +1094,10 @@ _WPOW = [_WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
 
 
 def _winnow_gram_sql(sub: str) -> str:
-    """Polynomial k-gram hash as a flat 12-term sum — identical
-    arithmetic in Spark and DuckDB; ``sub`` formats the j-th char."""
+    """Polynomial k-gram hash as a flat 12-term sum — the same
+    arithmetic the Arrow pass (winnow_fingerprints_arrow) computes as
+    an int64 matmul; ``sub`` formats the j-th char. Used to generate
+    the DuckDB oracle so the constants stay single-sourced."""
     terms = " + ".join(
         f"{sub.format(j=j)} * {_WPOW[j]}" for j in range(WINNOW_K)
     )
