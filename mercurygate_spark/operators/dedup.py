@@ -694,10 +694,11 @@ def winnow_fingerprints_arrow(
     Same tradeoff as minhash_signature_arrow above: the pure-Column
     version (transform/sequence/least lambdas) evaluates interpreted
     at ~µs per gram; the numpy path (sliding_window_view + one int64
-    matmul per doc) is ~20× faster and stays fully distributed.
-    Every intermediate is an exact int64 — max 12-term sum
-    122·Σ27^j < 7.2e17 < 2^63 — so fingerprints are bit-identical
-    to the SQL/DuckDB polynomial by construction."""
+    matmul per doc) measured 6× faster at sf0.1 (docs/SCALING.md)
+    and stays fully distributed. Every intermediate is an exact
+    int64 — max 12-term sum 122·Σ27^j < 7.2e17 < 2^63 — so
+    fingerprints are bit-identical to the SQL/DuckDB polynomial by
+    construction (guarded below for non-default k/base)."""
     import re
     from collections.abc import Iterator
 
@@ -706,6 +707,13 @@ def winnow_fingerprints_arrow(
     from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # int64 safety for the flat polynomial sum: numpy would wrap
+    # silently past 2^63 while the SQL twin errors — fail fast instead
+    # (122 = max codepoint after the [a-z0-9] normalization, 'z')
+    if 122 * (base**k - 1) // (base - 1) >= 2**63:
+        raise ValueError(
+            f"winnowing polynomial overflows int64 for k={k}, base={base}"
+        )
     pow_vec = np.array(
         [base ** (k - 1 - j) for j in range(k)], dtype=np.int64
     )

@@ -798,6 +798,9 @@ def _semdedup_oracle(bucketed: bool = False) -> str:
     from mercurygate_spark.operators.similarity import (
         EMBED_DIMS,
         KMEANS_ITERS,
+        N_PLANES_MULTI,
+        N_TABLES,
+        duck_bucket_sql_seeded,
         duck_ivf_kmeans_sql,
     )
 
@@ -806,12 +809,6 @@ def _semdedup_oracle(bucketed: bool = False) -> str:
         f"list_sum(list_transform(range(1,{dims + 1}), "
         "j -> (e.qe[j]-c.qc[j])*(e.qe[j]-c.qc[j])))"
     )
-    from mercurygate_spark.operators.similarity import (
-        N_PLANES_MULTI,
-        N_TABLES,
-        duck_bucket_sql_seeded,
-    )
-
     if bucketed:
         bcols = ", ".join(
             f"{duck_bucket_sql_seeded('embedding', f't{t}', N_PLANES_MULTI)} AS b{t}"
@@ -927,10 +924,11 @@ def _semdedup_frame(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFra
             )
             .distinct()
         )
-        joined = (
-            cand.join(a, F.col("ca") == F.col("a.vec_id"))
-            .join(b, F.col("cb") == F.col("b.vec_id"))
-            .where(F.col("a.centroid_id") == F.col("b.centroid_id"))
+        # no post-join centroid filter: cand already enforces it in
+        # the equi-key (unlike the oracle, whose bucket-only cand CTE
+        # needs its WHERE a.centroid_id = b.centroid_id)
+        joined = cand.join(a, F.col("ca") == F.col("a.vec_id")).join(
+            b, F.col("cb") == F.col("b.vec_id")
         )
     else:
         joined = a.join(
@@ -1149,8 +1147,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: gram hashing and window-min selection run as ONE
     Arrow mapInPandas pass (winnow_fingerprints_arrow — numpy
     sliding_window_view + int64 matmul per doc; the interpreted
-    transform/least lambda version measured ~20× slower, the
-    minhash_signature_arrow tradeoff); only (fp, doc_id) longs ever
+    transform/least lambda version measured 6× slower at sf0.1,
+    docs/SCALING.md — the minhash_signature_arrow tradeoff); only
+    (fp, doc_id) longs ever
     shuffle — one groupBy for the df cap, one fp-equi self-join for
     pairs (band-join doctrine, never all-pairs). The fingerprint
     frame is localCheckpoint-ed so the Arrow pass runs once, not

@@ -248,25 +248,38 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihoods ln((c+1)/(N_y+V)) and class log-priors are
     quantized to a 1e-9 integer grid at the source, so every score is
     an EXACT bigint sum — no float accumulation order anywhere (the
-    ml_logreg gradient doctrine); argmax via row_number ordered on
-    (score DESC, lang), deterministic in both engines.
+    ml_logreg gradient doctrine). Residual cross-engine surface: the
+    quantization itself — JVM Math.log and DuckDB ln can differ in
+    the last ulp, which flips floor() only when ln·1e9 lands within
+    ~1e-6 of a half-integer (the same accepted exposure as
+    ml_logreg's 1e-9 gradient grid; everything after the grid is
+    exact). Argmax via row_number ordered on (score DESC, lang),
+    deterministic given the grid.
 
     Scale posture: token counts and the vocab × class likelihood grid
     are shuffle joins on the token (the vocabulary of a web corpus is
     unbounded — never broadcast, the text_unigram_logprob doctrine);
     the only broadcasts are the 5-row class/prior frames and the
-    1-row vocab-size frame. Per-doc-class scores are one groupBy; the
-    argmax is a 5-rows-per-doc window."""
+    1-row vocab-size frame. The doc-level token arrays are
+    localCheckpoint-ed so the regex tokenization scan runs ONCE and
+    both the train-count and test-score branches explode from the
+    materialized (compact, pre-explode) frame. Per-doc-class scores
+    are one groupBy; the argmax is a 5-rows-per-doc window."""
     from mercurygate_spark.functions import tokens
 
     q = _NB_Q
+    qln = lambda x: F.floor(F.log(x) * q + 0.5).cast("long")  # noqa: E731
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
     is_test = F.col("doc_id") % _NB_SPLIT == 0
-    tok = docs.select("doc_id", "lang", is_test.alias("is_test"),
-                      F.explode(tokens("text")).alias("t"))
-    train_docs = docs.where(~is_test).select("doc_id", "lang")
-    test_docs = docs.where(is_test).select("doc_id", "lang")
+    toks_by_doc = docs.select(
+        "doc_id", "lang", is_test.alias("is_test"), tokens("text").alias("ts")
+    ).localCheckpoint(eager=True)
+    tok = toks_by_doc.select(
+        "doc_id", "lang", "is_test", F.explode("ts").alias("t")
+    )
+    train_docs = toks_by_doc.where(~F.col("is_test")).select("doc_id", "lang")
+    test_docs = toks_by_doc.where(F.col("is_test")).select("doc_id", "lang")
 
     cnt = (
         tok.where(~F.col("is_test"))
@@ -283,12 +296,9 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_train))
         .select(
             "y",
-            F.floor(
-                F.log(F.col("n_docs_y").cast("double") / F.col("n_tr")) * q + 0.5
-            ).cast("long").alias("lpq"),
+            qln(F.col("n_docs_y").cast("double") / F.col("n_tr")).alias("lpq"),
         )
     )
-    qln = lambda x: F.floor(F.log(x) * q + 0.5).cast("long")  # noqa: E731
     llik = (
         vocab.crossJoin(F.broadcast(cls))
         .crossJoin(F.broadcast(vsize))
