@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 ITERS = 8
 LR = 8.0          # power of two: scaling by it is exact
 GQ = 1_000_000_000  # gradient quantization grid (1e-9 resolution)
+# Exactness bound on the grid: the oracle casts each BIGINT gradient
+# sum to DOUBLE before the division while Python divides exact ints
+# (correctly rounded from the exact rational), so the two provably
+# agree only while |sum| < 2^53 (the double-exact integer range).
+# Per-row quantized gradients are bounded by ~GQ * max|x| (~5e9 at
+# x<=5), so the bound holds up to ~1.8e6 rows (sf1-ish); train()
+# asserts it at runtime rather than trusting the estimate.
+GRAD_SUM_EXACT_BOUND = 2**53
 N_FEATURES = 4    # bias, char_len/1000, n_tokens/100, stopword_ratio
 
 # DuckDB twin of the feature frame (documents table pre-registered).
@@ -121,6 +129,14 @@ def train(feat: DataFrame, iters: int = ITERS) -> list[list[float]]:
             F.count(F.lit(1)).alias("n"),
         ).first()
         n = row["n"]
+        for j in range(N_FEATURES):
+            # cross-engine exactness contract (see GRAD_SUM_EXACT_BOUND)
+            assert abs(row[f"g{j}"]) < GRAD_SUM_EXACT_BOUND, (
+                f"gradient sum g{j}={row[f'g{j}']} exceeds the 2^53 "
+                "double-exact range: the DuckDB oracle's CAST(sum AS "
+                "DOUBLE) would no longer match Python's exact int "
+                "division — shrink GQ or shard the corpus"
+            )
         w = [w[j] - LR * ((row[f"g{j}"] / n) / float(GQ)) for j in range(N_FEATURES)]
         trace.append(list(w))
     return trace

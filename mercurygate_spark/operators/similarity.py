@@ -695,9 +695,10 @@ def cosine_topk_lsh(
 # store each corpus vector as PQ_M uint8-sized codes, and score queries
 # with an asymmetric distance (ADC): exact query subvector vs the
 # candidate's reconstructed centroid, summed over subspaces. This is
-# the 100 TB memory path — 64 floats (256 B) become 4 codes (4 B), a
-# 64× compression that lets a 1000-executor cluster hold a trillion
-# vectors' index in RAM while the float vectors stay in parquet.
+# the 100 TB memory path — EMBED_DIMS=64 floats (256 B) become
+# PQ_M=16 one-byte codes (16 B), a 16× compression that lets a
+# 1000-executor cluster hold a far larger slice of the index in RAM
+# while the float vectors stay in parquet.
 # ---------------------------------------------------------------------------
 
 PQ_M = 16                       # subspaces (4-dim each: recall@10 ~0.42

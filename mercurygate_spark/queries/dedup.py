@@ -93,12 +93,14 @@ def _build_band_index(spark: SparkSession, corpus: DataFrame, table_name: str):
     by the bucket key — the one-time 'first load' that every future
     batch (or micro-batch) probes without rescanning the corpus."""
     from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
     from mercurygate_spark.operators.dedup import lsh_bands, minhash_signature_arrow
 
     index_bands = lsh_bands(
         minhash_signature_arrow(corpus, "doc_id"), "doc_id"
     ).select(F.col("doc_id").alias("match_id"), _band_bucket_key().alias("bk"))
     write_bucketed(index_bands, table_name, "bk", 8, sort_by="bk")
+    register_tmp_table(spark, table_name)
     return spark.table(table_name)
 
 
@@ -267,12 +269,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # documents.parquet as a stream directory (symlink, no copy)
+    from mercurygate_spark.io.tmp_tables import register_tmp_dir
+
     d = _os.path.join(
         _tf.gettempdir(),
-        "mercurygate_stream_docs",
+        f"mercurygate_stream_docs_{_os.getpid()}",
         sf_dir.strip("/").replace("/", "_"),
     )
     _os.makedirs(d, exist_ok=True)
+    register_tmp_dir(_os.path.dirname(d))
     link = _os.path.join(d, "documents.parquet")
     try:
         _os.symlink(f"{sf_dir}/documents.parquet", link)

@@ -610,8 +610,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     # per-PID table names: the driver may run correctness and bench in
     # parallel processes sharing one warehouse dir
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
+
     to_name = f"mg_bktjoin_orders_{os.getpid()}"
     li_name = f"mg_bktjoin_lineitem_{os.getpid()}"
+    register_tmp_table(spark, to_name)
+    register_tmp_table(spark, li_name)
     (
         t["orders"].select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite").format("parquet")

@@ -167,6 +167,7 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
     from mercurygate_spark.operators.similarity import (
         cosine,
         ivf_assign,
@@ -183,6 +184,7 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"mg_ivf_lists_{_os.getpid()}"
     write_bucketed(assigned, name, "centroid_id", 8, sort_by="centroid_id")
+    register_tmp_table(spark, name)
     lists = spark.table(name)
     q = e.where(F.col("vec_id") < N_QUERIES)
     query_probes = ivf_assign(q, cmat, "vec_id", "embedding", n_probe=N_PROBE).select(
@@ -392,10 +394,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF), corpus encoded as PQ_M small codes, queries scored by
     asymmetric distance — a precomputed query×codebook distance table
     summed over the candidate's codes. The 100 TB memory path: 256 B
-    of floats per vector become 4 B of codes, and the scoring pass
-    reads ONLY the codes frame (one lookup per subspace per
-    candidate), never the float vectors. The oracle replays all four
-    training loops (prefixed unrolled-CTE chains), the code
-    assignment, and the ADC ranking — integer-exact end to end."""
+    of floats per vector become PQ_M=16 B of codes, and the scoring
+    pass reads ONLY the codes frame (one lookup per subspace per
+    candidate), never the float vectors. The oracle replays all
+    PQ_M=16 per-subspace training loops (prefixed unrolled-CTE
+    chains), the code assignment, and the ADC ranking — integer-exact
+    end to end."""
     t = load_tables(spark, sf_dir, "embeddings")
     return pq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)

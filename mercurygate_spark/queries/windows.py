@@ -967,7 +967,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT event_type,
-             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             ((epoch_us(ts) // 3600000000) % 24 + 24) % 24 AS hod,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
     ), hodagg AS (
@@ -1010,7 +1010,17 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
     base = t["events"].select(
         "event_type",
-        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+        # floor-division hour bucket, not `div` (which truncates toward
+        # zero): us - pmod(us, 3600000000) is exactly divisible, so the
+        # quotient is the floored hour index for ANY epoch sign, and the
+        # final pmod lands it in 0..23 — mirroring the oracle's
+        # ((x // 3600000000) % 24 + 24) % 24 (DuckDB // floors, but its
+        # % keeps the dividend's sign). Same fix class as ohlc.bar_start.
+        F.pmod(
+            ((F.expr("unix_micros(ts)") - F.pmod(F.expr("unix_micros(ts)"), F.lit(3600000000)))
+             / F.lit(3600000000)).cast("long"),
+            F.lit(24),
+        ).alias("hod"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     hodagg = base.groupBy("event_type", "hod").agg(
