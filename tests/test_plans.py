@@ -563,3 +563,112 @@ def test_pct_of_total_scans_fact_once(spark):
     s = _plan(spark, "agg_pct_of_total")
     assert s.count("Scan parquet") == 1
     assert "Window" in s
+
+
+# ---------------------------------------------------------------------------
+# Bounded-global-window allowlist (VERDICT r8 #4): a Window with an
+# EMPTY partition spec serializes its whole input through ONE task —
+# fine on a frame bounded by a grouping domain (calendar days, month
+# count, language count), fatal on a fact-sized frame at 100 TB. Same
+# doctrine as the BNLJ allowlist above: every global window must (a)
+# be on this list with its bound stated, and (b) PROVE the bound on
+# the plan — descending from the window's input through pass-through
+# operators must reach an Aggregate (or bounded local relation) before
+# any leaf scan, i.e. the input is a post-aggregation frame. A new
+# global-window site fails by default.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    # top-K heavy hitters over the per-key count frame (≤ NDV rows)
+    "agg_heavy_hitters",
+    # share-of-total over the per-group agg (≤ group-domain rows)
+    "agg_pct_of_total",
+    # per-source quota walk over the per-source count frame
+    "pipeline_corpus_mixture",
+    # shard-offset prefix sum over the per-shard totals (≤ N_SHARDS)
+    "pipeline_pack_sequences",
+    # per-lang offsets over the per-language count frame
+    "sample_mixture_rebalance",
+    # language index over the per-language count frame
+    "sample_negative_sampling",
+    # temperature weights over the per-language count frame
+    "sample_temperature_mixture",
+    # running token budget over the per-language totals frame
+    "sample_token_budget",
+    # 7-day rolling median over the per-day agg (≤ calendar days)
+    "window_moving_median",
+}
+
+_GLOBAL_WINDOW_PASS_THROUGH = {
+    "Project", "Filter", "Sort", "GlobalLimit", "LocalLimit",
+    "SubqueryAlias", "Window", "WindowGroupLimit",
+    "RepartitionByExpression", "Repartition", "Deduplicate", "Distinct",
+}
+
+
+def _walk_logical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def _bounded_window_input(node) -> bool:
+    """True iff this subtree is a post-aggregation frame: descending
+    through pass-through unary operators (and requiring BOTH sides of
+    any join to qualify) reaches an Aggregate or a bounded local
+    relation before any leaf scan."""
+    cls = node.getClass().getSimpleName()
+    if cls == "Aggregate" or cls in ("LocalRelation", "OneRowRelation"):
+        return True
+    if cls == "Join":
+        ch = node.children()
+        return all(_bounded_window_input(ch.apply(i)) for i in range(ch.size()))
+    if cls in _GLOBAL_WINDOW_PASS_THROUGH:
+        ch = node.children()
+        if ch.size() == 1:
+            return _bounded_window_input(ch.apply(0))
+    return False
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(all_queries()) - _EAGER_ROUNDTRIP_KEYS)
+)
+def test_global_windows_bounded_by_aggregation(spark, name):
+    df = all_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_logical(plan):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            assert name in _BOUNDED_GLOBAL_WINDOW_OK, (
+                f"{name} has a global (partition-less) Window not on the "
+                "bounded allowlist — a fact-sized input would serialize "
+                "through one task at 100 TB; partition it or prove the "
+                "bound and allowlist it"
+            )
+            assert _bounded_window_input(node.children().apply(0)), (
+                f"{name}: global Window input is not provably a "
+                "post-aggregation frame on the plan"
+            )
+
+
+def test_claimant_leaderboard_global_window_is_post_agg(spark):
+    """The gold-layer leaderboard (not a registry key — exercised by
+    test_gold_claims) ranks over the per-claimant aggregate; pin the
+    same bounded-global-window contract on it directly."""
+    from mercurygate_spark.queries.gold_claims import claimant_leaderboard
+
+    claim = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)], ["claim_ant", "total_amount"]
+    )
+    df = claimant_leaderboard(claim, top_n=2)
+    plan = df._jdf.queryExecution().optimizedPlan()
+    found = False
+    for node in _walk_logical(plan):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            found = True
+            assert _bounded_window_input(node.children().apply(0))
+    assert found, "leaderboard lost its ranking window?"
