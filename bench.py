@@ -68,6 +68,9 @@ HEADLINE = [
     "dedup_semantic_lsh",         # SemDeDup scale path: LSH candidates
     "dedup_winnowing",            # MOSS winnowing fingerprint pairs
     "ml_naive_bayes",             # exact-integer-grid NB classifier
+    "sim_ivfpq_topk",             # composed IVF-prune + PQ-ADC ANN
+    "dedup_index_compact",        # append + bucket-preserving compaction + probe
+    "text_unigram_train",         # unigram-LM tokenizer Viterbi-EM trainer
 ]
 
 

@@ -31,3 +31,58 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    bucket_by: str,
+    n_buckets: int,
+    sort_by: str | None = None,
+) -> int:
+    """Rewrite a bucketed table down to ONE file per bucket while
+    preserving the bucket spec — the maintenance step a continuously
+    APPENDED bucketed index needs (each append adds a file per
+    (writer task, bucket): probes stay exchange-free, but scan I/O and
+    open-file counts grow linearly with appends until a rewrite).
+
+    The rewrite is ZERO-shuffle: with autoBucketedScan pinned on for
+    the read, the scan materializes one partition per bucket (all of a
+    bucket's accumulated files merge into its partition), each writer
+    task holds exactly one bucket, and the bucketed write emits one
+    file per bucket. An explicit `repartition(n, col)` would NOT work
+    here — the planner sees the bucketed table already satisfies the
+    clustering, elides the exchange, and may THEN disable the bucketed
+    scan (autoBucketedScan), leaving arbitrary task↔bucket alignment —
+    which is why the conf pin is the mechanism, not a hint.
+
+    The swap is write-staging → drop → rename: not atomic (a crash
+    between drop and rename loses the catalog entry — at 100 TB this
+    runs under the ingest job's retry/lock, or on Delta/Iceberg where
+    the swap is a transaction); readers planned BEFORE the swap keep
+    working off the old file listing.
+
+    Returns the compacted file count (== n_buckets). Plan contract
+    (pinned in tests/test_plans.py): a probe join against the
+    compacted table still reads `Bucketed: true` with no index-side
+    Exchange, and the file count is back to one per bucket.
+    """
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key, None)
+    staging = f"{table_name}__compact"
+    try:
+        spark.conf.set(conf_key, "false")
+        df = spark.table(table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+        if sort_by:
+            w = w.sortBy(sort_by)
+        w.format("parquet").saveAsTable(staging)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    return len(spark.table(table_name).inputFiles())

@@ -979,3 +979,247 @@ def duck_pq_sql(n_queries: int, top_k: int) -> str:
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ — the composed production ANN shape (FAISS IVFADC; Jégou et al.
+# 2011 §V): IVF partition-pruning picks the nprobe nearest inverted
+# lists, then PQ asymmetric distance scores ONLY the candidates in the
+# probed lists. The two halves above (train_ivf_centroids /
+# pq_train_codebooks) compose unchanged; codes are computed on the RAW
+# vectors (by_residual=false in FAISS terms), which keeps the oracle a
+# pure union of the two parents' already-verified CTE chains. At
+# 100 TB: the index frame is (id, list, PQ_M codes) ≈ 24 B/vector, the
+# probe join touches only nprobe/N_CENTROIDS of it, and the float
+# vectors are never read at query time.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    cmat,
+    cmats: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (id, centroid_id, k0..k{PQ_M-1}) — the full IVFPQ index
+    frame — in ONE Arrow pass (one corpus scan, no self-join between
+    the list assignment and the code assignment; both reuse the same
+    quantized batch). cmat/cmats are the small trained matrices,
+    closure-captured (broadcast-dim pattern)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("centroid_id", IntegerType())]
+        + [StructField(f"k{m}", IntegerType()) for m in range(PQ_M)]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            d = _int_sq_dists(qv, cmat)
+            nearest = np.lexsort(
+                (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
+            )[:, 0]
+            cols = {
+                id_col: pdf[id_col].astype("int64"),
+                "centroid_id": nearest.astype("int32"),
+            }
+            for m in range(PQ_M):
+                sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                dm = _int_sq_dists(sub, cmats[m])
+                cols[f"k{m}"] = np.lexsort(
+                    (np.broadcast_to(np.arange(PQ_K), dm.shape), dm), axis=1
+                )[:, 0].astype("int32")
+            yield pd.DataFrame(cols)
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    k: int,
+    n_queries: int,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVFPQ ANN: train both quantizers, build the
+    (id, list, codes) index in one pass, prune to each query's
+    ``n_probe`` nearest lists via a BROADCAST equi-join on the list id
+    (the inner join IS the partition pruning — unprobed lists never
+    leave the scan), then rank candidates by the PQ distance table.
+
+    Driver-bounded state only: the two trained quantizers, the
+    n_queries query vectors, their list assignments (n_queries ×
+    n_probe rows, computed driver-side with the SAME integer
+    arithmetic ivf_assign uses), and the n_queries × PQ_M × PQ_K
+    distance table. Per-candidate work at query time is PQ_M integer
+    lookups — never a float-vector read."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cmat = train_ivf_centroids(corpus, id_col, vec_col)
+    cmats = pq_train_codebooks(corpus, id_col, vec_col)
+    index = ivfpq_encode(corpus, cmat, cmats, id_col, vec_col)
+
+    qrows = (
+        corpus.where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()  # bounded by construction: n_queries rows
+    )
+    qmat = _quantize(np.array([list(r[vec_col]) for r in qrows], dtype=np.float64))
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    # query→probed-lists, driver-side (same _int_sq_dists + lexsort
+    # tie-break as ivf_assign, so parity with the oracle is inherited)
+    dq = _int_sq_dists(qmat, cmat)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(cmat.shape[0]), dq.shape), dq), axis=1
+    )[:, :n_probe]
+    spark = corpus.sparkSession
+    qprobe = spark.createDataFrame(
+        [(int(qids[i]), int(order[i, r])) for i in range(len(qids)) for r in range(n_probe)],
+        "query_id long, centroid_id int",
+    )
+    dtable = np.empty((len(qids), PQ_M, PQ_K), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = qmat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        dtable[:, m, :] = _int_sq_dists(sub, cmats[m])
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    pruned = index.join(F.broadcast(qprobe), "centroid_id").select(
+        "query_id", F.col(id_col).alias("candidate_id"), *[f"k{m}" for m in range(PQ_M)]
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("candidate_id", LongType()),
+            StructField("adc", LongType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy(dtype="int64")
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                adc += dtable[qi, m, pdf[f"k{m}"].to_numpy(dtype="int64")]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype="int64"),
+                    "candidate_id": pdf["candidate_id"].to_numpy(dtype="int64"),
+                    "adc": adc,
+                }
+            )
+
+    scored = pruned.mapInPandas(score, schema).where(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "candidate_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def duck_ivfpq_sql(n_queries: int, top_k: int, n_probe: int = N_PROBE) -> str:
+    """Generated DuckDB oracle for IVFPQ: the IVF training chain
+    (duck_ivf_kmeans_sql, unprefixed) and all PQ_M per-subspace chains
+    (s{m}_ prefixes) from the two parents, then list assignment,
+    query probes, and ADC ranking restricted to probed lists."""
+    dist = (
+        f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    chains, code_ctes = [duck_ivf_kmeans_sql()], []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        chains.append(
+            duck_ivf_kmeans_sql(
+                k=PQ_K,
+                dims=PQ_SUBDIM,
+                table=f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings)",
+                vec_col="sub",
+                prefix=f"s{m}_",
+            )
+        )
+        sdist = (
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+        )
+        code_ctes.append(
+            f"""code{m} AS (
+      SELECT vec_id, cidx AS code FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sdist}, c.cidx) AS rn
+        FROM s{m}_qemb e CROSS JOIN s{m}_cent{KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )"""
+        )
+    cand_joins = " ".join(f"JOIN code{m} c{m} USING (vec_id)" for m in range(1, PQ_M))
+    cand_cols = ", ".join(f"c{m}.code AS k{m}" for m in range(PQ_M))
+    q_joins = " ".join(f"JOIN s{m}_qemb a{m} USING (vec_id)" for m in range(1, PQ_M))
+    q_cols = ", ".join(f"a{m}.qe AS qe{m}" for m in range(PQ_M))
+    cc_joins = " ".join(
+        f"JOIN s{m}_cent{KMEANS_ITERS} cc{m} ON cc{m}.cidx = cd.k{m}"
+        for m in range(PQ_M)
+    )
+    terms = " + ".join(
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"j -> (q.qe{m}[j] - cc{m}.qc[j]) * (q.qe{m}[j] - cc{m}.qc[j])))"
+        for m in range(PQ_M)
+    )
+    chains_sql = ",\n    ".join(chains)
+    codes_sql = ",\n    ".join(code_ctes)
+    return f"""
+    WITH {chains_sql},
+    {codes_sql},
+    ivfprobe AS (
+      SELECT vec_id, cidx, probe_rank FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cidx) AS probe_rank
+        FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+      )
+    ),
+    cand AS (
+      SELECT vec_id, a.cidx, {cand_cols}
+      FROM (SELECT vec_id, cidx FROM ivfprobe WHERE probe_rank = 1) a
+      JOIN code0 c0 USING (vec_id) {cand_joins}
+    ),
+    q AS (
+      SELECT vec_id, {q_cols}
+      FROM s0_qemb a0 {q_joins}
+      WHERE vec_id < {n_queries}
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cidx FROM ivfprobe
+      WHERE vec_id < {n_queries} AND probe_rank <= {n_probe}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS candidate_id,
+             CAST({terms} AS BIGINT) AS adc
+      FROM cand cd
+      JOIN qprobe p ON p.cidx = cd.cidx
+      JOIN q ON q.vec_id = p.query_id
+      {cc_joins}
+      WHERE q.vec_id <> cd.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
+    """

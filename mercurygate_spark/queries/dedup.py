@@ -236,6 +236,72 @@ def dedup_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.unionByName(out2)
 
 
+@query(
+    "dedup_index_compact",
+    oracle=(
+        "SELECT new_id, match_id, shared_bands, n_candidates FROM ("
+        + duck_incremental_append_sql()
+        + ") WHERE batch_no = 2"
+    ),
+)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE for the continuous-dedup pipeline: after the
+    corpus index has been grown by an append (dedup_incremental_append's
+    nightly step), the bucketed band table is COMPACTED —
+    io.bucketing.compact_bucketed rewrites it to one file per bucket
+    under the SAME bucket spec — and only then probed by the next
+    batch. Appends keep probes exchange-free but add a file per
+    (writer task, bucket) forever; compaction bounds scan I/O and file
+    handles without ever rewriting more than the index (never the
+    corpus). Output = batch 2's best matches against the compacted
+    grown index; the oracle replays the append flow WITHOUT any
+    compaction, so the rewrite must be value-invisible, and the plan
+    contract (still `Bucketed: true`, no index-side Exchange, ≤
+    n_buckets files) is pinned in tests/test_plans.py."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import compact_bucketed, write_bucketed
+    from mercurygate_spark.operators.dedup import (
+        INCR_SPLIT_MOD as M,
+    )
+    from mercurygate_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature_arrow,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    corpus = docs.where(~(F.col("doc_id") % M).isin(0, M - 1))
+    b1 = docs.where(F.col("doc_id") % M == M - 1)
+    b2 = docs.where(F.col("doc_id") % M == 0)
+    idx_name = f"mg_dedup_band_index_compact_{_os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {idx_name}")
+    _build_band_index(spark, corpus, idx_name)
+
+    def bands_of(df):
+        return lsh_bands(minhash_signature_arrow(df, "doc_id"), "doc_id").select(
+            F.col("doc_id").alias("new_id"), _band_bucket_key().alias("bk")
+        )
+
+    # nightly append, then the maintenance rewrite
+    write_bucketed(
+        bands_of(b1).select(F.col("new_id").alias("match_id"), "bk"),
+        idx_name,
+        "bk",
+        8,
+        sort_by="bk",
+        mode="append",
+    )
+    compact_bucketed(spark, idx_name, "bk", 8, sort_by="bk")
+    idx = spark.table(idx_name)
+    cand = (
+        bands_of(b2).join(idx, "bk")
+        .groupBy("new_id", "match_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return _best_index_match(cand)
+
+
 @query("stream_incremental_dedup", oracle=duck_incremental_dedup_sql())
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_incremental_index's STREAMING twin — the shape a real

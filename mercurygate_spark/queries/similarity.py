@@ -402,3 +402,29 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end."""
     t = load_tables(spark, sf_dir, "embeddings")
     return pq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)
+
+
+from mercurygate_spark.operators.similarity import (  # noqa: E402
+    duck_ivfpq_sql,
+    ivfpq_adc_topk,
+)
+
+
+@query("sim_ivfpq_topk", oracle=duck_ivfpq_sql(N_QUERIES, TOP_K))
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the composed production 100 TB ANN shape (FAISS IVFADC,
+    Jégou et al. 2011 §V): IVF partition-pruning (each query probes its
+    {N_PROBE} nearest trained inverted lists) THEN PQ asymmetric-
+    distance scoring of ONLY the probed lists' candidates. Composes the
+    two oracle-green parents unchanged — sim_cosine_ivf's Lloyd-trained
+    coarse quantizer and sim_pq_adc_topk's per-subspace codebooks
+    (codes over raw vectors, FAISS by_residual=false) — so the oracle
+    is the union of both parents' exact-replay CTE chains plus the
+    probe-restricted ADC ranking. Engine plan: ONE Arrow pass builds
+    the (id, list, 16 codes) index frame, a broadcast inner join on the
+    list id prunes it to probed lists, and the scoring pass does PQ_M
+    integer table lookups per candidate — float vectors are never read
+    at query time. Recall-vs-candidates vs IVF/LSH at equal budgets:
+    scripts/ann_recall.py → docs/SCALING.md."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)

@@ -1514,3 +1514,281 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo, "Subword Regularization", ACL
+# 2018 — the SentencePiece unigram model; public algorithm), in the
+# deterministic integer-scored Viterbi-EM variant this engine's
+# exact-replay doctrine requires: piece scores are INTEGER corpus
+# frequencies (not float log-probs — a transcendental inside a DP
+# argmin would let a last-ulp engine difference flip a segmentation),
+# the Viterbi objective is lexicographic (fewest pieces, then
+# highest-frequency pieces, then smallest piece sequence) encoded as a
+# single fixed-width-cost || segmentation STRING whose MIN is the DP
+# state — string min is bit-identical in Python, Spark, and DuckDB on
+# ASCII — and each EM round is: Viterbi-segment every distinct word,
+# re-count piece usage, prune pieces below the usage floor (single
+# chars always survive: the coverage guarantee), re-score.
+# ---------------------------------------------------------------------------
+
+UNI_MAX_WLEN = 12        # words longer than this are excluded (bounds the DP
+                         # unroll; the oracle applies the same filter)
+UNI_MAX_PIECE = 4        # max piece length — bounds the seed vocab by the
+                         # hard combinatorial cap Σ_{l≤4} 36^l ≈ 1.73M pieces
+UNI_PEN = 100_000_000    # per-piece penalty base: cost = PEN - min(freq,
+                         # PEN-1), so fewer pieces always beats higher freq
+UNI_SEED_MIN = 5         # seed vocab floor (corpus occurrences)
+UNI_PRUNE_MIN = 5        # EM prune floor (Viterbi usage, word-weighted)
+UNI_TOPK = 40            # final vocabulary rows surfaced
+
+_UNI_COST_W = 11         # fixed width of the zero-padded cost prefix:
+                         # max cost = UNI_MAX_WLEN * UNI_PEN = 1.2e9 (10 digits)
+
+
+def _uni_words(docs: DataFrame) -> DataFrame:
+    """(word, wcnt) over the standard tokenizer, length-capped."""
+    from mercurygate_spark.functions import tokens
+
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.length("word") <= UNI_MAX_WLEN)
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+
+
+def _uni_seed_vocab(words: DataFrame) -> DataFrame:
+    """(piece, freq): every substring of length 1..UNI_MAX_PIECE of
+    every distinct word, weighted by word count (overlapping
+    occurrences all count — same rule in the oracle)."""
+    pos = words.select(
+        "word", "wcnt", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    )
+    pieces = pos.select(
+        "word",
+        "wcnt",
+        "i",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(UNI_MAX_PIECE), F.length("word") - F.col("i") + 1),
+            )
+        ).alias("l"),
+    ).select(F.expr("substring(word, i, l)").alias("piece"), "wcnt")
+    return pieces.groupBy("piece").agg(F.sum("wcnt").alias("freq"))
+
+
+def _uni_viterbi(words: DataFrame, cost: dict) -> DataFrame:
+    """Viterbi-segment each distinct word under the integer piece
+    costs: per prefix length j, best state = MIN over pieces ending at
+    j of (11-digit zero-padded total cost || ' '-joined segmentation)
+    — the exact string the oracle's unrolled b{j} CTEs minimize.
+    One Arrow pass over the DISTINCT-WORD frame (vocabulary-bounded,
+    the er_blocked_match doctrine — corpus size only enters through
+    wcnt); ``cost`` is the closure-captured piece→cost dict, bounded
+    by the Σ 36^l seed cap."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("wcnt", LongType()),
+            StructField("seg", StringType()),
+        ]
+    )
+    zero = "0" * _UNI_COST_W
+
+    def seg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segs = []
+            for w in pdf["word"]:
+                n = len(w)
+                best: list[str | None] = [zero] + [None] * n
+                for j in range(1, n + 1):
+                    cands = []
+                    for length in range(1, min(UNI_MAX_PIECE, j) + 1):
+                        piece = w[j - length : j]
+                        c = cost.get(piece)
+                        prev = best[j - length]
+                        if c is None or prev is None:
+                            continue
+                        tot = int(prev[:_UNI_COST_W]) + c
+                        cands.append(
+                            f"{tot:0{_UNI_COST_W}d}" + prev[_UNI_COST_W:] + " " + piece
+                        )
+                    best[j] = min(cands) if cands else None
+                # single chars always in vocab → the DP always completes
+                segs.append(best[n][_UNI_COST_W:])
+            yield pd.DataFrame(
+                {"word": pdf["word"], "wcnt": pdf["wcnt"], "seg": segs}
+            )
+
+    return words.select("word", "wcnt").mapInPandas(seg_batch, schema)
+
+
+def _uni_usage(seg: DataFrame) -> DataFrame:
+    """(piece, n_uses): Viterbi usage counts, word-count-weighted."""
+    return (
+        seg.select("wcnt", F.explode(F.split(F.trim("seg"), " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("n_uses"))
+    )
+
+
+def _uni_dp_sql(rnd: int, cost_cte: str) -> str:
+    """Unrolled Viterbi CTEs for one EM round: b0..b{UNI_MAX_WLEN}
+    (prefix-length DP states over uwords), then seg + usage."""
+    p = f"u{rnd}_"
+    zero = "0" * _UNI_COST_W
+    parts = [
+        f"{p}b0 AS MATERIALIZED (SELECT word, wcnt, '{zero}' AS best FROM uwords)"
+    ]
+    for j in range(1, UNI_MAX_WLEN + 1):
+        branches = []
+        for length in range(1, min(UNI_MAX_PIECE, j) + 1):
+            branches.append(f"""SELECT w.word, w.wcnt,
+               lpad(CAST(CAST(substr(p.best, 1, {_UNI_COST_W}) AS BIGINT)
+                         + c.cost AS VARCHAR), {_UNI_COST_W}, '0')
+                 || substr(p.best, {_UNI_COST_W + 1}) || ' ' || c.piece AS cand
+        FROM uwords w
+        JOIN {p}b{j - length} p ON p.word = w.word
+        JOIN {cost_cte} c ON c.piece = substr(w.word, {j - length + 1}, {length})
+        WHERE len(w.word) >= {j}""")
+        u = "\n        UNION ALL\n        ".join(branches)
+        parts.append(
+            f"""{p}b{j} AS MATERIALIZED (
+      SELECT word, wcnt, min(cand) AS best FROM (
+        {u}
+      ) GROUP BY word, wcnt
+    )"""
+        )
+    seg_union = "\n        UNION ALL\n        ".join(
+        f"SELECT word, wcnt, substr(best, {_UNI_COST_W + 1}) AS seg "
+        f"FROM {p}b{j} WHERE len(word) = {j}"
+        for j in range(1, UNI_MAX_WLEN + 1)
+    )
+    parts.append(f"""{p}seg AS MATERIALIZED (
+        {seg_union}
+    )""")
+    parts.append(f"""{p}usage AS MATERIALIZED (
+      SELECT piece, sum(wcnt) AS n_uses
+      FROM {p}seg, UNNEST(string_split(trim(seg), ' ')) AS t(piece)
+      GROUP BY piece
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _unigram_train_oracle() -> str:
+    """Generated oracle replaying BOTH EM rounds end to end: seed
+    vocab → round-1 Viterbi (12 unrolled prefix CTEs) → usage → prune
+    → round-2 Viterbi → final top-{UNI_TOPK} vocabulary."""
+    return f"""
+    WITH uwords AS MATERIALIZED (
+      SELECT word, count(*) AS wcnt FROM (
+        SELECT unnest({_DUCK_TK}) AS word FROM documents
+      ) WHERE len(word) <= {UNI_MAX_WLEN} GROUP BY word
+    ),
+    useed AS MATERIALIZED (
+      SELECT piece, sum(wcnt) AS freq FROM (
+        SELECT substr(w.word, CAST(i AS INT), CAST(l AS INT)) AS piece, w.wcnt
+        FROM uwords w,
+             UNNEST(range(1, len(w.word) + 1)) AS u(i),
+             UNNEST(range(1, {UNI_MAX_PIECE + 1})) AS v(l)
+        WHERE i + l - 1 <= len(w.word)
+      ) GROUP BY piece
+    ),
+    uc1 AS MATERIALIZED (
+      SELECT piece, {UNI_PEN} - least(freq, {UNI_PEN - 1}) AS cost
+      FROM useed WHERE freq >= {UNI_SEED_MIN} OR len(piece) = 1
+    ),
+    {_uni_dp_sql(1, "uc1")},
+    uc2 AS MATERIALIZED (
+      SELECT piece, {UNI_PEN} - least(n_uses, {UNI_PEN - 1}) AS cost
+      FROM u1_usage WHERE n_uses >= {UNI_PRUNE_MIN} AND len(piece) > 1
+      UNION ALL
+      SELECT c.piece,
+             {UNI_PEN} - least(coalesce(u.n_uses, 0), {UNI_PEN - 1}) AS cost
+      FROM uc1 c LEFT JOIN u1_usage u ON u.piece = c.piece
+      WHERE len(c.piece) = 1
+    ),
+    {_uni_dp_sql(2, "uc2")},
+    final AS (
+      SELECT piece, CAST(n_uses AS BIGINT) AS n_uses,
+             CAST(len(piece) AS BIGINT) AS piece_len,
+             row_number() OVER (ORDER BY n_uses DESC, piece) AS rk
+      FROM u2_usage
+    )
+    SELECT piece, n_uses, piece_len, rk FROM final WHERE rk <= {UNI_TOPK}
+    """
+
+
+@query("text_unigram_train", oracle=_unigram_train_oracle())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018)
+    in the engine's deterministic exact-replay variant — the tokenizer
+    family's second trainer next to text_bpe_train: seed a substring
+    vocabulary (lengths 1..{UNI_MAX_PIECE}, corpus-frequency-scored),
+    then two Viterbi-EM rounds of segment → re-count usage → prune
+    (usage < {UNI_PRUNE_MIN}, single chars immortal for coverage) →
+    re-score, and surface the final top-{UNI_TOPK} vocabulary with
+    usage counts.
+
+    Exactness doctrine (why no log-probs): piece scores stay INTEGER
+    corpus counts and the Viterbi objective is lexicographic — fewest
+    pieces, then highest total piece frequency, then smallest piece
+    sequence — encoded as one fixed-width zero-padded cost prefix
+    concatenated with the growing segmentation string; the DP state is
+    the string MIN, which Python (engine pass), and DuckDB (12
+    unrolled prefix CTEs per round) compute bit-identically over
+    ASCII. A float log-prob inside the argmin would expose the whole
+    trajectory to a last-ulp libm difference.
+
+    Scale shape: corpus-sized work is ONE tokenize+explode groupBy
+    (map-side combined) producing the distinct-word frame; everything
+    after — seeding, both DP passes, usage counts — runs on frames
+    bounded by vocabulary size, not corpus size (er_blocked_match
+    doctrine). The two driver-side cost dicts are bounded by the hard
+    Σ_{{l≤{UNI_MAX_PIECE}}} 36^l ≈ 1.73M-piece cap (the IVF-centroid
+    bounded-collect pattern). Words longer than {UNI_MAX_WLEN} chars
+    are excluded by spec on both engines (bounds the DP unroll)."""
+    t = load_tables(spark, sf_dir, "documents")
+    words = _uni_words(t["documents"]).localCheckpoint(eager=True)
+    seed = _uni_seed_vocab(words)
+    v1 = seed.where(
+        (F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)
+    ).collect()  # bounded: ≤ Σ 36^l pieces
+    cost1 = {r["piece"]: UNI_PEN - min(r["freq"], UNI_PEN - 1) for r in v1}
+    usage1 = {
+        r["piece"]: r["n_uses"]
+        for r in _uni_usage(_uni_viterbi(words, cost1)).collect()  # bounded: ⊆ vocab
+    }
+    cost2 = {
+        p: UNI_PEN - min(u, UNI_PEN - 1)
+        for p, u in usage1.items()
+        if u >= UNI_PRUNE_MIN and len(p) > 1
+    }
+    for p in cost1:
+        if len(p) == 1:
+            cost2[p] = UNI_PEN - min(usage1.get(p, 0), UNI_PEN - 1)
+    usage2 = _uni_usage(_uni_viterbi(words, cost2))
+    w = Window.orderBy(F.col("n_uses").desc(), "piece")
+    return (
+        usage2.select(
+            "piece",
+            F.col("n_uses").cast("long").alias("n_uses"),
+            F.length("piece").cast("long").alias("piece_len"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= UNI_TOPK)
+    )

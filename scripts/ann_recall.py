@@ -32,6 +32,7 @@ from mercurygate_spark.operators.similarity import (  # noqa: E402
     cosine_topk_lsh,
     cosine_topk_lsh_multi,
     ivf_assign,
+    ivfpq_adc_topk,
     lsh_bucket,
     lsh_bucket_multi,
     train_ivf_centroids,
@@ -143,6 +144,18 @@ def main() -> None:
         )
         sweep[np_] = (recall(ann, truth), cand / N_Q)
 
+    # --- IVFPQ probe sweep: SAME candidate budget as IVF at each
+    # n_probe (identical coarse quantizer + list assignment — the
+    # blocking is shared), but scoring by the 16-byte PQ code instead
+    # of the exact float vector. recall(IVF) - recall(IVFPQ) at equal
+    # candidates IS the quantization cost; candidates/query vs LSH at
+    # comparable recall IS the pruning win. ---
+    pq_sweep = {}
+    for np_ in (1, 2, 4, 8):
+        ann = topk_sets(ivfpq_adc_topk(e, k=K, n_queries=N_Q, n_probe=np_))
+        pq_sweep[np_] = (recall(ann, truth), sweep[np_][1])
+    results["sim_ivfpq_topk"] = pq_sweep[N_PROBE]
+
     bf_cand = n_corpus - 1
     print(f"\ncorpus={n_corpus} queries={N_Q} k={K}  (sf_dir={sf_dir})\n")
     print("| variant | recall@10 | candidates/query | vs brute force | random-baseline recall |")
@@ -156,11 +169,15 @@ def main() -> None:
             f"| {name} | {r:.3f} | {c:.0f} | {bf_cand / c:.1f}× fewer "
             f"| {c / bf_cand:.3f} |"
         )
-    print("\nIVF probe sweep (full-corpus training):\n")
-    print("| n_probe | recall@10 | candidates/query | random-baseline recall |")
+    print("\nIVF vs IVFPQ probe sweep (full-corpus training; equal "
+          "candidate budget per n_probe):\n")
+    print("| n_probe | candidates/query | IVF recall@10 (exact scoring) "
+          "| IVFPQ recall@10 (16 B codes) |")
     print("|---|---|---|---|")
-    for np_, (r, c) in sweep.items():
-        print(f"| {np_} | {r:.3f} | {c:.0f} | {c / bf_cand:.3f} |")
+    for np_ in sweep:
+        r_ivf, c = sweep[np_]
+        r_pq, _ = pq_sweep[np_]
+        print(f"| {np_} | {c:.0f} | {r_ivf:.3f} | {r_pq:.3f} |")
     print()
     print(json.dumps({
         "corpus": n_corpus, "n_queries": N_Q, "k": K,
@@ -170,6 +187,10 @@ def main() -> None:
         "ivf_probe_sweep": {
             str(np_): {"recall_at_10": round(r, 4), "candidates_per_query": round(c, 1)}
             for np_, (r, c) in sweep.items()
+        },
+        "ivfpq_probe_sweep": {
+            str(np_): {"recall_at_10": round(r, 4), "candidates_per_query": round(c, 1)}
+            for np_, (r, c) in pq_sweep.items()
         },
     }))
 

@@ -325,3 +325,94 @@ def test_delta_merge_branch_when_available(spark, tmp_path):
     )
     got = {r["claim_number"]: r for r in cur.collect()}
     assert got["CLM-1"]["status_code"] == "CLOSED"
+
+
+def test_incremental_silver_kill_between_merge_and_checkpoint(spark, tmp_path):
+    """Restart torture for the streaming merge sink (VERDICT r8 #3):
+    kill the query in the WORST crash window — after the batch's merge
+    has durably written silver, before Structured Streaming commits
+    the batch to the checkpoint — restart, and prove no loss and no
+    duplication vs the batch-path oracle.
+
+    Why this must hold: foreachBatch is at-least-once for the side
+    effect (offset commit happens after the user function returns), so
+    the crashed batch REPLAYS on restart against a silver table that
+    already contains its merge. The idempotency key making the replay
+    safe is pk + order_by latest-wins: merging rows that are already
+    the current versions changes nothing. A sink keyed any other way
+    (append, count-accumulating, etc.) would double-apply here — which
+    is exactly what the final equality check would catch."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from mercurygate_spark.pipeline.silver import merge_upsert_scd as batch_merge
+    from mercurygate_spark.pipeline.streaming_silver import incremental_silver
+
+    bronze = tmp_path / "bronze_torture"
+    bronze.mkdir()
+    silver = str(tmp_path / "silver_torture")
+    ckpt = str(tmp_path / "ckpt_torture")
+    spec = TABLES["claim"]
+    schema = "claimnumber string, statuscode string, updated_on timestamp"
+
+    def drop_file(rows, name):
+        df = spark.createDataFrame(rows, schema=schema)
+        staging = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], str(bronze / name))
+
+    gen1 = [("CLM-1", "OPEN", datetime(2026, 1, 1)),
+            ("CLM-2", "OPEN", datetime(2026, 1, 1))]
+    gen2 = [("CLM-1", "CLOSED", datetime(2026, 1, 2)),
+            ("CLM-3", "OPEN", datetime(2026, 1, 2))]
+    drop_file(gen1, "g1.parquet")
+
+    class Boom(RuntimeError):
+        pass
+
+    def kill_after_merge(batch_id):
+        raise Boom(f"injected crash after merge of batch {batch_id}")
+
+    with pytest.raises(StreamingQueryException):
+        incremental_silver(spark, str(bronze), schema, spec, silver, ckpt,
+                           after_merge=kill_after_merge)
+
+    # the crash window is real: merge landed, checkpoint did NOT commit
+    assert {r["claim_number"] for r in spark.read.parquet(silver).collect()} == {
+        "CLM-1", "CLM-2"
+    }
+    assert not glob.glob(f"{ckpt}/commits/*"), "batch must not be committed"
+
+    # restart: the same batch replays against already-merged silver
+    incremental_silver(spark, str(bronze), schema, spec, silver, ckpt)
+    assert glob.glob(f"{ckpt}/commits/*"), "replayed batch must commit"
+
+    # continue the pipeline normally with a second generation
+    drop_file(gen2, "g2.parquet")
+    incremental_silver(spark, str(bronze), schema, spec, silver, ckpt)
+    streamed = spark.read.parquet(silver)
+
+    # batch-path oracle: same two generations, no streaming, no crash
+    oracle_path = str(tmp_path / "silver_oracle")
+    from mercurygate_spark.pipeline.silver import conform as conform_fn
+    for rows in (gen1, gen2):
+        batch_merge(
+            spark,
+            conform_fn(spark.createDataFrame(rows, schema=schema), spec),
+            spec,
+            oracle_path,
+            soft_delete_missing=False,
+        )
+    expected = spark.read.parquet(oracle_path)
+
+    cols = sorted(streamed.columns)
+    assert cols == sorted(expected.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in expected.collect())
+    assert got == want, "crash+replay diverged from the batch oracle"
+    # and no key appears twice (the duplication half of exactly-once)
+    keys = [r["claim_number"] for r in streamed.collect()]
+    assert len(keys) == len(set(keys))

@@ -595,6 +595,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_token_budget",
     # 7-day rolling median over the per-day agg (≤ calendar days)
     "window_moving_median",
+    # final-vocab ranking over the piece-usage agg (≤ Σ 36^l pieces)
+    "text_unigram_train",
 }
 
 _GLOBAL_WINDOW_PASS_THROUGH = {
@@ -672,3 +674,41 @@ def test_claimant_leaderboard_global_window_is_post_agg(spark):
             found = True
             assert _bounded_window_input(node.children().apply(0))
     assert found, "leaderboard lost its ranking window?"
+
+
+def test_index_compact_keeps_bucketed_probe(spark):
+    """dedup_index_compact's maintenance contract: AFTER the append
+    and the compaction rewrite, the index must still read as a
+    bucketed table with the probe as the only bk-keyed Exchange
+    (forced-SMJ path), and the rewrite must leave exactly one file
+    per bucket — compaction that silently dropped the bucket spec
+    would re-shuffle the corpus on every future probe; one that kept
+    multi-file buckets didn't bound scan I/O."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "dedup_index_compact")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert s.count("Exchange hashpartitioning(bk") == 1
+        n_files = len(
+            spark.table(f"mg_dedup_band_index_compact_{os.getpid()}").inputFiles()
+        )
+        assert n_files == 8, f"compaction left {n_files} files, want 8"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(
+            f"DROP TABLE IF EXISTS mg_dedup_band_index_compact_{os.getpid()}"
+        )
+
+
+def test_ivfpq_prunes_lists_via_broadcast(spark):
+    """sim_ivfpq_topk's 100 TB contract: the probed-list pruning is a
+    BROADCAST inner join of the tiny (n_queries × n_probe) probe frame
+    onto the index — the index never shuffles for candidate selection,
+    and no sort-merge join (which would exchange the corpus-derived
+    side) appears anywhere."""
+    s = _plan(spark, "sim_ivfpq_topk")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
