@@ -71,6 +71,7 @@ HEADLINE = [
     "sim_ivfpq_topk",             # composed IVF-prune + PQ-ADC ANN
     "dedup_index_compact",        # append + bucket-preserving compaction + probe
     "text_unigram_train",         # unigram-LM tokenizer Viterbi-EM trainer
+    "sim_ivfpq_rerank",           # IVFPQ + exact top-R re-ranking
 ]
 
 

@@ -1049,6 +1049,7 @@ def ivfpq_adc_topk(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end IVFPQ ANN: train both quantizers, build the
     (id, list, codes) index in one pass, prune to each query's
@@ -1061,7 +1062,13 @@ def ivfpq_adc_topk(
     n_probe rows, computed driver-side with the SAME integer
     arithmetic ivf_assign uses), and the n_queries × PQ_M × PQ_K
     distance table. Per-candidate work at query time is PQ_M integer
-    lookups — never a float-vector read."""
+    lookups — never a float-vector read.
+
+    ``index``: a pre-built (id, centroid_id, k0..k{PQ_M-1}) frame —
+    e.g. the persisted bucketed catalog table a serving deployment
+    probes — used in place of the in-flight ivfpq_encode pass. The
+    quantizers retrain either way (deterministic, so the same
+    matrices; at serving time they'd be loaded, not retrained)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1070,7 +1077,8 @@ def ivfpq_adc_topk(
 
     cmat = train_ivf_centroids(corpus, id_col, vec_col)
     cmats = pq_train_codebooks(corpus, id_col, vec_col)
-    index = ivfpq_encode(corpus, cmat, cmats, id_col, vec_col)
+    if index is None:
+        index = ivfpq_encode(corpus, cmat, cmats, id_col, vec_col)
 
     qrows = (
         corpus.where(F.col(id_col) < n_queries)
@@ -1222,4 +1230,83 @@ def duck_ivfpq_sql(n_queries: int, top_k: int, n_probe: int = N_PROBE) -> str:
       FROM scored
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
+    """
+
+
+IVFPQ_RERANK_R = 50  # code-ranked candidates re-scored exactly per query
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    k: int,
+    n_queries: int,
+    r: int = IVFPQ_RERANK_R,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 4,
+) -> DataFrame:
+    """IVFPQ + exact re-ranking — the full production ANN serving
+    stack (FAISS IVFADC with refinement): the 16-byte codes rank the
+    probed lists' candidates cheaply, the top ``r`` per query are then
+    re-scored with EXACT cosine over the float vectors, and the final
+    top ``k`` comes from the exact scores. This is the standard fix
+    for the PQ recall ceiling measured in docs/SCALING.md (quantization
+    error, not candidate coverage, binds IVFPQ recall): the expensive
+    float reads collapse from |probed lists| to r per query —
+    n_queries × r point lookups against the corpus, joined as a
+    broadcast of the (query_id, candidate_id) winner frame (bounded by
+    construction), so the corpus is scanned once and never shuffled."""
+    cand = ivfpq_adc_topk(
+        corpus, k=r, n_queries=n_queries, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "candidate_id")
+    qv = corpus.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "candidate_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
+             / 10**round_scale).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "candidate_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def duck_ivfpq_rerank_sql(
+    n_queries: int, top_k: int, r: int = IVFPQ_RERANK_R, n_probe: int = N_PROBE
+) -> str:
+    """Oracle for ivfpq_rerank_topk: the full IVFPQ replay (nested
+    WITH) producing the code-ranked top ``r``, then exact 4-dp cosine
+    re-ranking over the raw embeddings."""
+    return f"""
+    WITH ivfpq AS (
+      {duck_ivfpq_sql(n_queries, r, n_probe)}
+    ),
+    rer AS (
+      SELECT i.query_id, i.candidate_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               {4}) AS cos
+      FROM ivfpq i
+      JOIN embeddings q ON q.vec_id = i.query_id
+      JOIN embeddings c ON c.vec_id = i.candidate_id
+    ),
+    rranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM rer
+    )
+    SELECT query_id, candidate_id, cos, rk FROM rranked WHERE rk <= {top_k}
     """

@@ -428,3 +428,64 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/ann_recall.py → docs/SCALING.md."""
     t = load_tables(spark, sf_dir, "embeddings")
     return ivfpq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)
+
+
+from mercurygate_spark.operators.similarity import (  # noqa: E402
+    IVFPQ_RERANK_R,
+    duck_ivfpq_rerank_sql,
+    ivfpq_rerank_topk,
+)
+
+
+@query("sim_ivfpq_rerank", oracle=duck_ivfpq_rerank_sql(N_QUERIES, TOP_K))
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN serving stack (FAISS IVFADC +
+    refinement): IVF prunes to each query's probed lists, 16-byte PQ
+    codes rank those candidates, the top {IVFPQ_RERANK_R} per query
+    are re-scored with EXACT cosine over the float vectors, and the
+    final top-{TOP_K} comes from the exact scores — the standard fix
+    for the measured PQ recall ceiling (docs/SCALING.md: quantization
+    error, not candidate coverage, binds IVFPQ recall). Float-vector
+    reads collapse to {IVFPQ_RERANK_R} point lookups per query,
+    joined as a broadcast of the bounded winner frame — the corpus is
+    scanned once, never shuffled. The oracle nests the complete IVFPQ
+    exact replay and re-ranks in SQL."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)
+
+
+@query("sim_ivfpq_persisted_probe", oracle=duck_ivfpq_sql(N_QUERIES, TOP_K))
+def sim_ivfpq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivfpq_topk with the (id, list, 16-codes) index PERSISTED as
+    a catalog table bucketed by the list id — the exact frame an IVFPQ
+    serving deployment stores and probes: ~24 B/vector at rest, built
+    once at ingest, probed by every query batch with NO index-side
+    Exchange (the bucket layout satisfies the join's distribution —
+    plan-pinned in tests/test_plans.py, same contract as the dedup
+    band index and the IVF float-list table). Probe I/O touches only
+    the probed lists' buckets; the float vectors never leave parquet.
+    Oracle: identical to sim_ivfpq_topk — persistence must be
+    value-invisible."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
+    from mercurygate_spark.operators.similarity import (
+        ivfpq_encode,
+        pq_train_codebooks,
+        train_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    cmat = train_ivf_centroids(e)
+    cmats = pq_train_codebooks(e)
+    name = f"mg_ivfpq_index_{_os.getpid()}"
+    write_bucketed(
+        ivfpq_encode(e, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id",
+    )
+    register_tmp_table(spark, name)
+    return ivfpq_adc_topk(
+        e, k=TOP_K, n_queries=N_QUERIES, index=spark.table(name)
+    )

@@ -1792,3 +1792,122 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= UNI_TOPK)
     )
+
+
+def _unigram_apply_oracle() -> str:
+    """Oracle for text_unigram_apply: the full two-round training
+    replay, a THIRD Viterbi pass under the final pruned vocabulary,
+    and the corpus-level application summary."""
+    npieces = "len(string_split(trim(seg), ' '))"
+    return f"""
+    WITH uwords AS MATERIALIZED (
+      SELECT word, count(*) AS wcnt FROM (
+        SELECT unnest({_DUCK_TK}) AS word FROM documents
+      ) WHERE len(word) <= {UNI_MAX_WLEN} GROUP BY word
+    ),
+    useed AS MATERIALIZED (
+      SELECT piece, sum(wcnt) AS freq FROM (
+        SELECT substr(w.word, CAST(i AS INT), CAST(l AS INT)) AS piece, w.wcnt
+        FROM uwords w,
+             UNNEST(range(1, len(w.word) + 1)) AS u(i),
+             UNNEST(range(1, {UNI_MAX_PIECE + 1})) AS v(l)
+        WHERE i + l - 1 <= len(w.word)
+      ) GROUP BY piece
+    ),
+    uc1 AS MATERIALIZED (
+      SELECT piece, {UNI_PEN} - least(freq, {UNI_PEN - 1}) AS cost
+      FROM useed WHERE freq >= {UNI_SEED_MIN} OR len(piece) = 1
+    ),
+    {_uni_dp_sql(1, "uc1")},
+    uc2 AS MATERIALIZED (
+      SELECT piece, {UNI_PEN} - least(n_uses, {UNI_PEN - 1}) AS cost
+      FROM u1_usage WHERE n_uses >= {UNI_PRUNE_MIN} AND len(piece) > 1
+      UNION ALL
+      SELECT c.piece,
+             {UNI_PEN} - least(coalesce(u.n_uses, 0), {UNI_PEN - 1}) AS cost
+      FROM uc1 c LEFT JOIN u1_usage u ON u.piece = c.piece
+      WHERE len(c.piece) = 1
+    ),
+    {_uni_dp_sql(2, "uc2")},
+    uc3 AS MATERIALIZED (
+      SELECT piece, {UNI_PEN} - least(n_uses, {UNI_PEN - 1}) AS cost
+      FROM u2_usage WHERE n_uses >= {UNI_PRUNE_MIN} AND len(piece) > 1
+      UNION ALL
+      SELECT c.piece,
+             {UNI_PEN} - least(coalesce(u.n_uses, 0), {UNI_PEN - 1}) AS cost
+      FROM uc2 c LEFT JOIN u2_usage u ON u.piece = c.piece
+      WHERE len(c.piece) = 1
+    ),
+    {_uni_dp_sql(3, "uc3")},
+    summary AS (
+      SELECT CAST(sum(wcnt) AS BIGINT) AS n_words,
+             CAST(sum(wcnt * {npieces}) AS BIGINT) AS n_pieces,
+             floor((CAST(sum(wcnt * {npieces}) AS DOUBLE) / sum(wcnt))
+                   * 1000000 + 0.5) / 1000000 AS pieces_per_word,
+             CAST(sum(CASE WHEN {npieces} = 1 THEN wcnt ELSE 0 END) AS BIGINT)
+               AS n_whole_words
+      FROM u3_seg
+    ),
+    distinct_pieces AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct_pieces FROM u3_usage
+    )
+    SELECT * FROM summary CROSS JOIN distinct_pieces
+    """
+
+
+@query("text_unigram_apply", oracle=_unigram_apply_oracle())
+def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM tokenizer to the corpus — the
+    text_bpe_apply twin for the unigram family: re-run the two
+    training rounds, prune to the FINAL vocabulary (same floor,
+    single chars immortal), Viterbi-segment every distinct word under
+    it, and emit the corpus-level application summary a tokenizer
+    deployment reports: words tokenized, emitted pieces,
+    pieces-per-word (the compression the vocab buys), whole-word
+    hits, and the distinct pieces actually used. Same bounded shapes
+    as text_unigram_train (one corpus-sized groupBy, everything else
+    vocabulary-bounded; the two 1-row summary frames cross-join —
+    bounded, exempt-listed). The oracle replays training AND the
+    third application pass in one generated CTE chain."""
+    t = load_tables(spark, sf_dir, "documents")
+    words = _uni_words(t["documents"]).localCheckpoint(eager=True)
+    seed = _uni_seed_vocab(words)
+    v1 = seed.where(
+        (F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)
+    ).collect()  # bounded: ≤ Σ 36^l pieces
+    cost1 = {r["piece"]: UNI_PEN - min(r["freq"], UNI_PEN - 1) for r in v1}
+
+    def next_cost(prev_cost: dict) -> tuple[dict, DataFrame]:
+        seg = _uni_viterbi(words, prev_cost)
+        usage_df = _uni_usage(seg)
+        usage = {r["piece"]: r["n_uses"] for r in usage_df.collect()}  # bounded
+        cost = {
+            p: UNI_PEN - min(u, UNI_PEN - 1)
+            for p, u in usage.items()
+            if u >= UNI_PRUNE_MIN and len(p) > 1
+        }
+        for p in prev_cost:
+            if len(p) == 1:
+                cost[p] = UNI_PEN - min(usage.get(p, 0), UNI_PEN - 1)
+        return cost, seg
+
+    cost2, _ = next_cost(cost1)
+    cost3, _ = next_cost(cost2)
+    seg3 = _uni_viterbi(words, cost3).localCheckpoint(eager=True)
+
+    npieces = F.size(F.split(F.trim("seg"), " "))
+    r6d = lambda c: F.floor(c * F.lit(10**6) + F.lit(0.5)) / 10**6  # noqa: E731
+    summary = seg3.agg(
+        F.sum("wcnt").cast("long").alias("n_words"),
+        F.sum(F.col("wcnt") * npieces).cast("long").alias("n_pieces"),
+        r6d(
+            F.sum(F.col("wcnt") * npieces).cast("double") / F.sum("wcnt")
+        ).alias("pieces_per_word"),
+        F.sum(F.when(npieces == 1, F.col("wcnt")).otherwise(0))
+        .cast("long")
+        .alias("n_whole_words"),
+    )
+    distinct_pieces = _uni_usage(seg3).agg(
+        F.count("*").cast("long").alias("n_distinct_pieces")
+    )
+    return summary.crossJoin(F.broadcast(distinct_pieces))

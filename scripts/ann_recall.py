@@ -33,6 +33,7 @@ from mercurygate_spark.operators.similarity import (  # noqa: E402
     cosine_topk_lsh_multi,
     ivf_assign,
     ivfpq_adc_topk,
+    ivfpq_rerank_topk,
     lsh_bucket,
     lsh_bucket_multi,
     train_ivf_centroids,
@@ -155,6 +156,12 @@ def main() -> None:
         ann = topk_sets(ivfpq_adc_topk(e, k=K, n_queries=N_Q, n_probe=np_))
         pq_sweep[np_] = (recall(ann, truth), sweep[np_][1])
     results["sim_ivfpq_topk"] = pq_sweep[N_PROBE]
+
+    # --- IVFPQ + exact re-rank of the code-ranked top-R: same
+    # candidate budget as IVFPQ; the recall recovered vs plain IVFPQ
+    # is what R exact float reads per query buy back. ---
+    ann = topk_sets(ivfpq_rerank_topk(e, k=K, n_queries=N_Q))
+    results["sim_ivfpq_rerank"] = (recall(ann, truth), pq_sweep[N_PROBE][1])
 
     bf_cand = n_corpus - 1
     print(f"\ncorpus={n_corpus} queries={N_Q} k={K}  (sf_dir={sf_dir})\n")

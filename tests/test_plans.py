@@ -96,6 +96,9 @@ _BOUNDED_BNLJ_OK = {
     # 1-row before-stats × 1-row after-stats frames crossed into the
     # single tokenizer-application summary row
     "text_bpe_apply",
+    # 1-row summary × 1-row distinct-piece-count frame — the unigram
+    # tokenizer-application summary row
+    "text_unigram_apply",
     # per feature, a 1-row (n_ref, n_cur, nb) totals frame broadcast
     # onto the <=B-row bin-count frame
     "dq_psi_drift",
@@ -712,3 +715,26 @@ def test_ivfpq_prunes_lists_via_broadcast(spark):
     s = _plan(spark, "sim_ivfpq_topk")
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_ivfpq_persisted_index_side_never_shuffles(spark):
+    """sim_ivfpq_persisted_probe's serving contract: the persisted
+    codes index is read through its bucketed layout and NEVER
+    exchanged — the tiny (n_queries × n_probe) probe frame carries an
+    explicit broadcast hint, so even with the adaptive broadcast
+    threshold disabled the pruning join is a BroadcastHashJoin
+    building on the probe side and the index's only movement is the
+    scan itself. Zero centroid_id-keyed Exchange anywhere."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "sim_ivfpq_persisted_probe")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert "BroadcastHashJoin" in s and "BuildRight" in s
+        assert s.count("Exchange hashpartitioning(centroid_id") == 0
+        assert "SortMergeJoin" not in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS mg_ivfpq_index_{os.getpid()}")
