@@ -1050,6 +1050,8 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    train_on: DataFrame | None = None,
+    query_source: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end IVFPQ ANN: train both quantizers, build the
     (id, list, codes) index in one pass, prune to each query's
@@ -1068,20 +1070,29 @@ def ivfpq_adc_topk(
     e.g. the persisted bucketed catalog table a serving deployment
     probes — used in place of the in-flight ivfpq_encode pass. The
     quantizers retrain either way (deterministic, so the same
-    matrices; at serving time they'd be loaded, not retrained)."""
+    matrices; at serving time they'd be loaded, not retrained).
+
+    ``train_on``: frame the quantizers train on (defaults to
+    ``corpus``) — the incremental-append key trains on the original
+    corpus only and FREEZES the quantizers for appended batches.
+    ``query_source``: frame the query vectors come from (defaults to
+    ``corpus``)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cmat = train_ivf_centroids(corpus, id_col, vec_col)
-    cmats = pq_train_codebooks(corpus, id_col, vec_col)
+    cmat = train_ivf_centroids(train_on if train_on is not None else corpus,
+                               id_col, vec_col)
+    cmats = pq_train_codebooks(train_on if train_on is not None else corpus,
+                               id_col, vec_col)
     if index is None:
         index = ivfpq_encode(corpus, cmat, cmats, id_col, vec_col)
 
     qrows = (
-        corpus.where(F.col(id_col) < n_queries)
+        (query_source if query_source is not None else corpus)
+        .where(F.col(id_col) < n_queries)
         .select(id_col, vec_col)
         .collect()  # bounded by construction: n_queries rows
     )
@@ -1309,4 +1320,127 @@ def duck_ivfpq_rerank_sql(
       FROM rer
     )
     SELECT query_id, candidate_id, cos, rk FROM rranked WHERE rk <= {top_k}
+    """
+
+
+INCR_ANN_MOD = 5  # vec_id % mod == 0 → the appended batch; rest = corpus
+
+
+def duck_ivfpq_incr_sql(
+    n_queries: int, top_k: int, n_probe: int = N_PROBE, mod: int = INCR_ANN_MOD
+) -> str:
+    """Oracle for sim_ivfpq_incremental_append: both quantizers train
+    ONLY on the original corpus split (vec_id % mod <> 0); codes and
+    list assignments are then computed for EVERY vector (corpus +
+    appended batch) under those frozen quantizers, and queries (drawn
+    from the full set) rank the grown index — replaying exactly what
+    the engine's append path does."""
+    qz = (
+        "list_transform({v}::DOUBLE[], "
+        f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
+    )
+    corpus_pred = f"vec_id % {mod} <> 0"
+    dist = (
+        f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    chains = [
+        duck_ivf_kmeans_sql(
+            table=f"(SELECT vec_id, embedding FROM embeddings WHERE {corpus_pred})"
+        )
+    ]
+    full_ctes = [
+        f"fq AS (SELECT vec_id, {qz.format(v='embedding')} AS qe FROM embeddings)"
+    ]
+    code_ctes = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        chains.append(
+            duck_ivf_kmeans_sql(
+                k=PQ_K,
+                dims=PQ_SUBDIM,
+                table=(
+                    f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub "
+                    f"FROM embeddings WHERE {corpus_pred})"
+                ),
+                vec_col="sub",
+                prefix=f"s{m}_",
+            )
+        )
+        full_ctes.append(
+            f"fs{m} AS (SELECT vec_id, "
+            f"{qz.format(v=f'embedding[{lo}:{hi}]')} AS qe FROM embeddings)"
+        )
+        sdist = (
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+        )
+        code_ctes.append(
+            f"""code{m} AS (
+      SELECT vec_id, cidx AS code FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sdist}, c.cidx) AS rn
+        FROM fs{m} e CROSS JOIN s{m}_cent{KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )"""
+        )
+    cand_joins = " ".join(f"JOIN code{m} c{m} USING (vec_id)" for m in range(1, PQ_M))
+    cand_cols = ", ".join(f"c{m}.code AS k{m}" for m in range(PQ_M))
+    q_joins = " ".join(f"JOIN fs{m} a{m} USING (vec_id)" for m in range(1, PQ_M))
+    q_cols = ", ".join(f"a{m}.qe AS qe{m}" for m in range(PQ_M))
+    cc_joins = " ".join(
+        f"JOIN s{m}_cent{KMEANS_ITERS} cc{m} ON cc{m}.cidx = cd.k{m}"
+        for m in range(PQ_M)
+    )
+    terms = " + ".join(
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"j -> (q.qe{m}[j] - cc{m}.qc[j]) * (q.qe{m}[j] - cc{m}.qc[j])))"
+        for m in range(PQ_M)
+    )
+    chains_sql = ",\n    ".join(chains)
+    full_sql = ",\n    ".join(full_ctes)
+    codes_sql = ",\n    ".join(code_ctes)
+    return f"""
+    WITH {chains_sql},
+    {full_sql},
+    {codes_sql},
+    ivfprobe AS (
+      SELECT vec_id, cidx, probe_rank FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cidx) AS probe_rank
+        FROM fq e CROSS JOIN cent{KMEANS_ITERS} c
+      )
+    ),
+    cand AS (
+      SELECT vec_id, a.cidx, {cand_cols}
+      FROM (SELECT vec_id, cidx FROM ivfprobe WHERE probe_rank = 1) a
+      JOIN code0 c0 USING (vec_id) {cand_joins}
+    ),
+    q AS (
+      SELECT vec_id, {q_cols}
+      FROM fs0 a0 {q_joins}
+      WHERE vec_id < {n_queries}
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cidx FROM ivfprobe
+      WHERE vec_id < {n_queries} AND probe_rank <= {n_probe}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS candidate_id,
+             CAST({terms} AS BIGINT) AS adc
+      FROM cand cd
+      JOIN qprobe p ON p.cidx = cd.cidx
+      JOIN q ON q.vec_id = p.query_id
+      {cc_joins}
+      WHERE q.vec_id <> cd.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY adc, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
     """

@@ -489,3 +489,60 @@ def sim_ivfpq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(
         e, k=TOP_K, n_queries=N_QUERIES, index=spark.table(name)
     )
+
+
+from mercurygate_spark.operators.similarity import (  # noqa: E402
+    INCR_ANN_MOD,
+    duck_ivfpq_incr_sql,
+    ivfpq_encode,
+    pq_train_codebooks,
+    train_ivf_centroids,
+)
+
+
+@query(
+    "sim_ivfpq_incremental_append",
+    oracle=duck_ivfpq_incr_sql(N_QUERIES, TOP_K),
+)
+def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index growth under FROZEN quantizers — the
+    similarity twin of dedup_incremental_append, and what a production
+    vector index actually does between retrains: the coarse centroids
+    and PQ codebooks train ONCE on the original corpus
+    (vec_id % {INCR_ANN_MOD} ≠ 0); the new batch (% {INCR_ANN_MOD} = 0)
+    is encoded with those frozen quantizers and APPENDED to the
+    persisted bucketed codes table under the same bucket spec (one
+    batch-sized bucketed write — never a corpus re-encode, never a
+    retrain); queries then rank the GROWN index, so results can hit
+    appended vectors. The oracle trains on the corpus split only and
+    encodes/assigns every vector under the frozen chains — append
+    mechanics must be value-invisible. Plan contract (pinned): the
+    grown table still reads bucketed, probed with zero index-side
+    Exchange."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
+    batch = e.where(F.col("vec_id") % INCR_ANN_MOD == 0)
+    cmat = train_ivf_centroids(corpus)
+    cmats = pq_train_codebooks(corpus)
+    name = f"mg_ivfpq_incr_{_os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(
+        ivfpq_encode(corpus, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id",
+    )
+    register_tmp_table(spark, name)
+    # nightly append: encode ONLY the batch under the frozen quantizers
+    write_bucketed(
+        ivfpq_encode(batch, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id", mode="append",
+    )
+    return ivfpq_adc_topk(
+        e, k=TOP_K, n_queries=N_QUERIES,
+        index=spark.table(name), train_on=corpus, query_source=e,
+    )

@@ -738,3 +738,23 @@ def test_ivfpq_persisted_index_side_never_shuffles(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS mg_ivfpq_index_{os.getpid()}")
+
+
+def test_ivfpq_incremental_append_keeps_bucketed_layout(spark):
+    """sim_ivfpq_incremental_append's maintenance contract: AFTER the
+    frozen-quantizer batch append, the grown codes table still reads
+    as a bucketed table probed by the broadcast-hinted query frame
+    with ZERO centroid_id-keyed Exchange — an append that dropped the
+    bucket spec would turn every future probe into an index shuffle."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "sim_ivfpq_incremental_append")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert s.count("Exchange hashpartitioning(centroid_id") == 0
+        assert "SortMergeJoin" not in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS mg_ivfpq_incr_{os.getpid()}")

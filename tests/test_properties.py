@@ -665,3 +665,34 @@ def test_bpe_spark_replace_matches_python(spark):
             py = py.replace(" a b ", " a_b ")
         assert rows[i] == py
         assert py.split() == _greedy_bpe_merge(t, "a", "b")
+
+
+def test_unigram_viterbi_reconstructs_every_word(spark):
+    """Unigram-tokenizer invariant: concatenating a word's Viterbi
+    pieces reproduces the word exactly, every piece is in the vocab,
+    and no piece exceeds UNI_MAX_PIECE — for every distinct word in
+    the corpus (coverage: single chars are immortal, so the DP can
+    never dead-end)."""
+    from mercurygate_spark.queries.registry import load_tables
+    from mercurygate_spark.queries.text import (
+        UNI_MAX_PIECE,
+        UNI_PEN,
+        UNI_SEED_MIN,
+        _uni_seed_vocab,
+        _uni_viterbi,
+        _uni_words,
+    )
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    words = _uni_words(docs)
+    v1 = _uni_seed_vocab(words).where(
+        (F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)
+    ).collect()
+    cost = {r["piece"]: UNI_PEN - min(r["freq"], UNI_PEN - 1) for r in v1}
+    rows = _uni_viterbi(words, cost).collect()
+    assert rows
+    for r in rows:
+        pieces = r["seg"].split()
+        assert "".join(pieces) == r["word"]
+        for p in pieces:
+            assert p in cost and 1 <= len(p) <= UNI_MAX_PIECE
