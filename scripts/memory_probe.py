@@ -43,6 +43,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 KEYS = ["dedup_minhash_lsh", "dedup_connected_components", "pipeline_corpus_curate"]
 # second wave (round-8 close): the merge/index/training paths
 KEYS_B = ["pipeline_medallion_e2e", "dedup_incremental_index", "text_bpe_train"]
+# third wave (round 9): the composed ANN, index-compaction, and
+# unigram-trainer paths added this round
+KEYS_C = ["sim_ivfpq_topk", "dedup_index_compact", "text_unigram_train"]
 SCALED_DIR = "/tmp/mercurygate_memory_probe_data"
 
 
@@ -89,7 +92,8 @@ def worker(args: argparse.Namespace) -> None:
     )
     queries = all_queries()
     out: dict[str, dict] = {}
-    for name in (KEYS if args.wave == "a" else KEYS_B):
+    wave_keys = {"a": KEYS, "b": KEYS_B, "c": KEYS_C}[args.wave]
+    for name in wave_keys:
         t0 = time.time()
         res = queries[name](spark, SCALED_DIR)
         chk = _checksum(res)
@@ -110,7 +114,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--wave", choices=["a", "b"], default="a")
+    ap.add_argument("--wave", choices=["a", "b", "c"], default="a")
     ap.add_argument("--label", default="tight")
     ap.add_argument("--ui-port", type=int, default=4058)
     args = ap.parse_args()
@@ -151,7 +155,7 @@ def main() -> None:
         and "error" not in fat
         and all(tight["keys"][k]["hash_sum"] == fat["keys"][k]["hash_sum"]
                 and tight["keys"][k]["rows"] == fat["keys"][k]["rows"]
-                for k in (KEYS if args.wave == "a" else KEYS_B))
+                for k in {"a": KEYS, "b": KEYS_B, "c": KEYS_C}[args.wave])
     )
     artifact = {
         "factor": args.factor,
