@@ -1203,3 +1203,29 @@ def test_logreg_training_learns_and_matches_numpy(spark, sf_dir):
     acc = float((((X @ w) >= 0) == (y == 1)).mean())
     baseline = max(y.mean(), 1 - y.mean())
     assert acc >= baseline + 0.15, (acc, baseline)
+
+
+def test_stateful_index_keys_rerun_identical(spark):
+    """The persisted-index keys leave catalog state behind (bucketed
+    band/code tables, appends, compaction rewrites). Running each key
+    TWICE in one session must produce identical results — a stale or
+    doubly-appended index from run 1 leaking into run 2 would show up
+    here long before the (fresh-process) oracle gate could see it."""
+    from mercurygate_spark.queries import all_queries
+
+    queries = all_queries()
+    for key in [
+        "dedup_incremental_index",
+        "dedup_incremental_append",
+        "dedup_index_compact",
+        "sim_ivf_persisted_probe",
+        "sim_ivfpq_persisted_probe",
+        "sim_ivfpq_incremental_append",
+    ]:
+        first = queries[key](spark, "/root/testdata/sf0.001")
+        cols = sorted(first.columns)
+        a = sorted(tuple(r[c] for c in cols) for r in first.collect())
+        second = queries[key](spark, "/root/testdata/sf0.001")
+        b = sorted(tuple(r[c] for c in cols) for r in second.collect())
+        assert a == b, f"{key} diverged on same-session re-run"
+        assert a, f"{key} returned no rows"
