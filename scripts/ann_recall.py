@@ -159,9 +159,13 @@ def main() -> None:
 
     # --- IVFPQ + exact re-rank of the code-ranked top-R: same
     # candidate budget as IVFPQ; the recall recovered vs plain IVFPQ
-    # is what R exact float reads per query buy back. ---
-    ann = topk_sets(ivfpq_rerank_topk(e, k=K, n_queries=N_Q))
-    results["sim_ivfpq_rerank"] = (recall(ann, truth), pq_sweep[N_PROBE][1])
+    # is what R exact float reads per query buy back. Sweep R to show
+    # where the refinement saturates (R→candidates ⇒ recall→IVF's). ---
+    rerank_sweep = {}
+    for r_ in (10, 25, 50, 100):
+        ann = topk_sets(ivfpq_rerank_topk(e, k=K, n_queries=N_Q, r=r_))
+        rerank_sweep[r_] = (recall(ann, truth), pq_sweep[N_PROBE][1])
+    results["sim_ivfpq_rerank"] = rerank_sweep[50]
 
     bf_cand = n_corpus - 1
     print(f"\ncorpus={n_corpus} queries={N_Q} k={K}  (sf_dir={sf_dir})\n")
@@ -176,6 +180,12 @@ def main() -> None:
             f"| {name} | {r:.3f} | {c:.0f} | {bf_cand / c:.1f}× fewer "
             f"| {c / bf_cand:.3f} |"
         )
+    print("\nIVFPQ re-rank R sweep (n_probe=2, exact re-scoring of the "
+          "code-ranked top R):\n")
+    print("| R | recall@10 |")
+    print("|---|---|")
+    for r_, (rc, _) in rerank_sweep.items():
+        print(f"| {r_} | {rc:.3f} |")
     print("\nIVF vs IVFPQ probe sweep (full-corpus training; equal "
           "candidate budget per n_probe):\n")
     print("| n_probe | candidates/query | IVF recall@10 (exact scoring) "
@@ -198,6 +208,10 @@ def main() -> None:
         "ivfpq_probe_sweep": {
             str(np_): {"recall_at_10": round(r, 4), "candidates_per_query": round(c, 1)}
             for np_, (r, c) in pq_sweep.items()
+        },
+        "ivfpq_rerank_R_sweep": {
+            str(r_): {"recall_at_10": round(rc, 4)}
+            for r_, (rc, _) in rerank_sweep.items()
         },
     }))
 

@@ -1229,3 +1229,55 @@ def test_stateful_index_keys_rerun_identical(spark):
         b = sorted(tuple(r[c] for c in cols) for r in second.collect())
         assert a == b, f"{key} diverged on same-session re-run"
         assert a, f"{key} returned no rows"
+
+
+def test_ivfpq_index_compaction_is_value_invisible(spark):
+    """compact_bucketed on the APPENDED IVFPQ codes table (the ANN
+    twin of dedup_index_compact's contract): after the frozen-
+    quantizer append grows the table, compaction must collapse it to
+    one file per bucket, keep the bucket spec, and leave probe
+    results identical."""
+    import os
+
+    from mercurygate_spark.io.bucketing import compact_bucketed
+    from mercurygate_spark.queries import all_queries
+
+    key = "sim_ivfpq_incremental_append"
+    first = all_queries()[key](spark, "/root/testdata/sf0.001")
+    cols = sorted(first.columns)
+    before = sorted(tuple(r[c] for c in cols) for r in first.collect())
+
+    name = f"mg_ivfpq_incr_{os.getpid()}"
+    files_before = len(spark.table(name).inputFiles())
+    from pyspark.sql import functions as F
+
+    # one file per NON-EMPTY bucket (a bucket no centroid hashes into
+    # writes no file — happens at sf0.001's 16 centroid values)
+    n_occupied = (
+        spark.table(name)
+        .select(F.pmod(F.hash("centroid_id"), F.lit(8)).alias("b"))
+        .distinct()
+        .count()
+    )
+    n_files = compact_bucketed(spark, name, "centroid_id", 8, sort_by="centroid_id")
+    assert n_files == n_occupied and files_before > n_files
+
+    # re-probe the compacted table directly (same quantizers retrain
+    # deterministically inside the operator)
+    from mercurygate_spark.operators.similarity import (
+        INCR_ANN_MOD,
+        ivfpq_adc_topk,
+    )
+    from mercurygate_spark.queries.registry import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
+    reprobe = ivfpq_adc_topk(
+        e, k=10, n_queries=5, index=spark.table(name),
+        train_on=corpus, query_source=e,
+    )
+    after = sorted(tuple(r[c] for c in cols) for r in reprobe.collect())
+    assert before == after, "compaction changed ANN probe results"
+    plan = reprobe._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
