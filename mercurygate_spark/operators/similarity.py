@@ -1444,3 +1444,115 @@ def duck_ivfpq_incr_sql(
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
     """
+
+
+def ivfpq_score_distributed(
+    queries: DataFrame,
+    index: DataFrame,
+    cmat,
+    cmats: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Fully DISTRIBUTED IVFPQ scoring — no driver-side query state at
+    all (ivfpq_adc_topk precomputes a per-query distance table on the
+    driver, which is right for a bounded ad-hoc query set; this
+    variant keeps everything in executors, so the query side may be
+    UNBOUNDED or a STREAM). Two Arrow passes + one equi-join:
+
+      1. probe pass: each query row → its ``n_probe`` nearest lists
+         (same integer arithmetic as ivf_assign), carrying the query
+         vector;
+      2. list join on centroid_id (stream-static when the query side
+         streams — the static index is re-planned per micro-batch, so
+         an index refresh is picked up at the next batch);
+      3. ADC pass: per joined row, the asymmetric distance is computed
+         directly — Σ_m ‖q_sub_m − codebook_m[code_m]‖² on the
+         quantized grid — numerically IDENTICAL to the distance-table
+         lookup (same integers, summed per subspace).
+
+    Returns un-ranked (query_id, candidate_id, adc); the caller ranks
+    (streams rank batch-side on the bounded sink, the
+    stream_incremental_dedup doctrine)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vec_field = queries.schema[vec_col]
+    probe_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("qv", vec_field.dataType),
+            StructField("centroid_id", IntegerType()),
+        ]
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            d = _int_sq_dists(qv, cmat)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
+            )[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf[id_col].to_numpy(dtype="int64"), n_probe
+                    ),
+                    "qv": [
+                        v for v in pdf[vec_col] for _ in range(n_probe)
+                    ],
+                    "centroid_id": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    probed = queries.select(id_col, vec_col).mapInPandas(probes, probe_schema)
+    cand = index.select(
+        F.col("vec_id").alias("candidate_id"),
+        "centroid_id",
+        *[f"k{m}" for m in range(PQ_M)],
+    )
+    joined = probed.join(cand, "centroid_id").select(
+        "query_id", "qv", "candidate_id", *[f"k{m}" for m in range(PQ_M)]
+    )
+
+    adc_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("candidate_id", LongType()),
+            StructField("adc", LongType()),
+        ]
+    )
+
+    def adc_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _quantize(np.array(pdf["qv"].tolist(), dtype=np.float64))
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = q[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                cent = cmats[m][pdf[f"k{m}"].to_numpy(dtype="int64")]
+                diff = sub - cent
+                adc += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype="int64"),
+                    "candidate_id": pdf["candidate_id"].to_numpy(dtype="int64"),
+                    "adc": adc,
+                }
+            )
+
+    return joined.mapInPandas(adc_pass, adc_schema).where(
+        F.col("query_id") != F.col("candidate_id")
+    )

@@ -546,3 +546,66 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, k=TOP_K, n_queries=N_QUERIES,
         index=spark.table(name), train_on=corpus, query_source=e,
     )
+
+
+from mercurygate_spark.operators.similarity import (  # noqa: E402
+    ivfpq_score_distributed,
+)
+
+
+@query("stream_ivfpq_probe", oracle=duck_ivfpq_sql(N_QUERIES, TOP_K))
+def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING as a stream — the online half of the IVFPQ stack:
+    queries arrive as a parquet-source STREAM (availableNow), each
+    micro-batch is probe-assigned in an Arrow pass, stream-static-
+    joined against the PERSISTED bucketed codes index (the static side
+    is re-planned per micro-batch, so a nightly index append/compact
+    is picked up at the next batch with no restart), and scored by
+    the fully distributed ADC pass (ivfpq_score_distributed — zero
+    driver-side query state, so query volume is unbounded). The final
+    per-query top-k ranks batch-side on the bounded memory sink
+    (candidates ≤ queries × probed-list sizes — the
+    stream_incremental_dedup doctrine; Spark's one-aggregation-per-
+    stream limit never binds because scoring is map-only). Oracle:
+    identical to sim_ivfpq_topk — streaming AND persistence must be
+    value-invisible, which holds because the distributed ADC computes
+    the same integers the distance-table path looks up."""
+    import os as _os
+    import tempfile as _tf
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_dir, register_tmp_table
+    from mercurygate_spark.streaming.windows import run_to_memory
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    cmat = train_ivf_centroids(e)
+    cmats = pq_train_codebooks(e)
+    name = f"mg_ivfpq_stream_{_os.getpid()}"
+    write_bucketed(
+        ivfpq_encode(e, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id",
+    )
+    register_tmp_table(spark, name)
+
+    d = _os.path.join(
+        _tf.gettempdir(),
+        f"mercurygate_stream_vecs_{_os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    _os.makedirs(d, exist_ok=True)
+    register_tmp_dir(_os.path.dirname(d))
+    link = _os.path.join(d, "embeddings.parquet")
+    try:
+        _os.symlink(f"{sf_dir}/embeddings.parquet", link)
+    except FileExistsError:
+        pass
+    stream_q = (
+        spark.readStream.schema(e.schema)
+        .parquet(d)
+        .where(F.col("vec_id") < N_QUERIES)
+    )
+    scored = ivfpq_score_distributed(stream_q, spark.table(name), cmat, cmats)
+    sunk = run_to_memory(scored, output_mode="append")
+    w = Window.partitionBy("query_id").orderBy("adc", "candidate_id")
+    return sunk.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TOP_K)
