@@ -1536,6 +1536,8 @@ UNI_MAX_WLEN = 12        # words longer than this are excluded (bounds the DP
                          # unroll; the oracle applies the same filter)
 UNI_MAX_PIECE = 4        # max piece length — bounds the seed vocab by the
                          # hard combinatorial cap Σ_{l≤4} 36^l ≈ 1.73M pieces
+UNI_ALPHABET_SIZE = 36   # tokenizer output alphabet (a-z0-9) — the base of
+                         # the vocab cap; _uni_bounded_collect enforces it
 UNI_PEN = 100_000_000    # per-piece penalty base: cost = PEN - min(freq,
                          # PEN-1), so fewer pieces always beats higher freq
 UNI_SEED_MIN = 5         # seed vocab floor (corpus occurrences)
@@ -1544,6 +1546,36 @@ UNI_TOPK = 40            # final vocabulary rows surfaced
 
 _UNI_COST_W = 11         # fixed width of the zero-padded cost prefix:
                          # max cost = UNI_MAX_WLEN * UNI_PEN = 1.2e9 (10 digits)
+
+
+def _uni_vocab_cap() -> int:
+    """The hard combinatorial bound on any piece frame: at most
+    Σ_{l ≤ UNI_MAX_PIECE} UNI_ALPHABET_SIZE^l distinct pieces exist
+    (≈1.73 M at the shipped 36/4). Every driver-side unigram collect
+    is bounded by THIS, not by corpus size — the reason the collects
+    below are legal at 100 TB."""
+    return sum(UNI_ALPHABET_SIZE**length for length in range(1, UNI_MAX_PIECE + 1))
+
+
+def _uni_bounded_collect(df: DataFrame, what: str) -> list:
+    """collect() with the vocab-cap contract ENFORCED at runtime (the
+    operators/logreg.py 2^53-guard doctrine): if a future edit to
+    UNI_MAX_PIECE / the tokenizer alphabet breaks the documented
+    Σ alphabet^l cap's assumptions, this raises instead of silently
+    turning a bounded driver collect into an unbounded one."""
+    rows = df.collect()
+    cap = _uni_vocab_cap()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"unigram {what} frame has {len(rows)} rows, above the "
+            f"documented driver-collect cap Σ_(l≤{UNI_MAX_PIECE}) "
+            f"{UNI_ALPHABET_SIZE}^l = {cap}. The tokenizer is emitting "
+            "pieces outside the assumed alphabet (or UNI_MAX_PIECE / "
+            "UNI_ALPHABET_SIZE were edited inconsistently) — the "
+            "driver-side cost dicts are no longer corpus-independent; "
+            "fix the alphabet assumption before scaling this key."
+        )
+    return rows
 
 
 def _uni_words(docs: DataFrame) -> DataFrame:
@@ -1765,13 +1797,16 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     words = _uni_words(t["documents"]).localCheckpoint(eager=True)
     seed = _uni_seed_vocab(words)
-    v1 = seed.where(
-        (F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)
-    ).collect()  # bounded: ≤ Σ 36^l pieces
+    v1 = _uni_bounded_collect(
+        seed.where((F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)),
+        "seed-vocab",
+    )  # bounded: ≤ Σ 36^l pieces — enforced
     cost1 = {r["piece"]: UNI_PEN - min(r["freq"], UNI_PEN - 1) for r in v1}
     usage1 = {
         r["piece"]: r["n_uses"]
-        for r in _uni_usage(_uni_viterbi(words, cost1)).collect()  # bounded: ⊆ vocab
+        for r in _uni_bounded_collect(
+            _uni_usage(_uni_viterbi(words, cost1)), "usage"
+        )  # bounded: ⊆ vocab — enforced
     }
     cost2 = {
         p: UNI_PEN - min(u, UNI_PEN - 1)
@@ -1872,15 +1907,19 @@ def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     words = _uni_words(t["documents"]).localCheckpoint(eager=True)
     seed = _uni_seed_vocab(words)
-    v1 = seed.where(
-        (F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)
-    ).collect()  # bounded: ≤ Σ 36^l pieces
+    v1 = _uni_bounded_collect(
+        seed.where((F.col("freq") >= UNI_SEED_MIN) | (F.length("piece") == 1)),
+        "seed-vocab",
+    )  # bounded: ≤ Σ 36^l pieces — enforced
     cost1 = {r["piece"]: UNI_PEN - min(r["freq"], UNI_PEN - 1) for r in v1}
 
     def next_cost(prev_cost: dict) -> tuple[dict, DataFrame]:
         seg = _uni_viterbi(words, prev_cost)
         usage_df = _uni_usage(seg)
-        usage = {r["piece"]: r["n_uses"] for r in usage_df.collect()}  # bounded
+        usage = {
+            r["piece"]: r["n_uses"]
+            for r in _uni_bounded_collect(usage_df, "usage")
+        }  # bounded: ⊆ vocab — enforced
         cost = {
             p: UNI_PEN - min(u, UNI_PEN - 1)
             for p, u in usage.items()

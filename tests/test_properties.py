@@ -696,3 +696,30 @@ def test_unigram_viterbi_reconstructs_every_word(spark):
         assert "".join(pieces) == r["word"]
         for p in pieces:
             assert p in cost and 1 <= len(p) <= UNI_MAX_PIECE
+
+
+def test_unigram_vocab_cap_guard_trips(spark, monkeypatch):
+    """The unigram driver-collect cap is a RUNTIME guard, not a
+    comment (operators/logreg.py 2^53 doctrine): shrink the assumed
+    alphabet so the documented Σ alphabet^l cap falls below the real
+    seed-vocab size, and the bounded collect must raise with the
+    actionable message instead of silently collecting past the cap."""
+    import pytest
+
+    import mercurygate_spark.queries.text as text_mod
+    from mercurygate_spark.queries import all_queries
+
+    monkeypatch.setattr(text_mod, "UNI_ALPHABET_SIZE", 1)
+    with pytest.raises(RuntimeError, match="driver-collect cap"):
+        all_queries()["text_unigram_train"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+
+
+def test_unigram_vocab_cap_matches_doc():
+    """The shipped constants still produce the documented ≈1.73M cap —
+    if UNI_MAX_PIECE or UNI_ALPHABET_SIZE changes, the docstrings and
+    SCALING.md numbers must move with it."""
+    from mercurygate_spark.queries.text import _uni_vocab_cap
+
+    assert _uni_vocab_cap() == 36 + 36**2 + 36**3 + 36**4 == 1_727_604
