@@ -72,6 +72,8 @@ HEADLINE = [
     "dedup_index_compact",        # append + bucket-preserving compaction + probe
     "text_unigram_train",         # unigram-LM tokenizer Viterbi-EM trainer
     "sim_ivfpq_rerank",           # IVFPQ + exact top-R re-ranking
+    # round-10 additions
+    "sim_ivfpq_reindex_swap",     # retrain + re-encode + atomic index swap
 ]
 
 

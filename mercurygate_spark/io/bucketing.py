@@ -33,6 +33,25 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def swap_bucketed(spark: SparkSession, table_name: str, staging: str) -> None:
+    """Swap a fully-written staging table into the live name —
+    write-new-then-rename, the reference's snapshot-replace doctrine
+    (mm_bronze_silver.py:230 rewrites the whole table and repoints the
+    name) applied to index maintenance: the new index is built and
+    VALIDATED under ``staging`` while readers keep serving the old
+    table; the swap itself is two catalog renames plus a drop, never a
+    data copy. Same atomicity caveat as compact_bucketed's swap: a
+    crash between the renames can leave the live name missing (at
+    100 TB this runs under the ingest job's retry/lock, or on
+    Delta/Iceberg where the swap is one transaction); readers planned
+    BEFORE the swap keep working off the old file listing."""
+    old = f"{table_name}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
+
+
 def compact_bucketed(
     spark: SparkSession,
     table_name: str,

@@ -1052,6 +1052,7 @@ def ivfpq_adc_topk(
     index: DataFrame | None = None,
     train_on: DataFrame | None = None,
     query_source: DataFrame | None = None,
+    quantizers: tuple | None = None,
 ) -> DataFrame:
     """End-to-end IVFPQ ANN: train both quantizers, build the
     (id, list, codes) index in one pass, prune to each query's
@@ -1076,17 +1077,23 @@ def ivfpq_adc_topk(
     ``corpus``) — the incremental-append key trains on the original
     corpus only and FREEZES the quantizers for appended batches.
     ``query_source``: frame the query vectors come from (defaults to
-    ``corpus``)."""
+    ``corpus``). ``quantizers``: a pre-trained (cmat, cmats) pair —
+    e.g. the retrained pair ivfpq_retrain_swap returns — used instead
+    of training here (a serving layer loads quantizers, it doesn't
+    retrain per query batch)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cmat = train_ivf_centroids(train_on if train_on is not None else corpus,
-                               id_col, vec_col)
-    cmats = pq_train_codebooks(train_on if train_on is not None else corpus,
-                               id_col, vec_col)
+    if quantizers is not None:
+        cmat, cmats = quantizers
+    else:
+        cmat = train_ivf_centroids(train_on if train_on is not None else corpus,
+                                   id_col, vec_col)
+        cmats = pq_train_codebooks(train_on if train_on is not None else corpus,
+                                   id_col, vec_col)
     if index is None:
         index = ivfpq_encode(corpus, cmat, cmats, id_col, vec_col)
 
@@ -1444,6 +1451,55 @@ def duck_ivfpq_incr_sql(
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
     """
+
+
+def ivfpq_retrain_swap(
+    grown: DataFrame,
+    table_name: str,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The third index-maintenance operation (after append and
+    compact): RETRAIN both quantizers on the grown corpus, re-encode
+    every vector into a NEW bucketed index table, and atomically swap
+    it into the live name — the production answer to frozen-quantizer
+    drift (incremental appends under frozen quantizers are cheap but
+    their recall decays as the data distribution moves away from the
+    training snapshot; measured in docs/SCALING.md).
+
+    Sequence:
+      1. retrain: deterministic Lloyd's on the GROWN corpus — coarse
+         centroids (train_ivf_centroids) + PQ codebooks
+         (pq_train_codebooks); cost amortizes across every query batch
+         until the next retrain, same as initial training;
+      2. re-encode: ONE Arrow pass over the grown corpus
+         (ivfpq_encode) written bucketed-by-list under
+         ``{table_name}__new`` — the full-corpus rewrite happens OFF
+         the serving path while readers keep probing the old index;
+      3. swap: two catalog renames + a drop (io.bucketing.swap_bucketed
+         — the reference's snapshot-replace doctrine,
+         mm_bronze_silver.py:230); the bucket spec carries over, so
+         the post-swap probe join still reads `Bucketed: true` with
+         zero index-side Exchange (plan-pinned in tests/test_plans.py).
+
+    Returns (cmat, cmats) — the retrained quantizers the serving layer
+    must load alongside the swapped index (query-side distance tables
+    built from stale quantizers against re-encoded codes would be
+    garbage; shipping both under one swap is the whole contract)."""
+    from mercurygate_spark.io.bucketing import swap_bucketed, write_bucketed
+
+    spark = grown.sparkSession
+    cmat = train_ivf_centroids(grown, id_col, vec_col)
+    cmats = pq_train_codebooks(grown, id_col, vec_col)
+    staging = f"{table_name}__new"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_bucketed(
+        ivfpq_encode(grown, cmat, cmats, id_col, vec_col),
+        staging, "centroid_id", n_buckets, sort_by="centroid_id",
+    )
+    swap_bucketed(spark, table_name, staging)
+    return cmat, cmats
 
 
 def ivfpq_score_distributed(

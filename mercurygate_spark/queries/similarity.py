@@ -548,6 +548,64 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivfpq_reindex_swap", oracle=duck_ivfpq_sql(N_QUERIES, TOP_K))
+def sim_ivfpq_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN + atomic reindex swap — the third index-maintenance
+    operation, closing the lifecycle after append
+    (sim_ivfpq_incremental_append) and compaction (dedup_index_compact),
+    and the production answer to frozen-quantizer drift: the key first
+    reproduces the append key's drifted state (quantizers trained on
+    the vec_id % {INCR_ANN_MOD} ≠ 0 corpus, the % {INCR_ANN_MOD} = 0
+    batch appended under them FROZEN), then runs the retrain cycle
+    (operators.similarity.ivfpq_retrain_swap): retrain both quantizers
+    on the GROWN corpus, re-encode everything into a NEW bucketed
+    table built off the serving path, and swap it into the live name
+    with two catalog renames + a drop (io.bucketing.swap_bucketed —
+    the reference's snapshot-replace doctrine, mm_bronze_silver.py:230).
+    Queries then probe the live name with the retrained quantizers.
+
+    Oracle: duck_ivfpq_sql over the full corpus — i.e. the RETRAINED
+    chains replayed end-to-end. The gate is sensitive to the swap
+    actually landing: if the live name still held the frozen-encoded
+    index, its codes would be looked up in the retrained distance
+    tables and every ADC integer would disagree with the oracle.
+    Measured payoff (frozen vs retrained recall on a drifted grown
+    corpus): scripts/reindex_recall.py → docs/SCALING.md. Plan
+    contract (pinned): the post-swap probe still reads the index
+    bucketed with ZERO index-side Exchange."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
+    from mercurygate_spark.operators.similarity import ivfpq_retrain_swap
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
+    batch = e.where(F.col("vec_id") % INCR_ANN_MOD == 0)
+    name = f"mg_ivfpq_swap_{_os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # the drifted "before" state: frozen quantizers + appended batch
+    cmat0 = train_ivf_centroids(corpus)
+    cmats0 = pq_train_codebooks(corpus)
+    write_bucketed(
+        ivfpq_encode(corpus, cmat0, cmats0), name, "centroid_id", 8,
+        sort_by="centroid_id",
+    )
+    register_tmp_table(spark, name)
+    write_bucketed(
+        ivfpq_encode(batch, cmat0, cmats0), name, "centroid_id", 8,
+        sort_by="centroid_id", mode="append",
+    )
+    # the retrain cycle: new quantizers on the grown corpus, re-encode,
+    # atomic swap into the live name
+    cmat, cmats = ivfpq_retrain_swap(e, name)
+    return ivfpq_adc_topk(
+        e, k=TOP_K, n_queries=N_QUERIES,
+        index=spark.table(name), quantizers=(cmat, cmats),
+    )
+
+
 from mercurygate_spark.operators.similarity import (  # noqa: E402
     ivfpq_score_distributed,
 )
@@ -560,7 +618,11 @@ def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch is probe-assigned in an Arrow pass, stream-static-
     joined against the PERSISTED bucketed codes index (the static side
     is re-planned per micro-batch, so a nightly index append/compact
-    is picked up at the next batch with no restart), and scored by
+    is picked up at the next batch with no restart — MEASURED, not
+    asserted: tests/test_streaming_semantics.py::
+    test_stream_static_ivfpq_index_append_visible_next_microbatch
+    appends mid-run inside foreachBatch and proves batch N sees it
+    while batch N-1 didn't), and scored by
     the fully distributed ADC pass (ivfpq_score_distributed — zero
     driver-side query state, so query volume is unbounded). The final
     per-query top-k ranks batch-side on the bounded memory sink

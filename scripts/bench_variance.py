@@ -87,30 +87,63 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--keys", nargs="*", default=HEAVY)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--prior", nargs="*", default=["r05", "r06"],
+        help="BENCH_r*.json rounds to judge against today's fences",
+    )
     args = ap.parse_args()
 
     if args.single:
         run_single(args.single, args.sf_dir, args.runs)
         return
 
+    def _extract_obj(text: str, key: str) -> dict | None:
+        """Pull the balanced {...} following '"key": ' out of a
+        possibly-truncated-at-the-front JSON tail."""
+        marker = f'"{key}": {{'
+        i = text.find(marker)
+        if i == -1:
+            return None
+        start = i + len(marker) - 1
+        depth, j = 0, start
+        while j < len(text):
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        return json.loads(text[start : j + 1])
+                    except ValueError:
+                        return None
+            j += 1
+        return None
+
     prior = {}
-    for r in ("r05", "r06"):
+    for r in args.prior:
         path = os.path.join(REPO, f"BENCH_{r}.json")
         if os.path.exists(path):
             with open(path) as f:
                 doc = json.load(f)
             # driver-recorded BENCH files wrap bench.py's line in
             # "parsed"; when that is null the line is still in "tail"
+            # (often truncated at the FRONT, so whole-line json.loads
+            # can fail — extract the balanced per-key objects instead)
             inner = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else None
             if inner is None and isinstance(doc.get("tail"), str):
-                for line in reversed(doc["tail"].splitlines()):
-                    if line.startswith("{"):
-                        try:
-                            inner = json.loads(line)
-                        except ValueError:
-                            pass
-                        break
-            prior[r] = (inner or doc).get("queries", {})
+                tail = doc["tail"]
+                inner = {
+                    k: v
+                    for k, v in (
+                        ("query_medians", _extract_obj(tail, "query_medians")),
+                        ("queries", _extract_obj(tail, "queries")),
+                    )
+                    if v is not None
+                }
+            inner = inner or doc
+            # medians are the round's stable number; best-of-3 "queries"
+            # is the fallback for rounds that predate medians
+            prior[r] = inner.get("query_medians") or inner.get("queries", {})
 
     results = {}
     for key in args.keys:
@@ -130,7 +163,7 @@ def main() -> None:
         for r, queries in prior.items():
             if key in queries:
                 v = queries[key]
-                s[f"{r}_best3"] = v
+                s[f"{r}_recorded"] = v
                 s[f"{r}_within_fence"] = bool(s["lo_fence"] <= v <= s["hi_fence"])
         results[key] = s
         print(f"#   median {s['median']}s  IQR [{s['q1']}, {s['q3']}]  "

@@ -758,3 +758,29 @@ def test_ivfpq_incremental_append_keeps_bucketed_layout(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS mg_ivfpq_incr_{os.getpid()}")
+
+
+def test_ivfpq_reindex_swap_postswap_probe_stays_bucketed(spark):
+    """sim_ivfpq_reindex_swap's lifecycle contract: AFTER the retrain +
+    re-encode + two-rename atomic swap, the LIVE table name still reads
+    as a bucketed table (the staging write carried the bucket spec
+    through the rename), probed by the broadcast-hinted query frame
+    with ZERO centroid_id-keyed Exchange — a swap that lost the bucket
+    spec would silently turn every post-retrain probe into an index
+    shuffle. Also pins that the swap left no residue: neither the
+    __new staging name nor the __old rename victim survives."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    name = f"mg_ivfpq_swap_{os.getpid()}"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "sim_ivfpq_reindex_swap")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert s.count("Exchange hashpartitioning(centroid_id") == 0
+        assert "SortMergeJoin" not in s
+        assert not spark.catalog.tableExists(f"{name}__new")
+        assert not spark.catalog.tableExists(f"{name}__old")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

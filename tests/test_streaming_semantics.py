@@ -516,3 +516,114 @@ def test_transform_with_state_type_counts(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_stream_static_ivfpq_index_append_visible_next_microbatch(spark, tmp_path):
+    """stream_ivfpq_probe's live-refresh claim, pinned (round-9 verdict
+    item 3): 'the static index side is re-planned per micro-batch, so a
+    nightly index append is picked up at the NEXT batch with no
+    restart'. This is the STRONG in-run form — one streaming query,
+    maxFilesPerTrigger=1, the index append performed inside foreachBatch
+    AFTER micro-batch 0 — so visibility at batch 1 can only come from
+    per-micro-batch re-planning of the static catalog table, not from a
+    query restart.
+
+    Both query vectors are IDENTICAL to corpus vector 9's embedding, and
+    the appended index row (id 999999) is also vector 9's embedding with
+    ADC distance 0 to the queries — so it lands in the very list both
+    queries probe: its absence from batch 0 is meaningful (it WOULD have
+    matched had it been in the index), and its presence in batch 1 can
+    only mean the join re-read the appended file."""
+    import glob
+    import shutil
+    import tempfile
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_score_distributed,
+        pq_train_codebooks,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cmat = train_ivf_centroids(e)
+    cmats = pq_train_codebooks(e)
+    name = f"mg_live_refresh_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        write_bucketed(
+            ivfpq_encode(e, cmat, cmats), name, "centroid_id", 8,
+            sort_by="centroid_id",
+        )
+        src = str(tmp_path / "qsrc")
+        os.makedirs(src)
+        target = e.where(F.col("vec_id") == 9).collect()[0]["embedding"]
+
+        def land_query(qid, fname, mtime):
+            staging = tempfile.mkdtemp()
+            spark.createDataFrame(
+                [(qid, target)], "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dest = os.path.join(src, fname)
+            shutil.move(part, dest)
+            # distinct mtimes pin the micro-batch order (the file source
+            # orders by modification time; equal stamps would make the
+            # two-batch sequence racy)
+            os.utime(dest, (mtime, mtime))
+            shutil.rmtree(staging, ignore_errors=True)
+
+        import time as _time
+
+        now = _time.time()
+        land_query(1000001, "f1.parquet", now - 60)
+        land_query(1000002, "f2.parquet", now)
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        scored = ivfpq_score_distributed(stream, spark.table(name), cmat, cmats)
+
+        state = {"appended": False, "batches": []}
+
+        def handle(batch_df, batch_id):
+            queries = sorted(
+                r[0] for r in batch_df.select("query_id").distinct().collect()
+            )
+            appended_hits = batch_df.where(
+                F.col("candidate_id") == 999999
+            ).count()
+            state["batches"].append((batch_id, queries, appended_hits))
+            if not state["appended"]:
+                newv = spark.createDataFrame(
+                    [(999999, target)], "vec_id long, embedding array<double>"
+                )
+                write_bucketed(
+                    ivfpq_encode(newv, cmat, cmats), name, "centroid_id", 8,
+                    sort_by="centroid_id", mode="append",
+                )
+                state["appended"] = True
+
+        q = (
+            scored.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(state["batches"]) == 2, state["batches"]
+        b0, b1 = state["batches"]
+        # batch 0: appended vector not yet in the index — zero hits even
+        # though it would have matched (same probed list, ADC 0)
+        assert b0[1] == [1000001] and b0[2] == 0, state["batches"]
+        # batch 1: the SAME static table frame now serves the appended
+        # row — picked up with no restart
+        assert b1[1] == [1000002] and b1[2] == 1, state["batches"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
