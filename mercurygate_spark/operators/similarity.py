@@ -1333,31 +1333,38 @@ def duck_ivfpq_rerank_sql(
 INCR_ANN_MOD = 5  # vec_id % mod == 0 → the appended batch; rest = corpus
 
 
-def duck_ivfpq_incr_sql(
-    n_queries: int, top_k: int, n_probe: int = N_PROBE, mod: int = INCR_ANN_MOD
+def duck_ivfpq_frozen_sql(
+    n_queries: int,
+    top_k: int,
+    corpus_select: str,
+    full_select: str,
+    n_probe: int = N_PROBE,
 ) -> str:
-    """Oracle for sim_ivfpq_incremental_append: both quantizers train
-    ONLY on the original corpus split (vec_id % mod <> 0); codes and
-    list assignments are then computed for EVERY vector (corpus +
-    appended batch) under those frozen quantizers, and queries (drawn
-    from the full set) rank the grown index — replaying exactly what
-    the engine's append path does."""
+    """Generalized frozen-quantizer IVFPQ oracle: both quantizers
+    train ONLY on ``corpus_select`` (a SELECT yielding
+    (vec_id, embedding)); codes and list assignments are then computed
+    for EVERY vector of ``full_select`` under those frozen quantizers,
+    and queries (drawn from the full set) rank the grown index —
+    replaying exactly what a frozen-quantizer serving path does. The
+    two source selects are materialized ONCE (trainset/fullset CTEs)
+    so arbitrarily expensive corpus definitions — e.g. a CDC log
+    reduction + dedup gate (pipeline_vector_ingest) — are not
+    re-evaluated per subspace chain."""
     qz = (
         "list_transform({v}::DOUBLE[], "
         f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
     )
-    corpus_pred = f"vec_id % {mod} <> 0"
     dist = (
         f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
         "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
     )
-    chains = [
-        duck_ivf_kmeans_sql(
-            table=f"(SELECT vec_id, embedding FROM embeddings WHERE {corpus_pred})"
-        )
+    src_ctes = [
+        f"trainset AS MATERIALIZED ({corpus_select})",
+        f"fullset AS MATERIALIZED ({full_select})",
     ]
+    chains = [duck_ivf_kmeans_sql(table="trainset")]
     full_ctes = [
-        f"fq AS (SELECT vec_id, {qz.format(v='embedding')} AS qe FROM embeddings)"
+        f"fq AS (SELECT vec_id, {qz.format(v='embedding')} AS qe FROM fullset)"
     ]
     code_ctes = []
     for m in range(PQ_M):
@@ -1368,7 +1375,7 @@ def duck_ivfpq_incr_sql(
                 dims=PQ_SUBDIM,
                 table=(
                     f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub "
-                    f"FROM embeddings WHERE {corpus_pred})"
+                    "FROM trainset)"
                 ),
                 vec_col="sub",
                 prefix=f"s{m}_",
@@ -1376,7 +1383,7 @@ def duck_ivfpq_incr_sql(
         )
         full_ctes.append(
             f"fs{m} AS (SELECT vec_id, "
-            f"{qz.format(v=f'embedding[{lo}:{hi}]')} AS qe FROM embeddings)"
+            f"{qz.format(v=f'embedding[{lo}:{hi}]')} AS qe FROM fullset)"
         )
         sdist = (
             f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
@@ -1405,11 +1412,13 @@ def duck_ivfpq_incr_sql(
         f"j -> (q.qe{m}[j] - cc{m}.qc[j]) * (q.qe{m}[j] - cc{m}.qc[j])))"
         for m in range(PQ_M)
     )
+    src_sql = ",\n    ".join(src_ctes)
     chains_sql = ",\n    ".join(chains)
     full_sql = ",\n    ".join(full_ctes)
     codes_sql = ",\n    ".join(code_ctes)
     return f"""
-    WITH {chains_sql},
+    WITH {src_sql},
+    {chains_sql},
     {full_sql},
     {codes_sql},
     ivfprobe AS (
@@ -1451,6 +1460,24 @@ def duck_ivfpq_incr_sql(
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
     """
+
+
+def duck_ivfpq_incr_sql(
+    n_queries: int, top_k: int, n_probe: int = N_PROBE, mod: int = INCR_ANN_MOD
+) -> str:
+    """Oracle for sim_ivfpq_incremental_append: the frozen-quantizer
+    replay (duck_ivfpq_frozen_sql) with the train/full split on
+    vec_id % mod — train on the original corpus (<> 0), assign/encode
+    every vector, rank the grown index."""
+    return duck_ivfpq_frozen_sql(
+        n_queries,
+        top_k,
+        corpus_select=(
+            f"SELECT vec_id, embedding FROM embeddings WHERE vec_id % {mod} <> 0"
+        ),
+        full_select="SELECT vec_id, embedding FROM embeddings",
+        n_probe=n_probe,
+    )
 
 
 def ivfpq_retrain_swap(
