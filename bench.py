@@ -74,6 +74,7 @@ HEADLINE = [
     "sim_ivfpq_rerank",           # IVFPQ + exact top-R re-ranking
     # round-10 additions
     "sim_ivfpq_reindex_swap",     # retrain + re-encode + atomic index swap
+    "pipeline_vector_ingest",     # CDC batch -> dedup gate -> frozen encode -> append -> probe
 ]
 
 

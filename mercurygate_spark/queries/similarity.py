@@ -548,6 +548,188 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vector_ingest_oracle() -> str:
+    """Oracle for pipeline_vector_ingest: the frozen-quantizer IVFPQ
+    replay (duck_ivfpq_frozen_sql) whose FULL corpus is the composed
+    ingest result — base corpus ∪ (CDC log reduced to latest-per-key,
+    deletes dropped, then content-key anti-joined against the base) —
+    so the CDC apply, the dedup gate, and the ANN serving all sit
+    under ONE value-hash gate."""
+    from mercurygate_spark.operators.similarity import (
+        INCR_ANN_MOD as MOD,
+    )
+    from mercurygate_spark.operators.similarity import (
+        QUANT,
+        duck_ivfpq_frozen_sql,
+    )
+
+    ckey = (
+        "md5(list_aggregate(list_transform({v}::DOUBLE[], "
+        f"x -> CAST(CAST(floor(x * {QUANT} + 0.5) AS BIGINT) AS VARCHAR)), "
+        "'string_agg', ','))"
+    )
+    corpus_select = (
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id % {MOD} <> 0"
+    )
+    full_select = f"""
+      {corpus_select}
+      UNION ALL
+      SELECT k AS vec_id, embedding FROM (
+        SELECT k, embedding, op,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM (
+          SELECT vec_id AS k, embedding, 0 AS seq, 'I' AS op
+          FROM embeddings WHERE vec_id % {MOD} = 0
+          UNION ALL
+          SELECT vec_id, list_reverse(embedding), 1, 'U'
+          FROM embeddings WHERE vec_id % {2 * MOD} = 0
+          UNION ALL
+          SELECT b.vec_id, s.embedding, 1, 'U'
+          FROM embeddings b JOIN embeddings s ON s.vec_id = b.vec_id - 4
+          WHERE b.vec_id % {4 * MOD} = {3 * MOD}
+          UNION ALL
+          SELECT vec_id, embedding, 2, 'D'
+          FROM embeddings WHERE vec_id % {4 * MOD} = {MOD}
+        )
+      ) f
+      WHERE rn = 1 AND op <> 'D'
+        AND {ckey.format(v='embedding')} NOT IN (
+          SELECT {ckey.format(v='embedding')}
+          FROM embeddings WHERE vec_id % {MOD} <> 0
+        )
+    """
+    return duck_ivfpq_frozen_sql(
+        N_QUERIES, TOP_K, corpus_select=corpus_select, full_select=full_select
+    )
+
+
+@query("pipeline_vector_ingest", oracle=_vector_ingest_oracle())
+def pipeline_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-embedding ingest cycle under ONE hash gate — the
+    medallion_e2e doctrine applied to vectors (round-9 verdict item 7):
+    a CDC change batch is applied, gated against the existing index for
+    content duplicates, encoded under the FROZEN serving quantizers,
+    appended to the persisted bucketed index, and probed — composing
+    pipeline_cdc_apply's log reduction, dedup_exact's content gate, and
+    sim_ivfpq_incremental_append's frozen-append serving path, each
+    already oracle-green alone, into the pipeline a production vector
+    store actually runs between retrains (sim_ivfpq_reindex_swap being
+    the scheduled repair).
+
+    The batch is a Debezium-shaped log over the vec_id % {INCR_ANN_MOD}
+    = 0 keys: every key INSERTs at seq 0; keys % {2 * INCR_ANN_MOD} = 0
+    are re-embedded at seq 1 (component-reversed vector — an UPDATE);
+    keys % {4 * INCR_ANN_MOD} = {3 * INCR_ANN_MOD} are updated at seq 1
+    to a vector whose content DUPLICATES an existing corpus vector
+    (vec_id − 4 — the re-crawled-document case the dedup gate exists
+    for); keys % {4 * INCR_ANN_MOD} = {INCR_ANN_MOD} are tombstoned at
+    seq 2. Reduction is one latest-per-key window (the
+    window_dedupe_latest shape — ONE shuffle keyed on the business
+    key); the dedup gate is a LEFT ANTI join on the md5 of the
+    quantized-component string (shuffles carry 32-byte keys, never
+    vectors — the dedup-family contract); the append is one
+    batch-sized bucketed write under frozen quantizers; the probe
+    reads the grown index bucketed with no index-side Exchange.
+
+    Oracle: duck_ivfpq_frozen_sql whose fullset IS the composed ingest
+    result, so a wrong CDC reduction, a leaky dedup gate, or an append
+    that missed rows all break the final ADC hash."""
+    import os as _os
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_table
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    mod = INCR_ANN_MOD
+    corpus = e.where(F.col("vec_id") % mod != 0)
+
+    def log_frame(df, key_col, emb, seq, op):
+        return df.select(
+            F.col(key_col).alias("k"),
+            emb.alias("embedding"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    b = e.where(F.col("vec_id") % mod == 0)
+    dup_src = (
+        e.where(F.col("vec_id") % (4 * mod) == 3 * mod)
+        .alias("b")
+        .join(e.alias("s"), F.col("s.vec_id") == F.col("b.vec_id") - 4)
+    )
+    log = (
+        log_frame(b, "vec_id", F.col("embedding"), 0, "I")
+        .unionByName(
+            log_frame(
+                e.where(F.col("vec_id") % (2 * mod) == 0),
+                "vec_id", F.reverse(F.col("embedding")), 1, "U",
+            )
+        )
+        .unionByName(
+            dup_src.select(
+                F.col("b.vec_id").alias("k"),
+                F.col("s.embedding").alias("embedding"),
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            log_frame(
+                e.where(F.col("vec_id") % (4 * mod) == mod),
+                "vec_id", F.col("embedding"), 2, "D",
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    batch_final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(F.col("k").alias("vec_id"), "embedding")
+    )
+
+    def content_key(col):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    col.cast("array<double>"),
+                    lambda x: F.floor(x * QUANT + F.lit(0.5)).cast("long").cast("string"),
+                ),
+            )
+        )
+
+    gated = (
+        batch_final.withColumn("ck", content_key(F.col("embedding")))
+        .join(
+            corpus.select(content_key(F.col("embedding")).alias("ck")),
+            "ck",
+            "left_anti",
+        )
+        .drop("ck")
+    )
+
+    cmat = train_ivf_centroids(corpus)
+    cmats = pq_train_codebooks(corpus)
+    name = f"mg_vector_ingest_{_os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(
+        ivfpq_encode(corpus, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id",
+    )
+    register_tmp_table(spark, name)
+    write_bucketed(
+        ivfpq_encode(gated, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id", mode="append",
+    )
+    grown = corpus.select("vec_id", "embedding").unionByName(gated)
+    return ivfpq_adc_topk(
+        grown, k=TOP_K, n_queries=N_QUERIES,
+        index=spark.table(name), quantizers=(cmat, cmats),
+        query_source=grown,
+    )
+
+
 @query("sim_ivfpq_reindex_swap", oracle=duck_ivfpq_sql(N_QUERIES, TOP_K))
 def sim_ivfpq_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRAIN + atomic reindex swap — the third index-maintenance

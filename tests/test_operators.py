@@ -1221,6 +1221,8 @@ def test_stateful_index_keys_rerun_identical(spark):
         "sim_ivf_persisted_probe",
         "sim_ivfpq_persisted_probe",
         "sim_ivfpq_incremental_append",
+        "sim_ivfpq_reindex_swap",
+        "pipeline_vector_ingest",
     ]:
         first = queries[key](spark, "/root/testdata/sf0.001")
         cols = sorted(first.columns)
@@ -1281,3 +1283,89 @@ def test_ivfpq_index_compaction_is_value_invisible(spark):
     plan = reprobe._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_vector_ingest_gate_semantics(spark):
+    """pipeline_vector_ingest's composed stages, pinned individually
+    (the oracle hash would catch a wrong composition but not say WHICH
+    stage broke): the CDC reduction keeps exactly the re-embedded keys
+    (%10==0, reversed content) and the dup-update keys (%20==15), the
+    tombstoned keys (%20==5) vanish, the dedup gate then drops exactly
+    the dup-update keys (their content equals corpus vector k−4), and
+    the appended index grows by exactly the gated batch size."""
+    from pyspark.sql import Window
+
+    from mercurygate_spark.operators.similarity import INCR_ANN_MOD, QUANT
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mod = INCR_ANN_MOD
+    n_batch = e.where(F.col("vec_id") % mod == 0).count()
+    n_rev = e.where(F.col("vec_id") % (2 * mod) == 0).count()
+    n_dup = e.where(F.col("vec_id") % (4 * mod) == 3 * mod).count()
+    n_del = e.where(F.col("vec_id") % (4 * mod) == mod).count()
+    assert n_batch == n_rev + n_dup + n_del  # the three op groups tile the batch
+
+    # replicate the key's reduction + gate on crafted frames
+    corpus = e.where(F.col("vec_id") % mod != 0)
+
+    def content_key(col):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    col.cast("array<double>"),
+                    lambda x: F.floor(x * QUANT + F.lit(0.5))
+                    .cast("long")
+                    .cast("string"),
+                ),
+            )
+        )
+
+    b = e.where(F.col("vec_id") % mod == 0)
+    dup_src = (
+        e.where(F.col("vec_id") % (4 * mod) == 3 * mod)
+        .alias("b")
+        .join(e.alias("s"), F.col("s.vec_id") == F.col("b.vec_id") - 4)
+    )
+    log = (
+        b.select(F.col("vec_id").alias("k"), "embedding",
+                 F.lit(0).alias("seq"), F.lit("I").alias("op"))
+        .unionByName(
+            e.where(F.col("vec_id") % (2 * mod) == 0).select(
+                F.col("vec_id").alias("k"),
+                F.reverse("embedding").alias("embedding"),
+                F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            dup_src.select(
+                F.col("b.vec_id").alias("k"),
+                F.col("s.embedding").alias("embedding"),
+                F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            e.where(F.col("vec_id") % (4 * mod) == mod).select(
+                F.col("vec_id").alias("k"), "embedding",
+                F.lit(2).alias("seq"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    batch_final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(F.col("k").alias("vec_id"), "embedding")
+    )
+    # CDC reduction: deletes gone, everything else present once
+    assert batch_final.count() == n_rev + n_dup
+    gated = (
+        batch_final.withColumn("ck", content_key(F.col("embedding")))
+        .join(corpus.select(content_key(F.col("embedding")).alias("ck")),
+              "ck", "left_anti")
+        .drop("ck")
+    )
+    # the gate drops EXACTLY the dup-update keys
+    assert gated.count() == n_rev
+    kept = {r["vec_id"] for r in gated.select("vec_id").collect()}
+    assert all(k % (2 * mod) == 0 for k in kept)

@@ -784,3 +784,79 @@ def test_ivfpq_reindex_swap_postswap_probe_stays_bucketed(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_vector_ingest_probe_bucketed_postappend(spark):
+    """pipeline_vector_ingest's serving plan contract: the post-append
+    probe reads the grown index through its bucketed layout with zero
+    centroid_id-keyed Exchange (the contract shared with the append
+    key). The gate's shuffle shape is pinned separately below — the
+    gate runs at index-BUILD time, so it never appears in the probe
+    plan this key returns."""
+    import os
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = _plan(spark, "pipeline_vector_ingest")
+        assert "Bucketed: true" in s and "SelectedBucketsCount: 8 out of 8" in s
+        assert s.count("Exchange hashpartitioning(centroid_id") == 0
+        assert "SortMergeJoin" not in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS mg_vector_ingest_{os.getpid()}")
+
+
+def test_vector_ingest_gate_shuffles_keys_not_vectors(spark):
+    """The ingest dedup gate's anti-join must exchange 32-byte content
+    keys, not 256-byte embeddings: the corpus side of the LeftAnti is
+    projected to the md5 key BEFORE its Exchange (the dedup-family
+    'shuffle hashes, not payloads' contract). Built on the same frames
+    the key builds, forced to SMJ so the shuffle is visible."""
+    import re
+
+    from mercurygate_spark.operators.similarity import QUANT
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+
+    def content_key(col):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    col.cast("array<double>"),
+                    lambda x: F.floor(x * QUANT + F.lit(0.5))
+                    .cast("long")
+                    .cast("string"),
+                ),
+            )
+        )
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gated = (
+            batch.withColumn("ck", content_key(F.col("embedding")))
+            .join(
+                corpus.select(content_key(F.col("embedding")).alias("ck")),
+                "ck",
+                "left_anti",
+            )
+            .drop("ck")
+        )
+        s = gated._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in s
+        # the corpus-side exchange's child projects only the key
+        exchanges = re.findall(
+            r"Exchange hashpartitioning\(ck#\d+.*?(?=\n)", s
+        )
+        assert exchanges, s
+        # corpus side: between its Exchange and its scan there must be a
+        # projection to [ck] alone (no embedding column crosses the wire)
+        corpus_side = s.split("LeftAnti")[1]
+        proj = re.search(r"Project \[md5\(.*?\) AS ck#\d+\]", corpus_side)
+        assert proj is not None, corpus_side[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
