@@ -1333,6 +1333,45 @@ def duck_ivfpq_rerank_sql(
 INCR_ANN_MOD = 5  # vec_id % mod == 0 → the appended batch; rest = corpus
 
 
+def duck_frozen_chains_sql(corpus_select: str, full_select: str) -> str:
+    """The shared CTE prefix every frozen-quantizer oracle starts
+    from: trainset/fullset materialized ONCE (so arbitrarily expensive
+    corpus definitions — e.g. a CDC log reduction + dedup gate — are
+    not re-evaluated per subspace chain), the IVF training chain and
+    all PQ_M per-subspace chains trained on trainset, and the
+    quantized fullset frames (fq, fs0..fs{PQ_M-1}) every downstream
+    assignment/scoring CTE reads."""
+    qz = (
+        "list_transform({v}::DOUBLE[], "
+        f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
+    )
+    parts = [
+        f"trainset AS MATERIALIZED ({corpus_select})",
+        f"fullset AS MATERIALIZED ({full_select})",
+        duck_ivf_kmeans_sql(table="trainset"),
+        f"fq AS (SELECT vec_id, {qz.format(v='embedding')} AS qe FROM fullset)",
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        parts.append(
+            duck_ivf_kmeans_sql(
+                k=PQ_K,
+                dims=PQ_SUBDIM,
+                table=(
+                    f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub "
+                    "FROM trainset)"
+                ),
+                vec_col="sub",
+                prefix=f"s{m}_",
+            )
+        )
+        parts.append(
+            f"fs{m} AS (SELECT vec_id, "
+            f"{qz.format(v=f'embedding[{lo}:{hi}]')} AS qe FROM fullset)"
+        )
+    return ",\n    ".join(parts)
+
+
 def duck_ivfpq_frozen_sql(
     n_queries: int,
     top_k: int,
@@ -1345,46 +1384,13 @@ def duck_ivfpq_frozen_sql(
     (vec_id, embedding)); codes and list assignments are then computed
     for EVERY vector of ``full_select`` under those frozen quantizers,
     and queries (drawn from the full set) rank the grown index —
-    replaying exactly what a frozen-quantizer serving path does. The
-    two source selects are materialized ONCE (trainset/fullset CTEs)
-    so arbitrarily expensive corpus definitions — e.g. a CDC log
-    reduction + dedup gate (pipeline_vector_ingest) — are not
-    re-evaluated per subspace chain."""
-    qz = (
-        "list_transform({v}::DOUBLE[], "
-        f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
-    )
+    replaying exactly what a frozen-quantizer serving path does."""
     dist = (
         f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
         "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
     )
-    src_ctes = [
-        f"trainset AS MATERIALIZED ({corpus_select})",
-        f"fullset AS MATERIALIZED ({full_select})",
-    ]
-    chains = [duck_ivf_kmeans_sql(table="trainset")]
-    full_ctes = [
-        f"fq AS (SELECT vec_id, {qz.format(v='embedding')} AS qe FROM fullset)"
-    ]
     code_ctes = []
     for m in range(PQ_M):
-        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
-        chains.append(
-            duck_ivf_kmeans_sql(
-                k=PQ_K,
-                dims=PQ_SUBDIM,
-                table=(
-                    f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub "
-                    "FROM trainset)"
-                ),
-                vec_col="sub",
-                prefix=f"s{m}_",
-            )
-        )
-        full_ctes.append(
-            f"fs{m} AS (SELECT vec_id, "
-            f"{qz.format(v=f'embedding[{lo}:{hi}]')} AS qe FROM fullset)"
-        )
         sdist = (
             f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
             "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
@@ -1412,14 +1418,10 @@ def duck_ivfpq_frozen_sql(
         f"j -> (q.qe{m}[j] - cc{m}.qc[j]) * (q.qe{m}[j] - cc{m}.qc[j])))"
         for m in range(PQ_M)
     )
-    src_sql = ",\n    ".join(src_ctes)
-    chains_sql = ",\n    ".join(chains)
-    full_sql = ",\n    ".join(full_ctes)
+    prefix_sql = duck_frozen_chains_sql(corpus_select, full_select)
     codes_sql = ",\n    ".join(code_ctes)
     return f"""
-    WITH {src_sql},
-    {chains_sql},
-    {full_sql},
+    WITH {prefix_sql},
     {codes_sql},
     ivfprobe AS (
       SELECT vec_id, cidx, probe_rank FROM (
@@ -1477,6 +1479,123 @@ def duck_ivfpq_incr_sql(
         ),
         full_select="SELECT vec_id, embedding FROM embeddings",
         n_probe=n_probe,
+    )
+
+
+def ivfpq_drift_stats(
+    df: DataFrame,
+    cmat,
+    cmats: list,
+    batch_flag: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-inverted-list drift statistics under FROZEN quantizers — the
+    monitor that decides WHEN to run ivfpq_retrain_swap, closing the
+    maintenance loop (append cheaply → watch this → swap when it
+    moves): for every vector, one Arrow pass computes its frozen
+    coarse assignment AND that assignment's distance (coarse_err —
+    the per-vector inertia), its PQ code word, and its PQ
+    reconstruction error (Σ_m of the chosen code's integer squared
+    distance). Aggregated per inverted list: corpus/batch occupancy,
+    distinct code words used by each side, and exact integer error
+    sums. The pager alarm — MEASURED, tests/test_operators.py — is
+    OCCUPANCY CONCENTRATION: under the drift that collapses frozen
+    IVFPQ recall 0.288→0.026 (docs/reindex_recall_r10.json), the
+    batch's top-list share jumps 0.084 → 0.556 (6.6×) while every
+    error-style statistic stays nearly silent (coarse assignment
+    error +9 %, PQ reconstruction error +2 %, distinct code words
+    flat until extreme drift). The negative finding matters as much
+    as the alarm: on ~unit-norm high-dim data, quantization error is
+    noise-dominated and barely moves under drift — WHERE vectors land
+    (occupancy histograms), not HOW FAR they quantize (error sums),
+    is the production drift signal; the error/code-word columns stay
+    as diagnostics for localizing which lists to inspect. All-integer
+    output: both engines agree bit-for-bit, no ratios to round."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    flagged = df.select(id_col, vec_col, batch_flag.alias("is_batch"))
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField("is_batch", BooleanType()),
+            StructField("code_word", StringType()),
+            StructField("coarse_err", LongType()),
+            StructField("rec_err", LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            d = _int_sq_dists(qv, cmat)
+            nearest = np.lexsort(
+                (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
+            )[:, 0]
+            rec = np.zeros(len(pdf), dtype=np.int64)
+            codes = []
+            for m in range(PQ_M):
+                sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                dm = _int_sq_dists(sub, cmats[m])
+                rec += dm.min(axis=1)  # the chosen code's distance
+                codes.append(
+                    np.lexsort(
+                        (np.broadcast_to(np.arange(PQ_K), dm.shape), dm), axis=1
+                    )[:, 0]
+                )
+            code_mat = np.stack(codes, axis=1)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": nearest.astype("int32"),
+                    "is_batch": pdf["is_batch"].astype(bool),
+                    "code_word": [",".join(map(str, row)) for row in code_mat],
+                    "coarse_err": d.min(axis=1),  # dist to the assigned list
+                    "rec_err": rec,
+                }
+            )
+
+    per_vec = flagged.mapInPandas(stats, schema)
+    return (
+        per_vec.groupBy("centroid_id")
+        .agg(
+            F.sum(F.when(~F.col("is_batch"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corpus"),
+            F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_batch"),
+            F.countDistinct(F.when(~F.col("is_batch"), F.col("code_word")))
+            .cast("long")
+            .alias("n_codes_corpus"),
+            F.countDistinct(F.when(F.col("is_batch"), F.col("code_word")))
+            .cast("long")
+            .alias("n_codes_batch"),
+            F.sum(F.when(~F.col("is_batch"), F.col("coarse_err")).otherwise(0))
+            .cast("long")
+            .alias("coarse_err_corpus"),
+            F.sum(F.when(F.col("is_batch"), F.col("coarse_err")).otherwise(0))
+            .cast("long")
+            .alias("coarse_err_batch"),
+            F.sum(F.when(~F.col("is_batch"), F.col("rec_err")).otherwise(0))
+            .cast("long")
+            .alias("rec_err_corpus"),
+            F.sum(F.when(F.col("is_batch"), F.col("rec_err")).otherwise(0))
+            .cast("long")
+            .alias("rec_err_batch"),
+        )
     )
 
 

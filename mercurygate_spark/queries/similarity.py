@@ -548,6 +548,131 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_stats_oracle() -> str:
+    """Oracle for sim_index_drift_stats: the frozen-chain prefix
+    (duck_frozen_chains_sql — trainset = base corpus, fullset =
+    everything), then per-subspace MIN code distance (the chosen
+    code's reconstruction error — min over the codebook, tie-break
+    irrelevant since ties have equal distance), coarse assignment, and
+    the per-list integer aggregation."""
+    from mercurygate_spark.operators.similarity import (
+        EMBED_DIMS,
+        INCR_ANN_MOD as MOD,
+        KMEANS_ITERS,
+        PQ_M,
+        PQ_SUBDIM,
+        duck_frozen_chains_sql,
+    )
+
+    prefix = duck_frozen_chains_sql(
+        corpus_select=(
+            f"SELECT vec_id, embedding FROM embeddings WHERE vec_id % {MOD} <> 0"
+        ),
+        full_select="SELECT vec_id, embedding FROM embeddings",
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    sdist = (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    rec_ctes = ",\n    ".join(
+        f"rec{m} AS (SELECT e.vec_id, min({sdist}) AS d "
+        f"FROM fs{m} e CROSS JOIN s{m}_cent{KMEANS_ITERS} c GROUP BY e.vec_id)"
+        for m in range(PQ_M)
+    )
+    code_ctes = ",\n    ".join(
+        f"""code{m} AS (
+      SELECT vec_id, cidx AS code FROM (
+        SELECT e.vec_id, c.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sdist}, c.cidx) AS rn
+        FROM fs{m} e CROSS JOIN s{m}_cent{KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )"""
+        for m in range(PQ_M)
+    )
+    rec_joins = " ".join(f"JOIN rec{m} r{m} USING (vec_id)" for m in range(1, PQ_M))
+    rec_sum = " + ".join(f"r{m}.d" for m in range(PQ_M))
+    cw_joins = " ".join(f"JOIN code{m} c{m} USING (vec_id)" for m in range(1, PQ_M))
+    cw_concat = " || ',' || ".join(
+        f"CAST(c{m}.code AS VARCHAR)" for m in range(PQ_M)
+    )
+    return f"""
+    WITH {prefix},
+    {rec_ctes},
+    {code_ctes},
+    rec AS (
+      SELECT r0.vec_id, CAST({rec_sum} AS BIGINT) AS rec_err
+      FROM rec0 r0 {rec_joins}
+    ),
+    cw AS (
+      SELECT vec_id, {cw_concat} AS code_word
+      FROM code0 c0 {cw_joins}
+    ),
+    assign AS (
+      SELECT vec_id, cidx AS centroid_id, coarse_err FROM (
+        SELECT e.vec_id, c.cidx, CAST({dist} AS BIGINT) AS coarse_err,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cidx) AS rn
+        FROM fq e CROSS JOIN cent{KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )
+    SELECT a.centroid_id,
+           CAST(sum(CASE WHEN a.vec_id % {MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corpus,
+           CAST(sum(CASE WHEN a.vec_id % {MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_batch,
+           CAST(count(DISTINCT CASE WHEN a.vec_id % {MOD} <> 0 THEN code_word END)
+                AS BIGINT) AS n_codes_corpus,
+           CAST(count(DISTINCT CASE WHEN a.vec_id % {MOD} = 0 THEN code_word END)
+                AS BIGINT) AS n_codes_batch,
+           CAST(sum(CASE WHEN a.vec_id % {MOD} <> 0 THEN coarse_err ELSE 0 END)
+                AS BIGINT) AS coarse_err_corpus,
+           CAST(sum(CASE WHEN a.vec_id % {MOD} = 0 THEN coarse_err ELSE 0 END)
+                AS BIGINT) AS coarse_err_batch,
+           CAST(sum(CASE WHEN a.vec_id % {MOD} <> 0 THEN rec_err ELSE 0 END) AS BIGINT)
+             AS rec_err_corpus,
+           CAST(sum(CASE WHEN a.vec_id % {MOD} = 0 THEN rec_err ELSE 0 END) AS BIGINT)
+             AS rec_err_batch
+    FROM assign a JOIN rec USING (vec_id) JOIN cw USING (vec_id)
+    GROUP BY a.centroid_id
+    """
+
+
+@query("sim_index_drift_stats", oracle=_drift_stats_oracle())
+def sim_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index drift MONITOR — the decision input between the cheap
+    append (sim_ivfpq_incremental_append) and the scheduled repair
+    (sim_ivfpq_reindex_swap), closing the maintenance loop: under the
+    FROZEN serving quantizers (trained on the vec_id % {INCR_ANN_MOD}
+    ≠ 0 corpus), every vector of the grown set gets its coarse list
+    assignment and its PQ reconstruction error (Σ over subspaces of
+    the chosen code's integer squared distance — the quantity whose
+    growth on new data IS codebook drift; docs/reindex_recall_r10.json
+    shows exactly this collapsing recall 0.288→0.026). Emitted per
+    inverted list: corpus/batch occupancy counts and exact integer
+    error sums. The two production alarms read straight off it:
+    batch occupancy piling into few lists (coarse-quantizer drift →
+    probe-cost blowup) and batch error sums far above corpus error at
+    comparable counts (codebook drift → ADC precision collapse).
+    One Arrow pass + one 16-row groupBy — monitoring costs one corpus
+    scan, no index rebuild. All-integer output, bit-exact in both
+    engines."""
+    from mercurygate_spark.operators.similarity import ivfpq_drift_stats
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
+    cmat = train_ivf_centroids(corpus)
+    cmats = pq_train_codebooks(corpus)
+    return ivfpq_drift_stats(
+        e, cmat, cmats, batch_flag=(F.col("vec_id") % INCR_ANN_MOD == 0)
+    )
+
+
 def _vector_ingest_oracle() -> str:
     """Oracle for pipeline_vector_ingest: the frozen-quantizer IVFPQ
     replay (duck_ivfpq_frozen_sql) whose FULL corpus is the composed
