@@ -1482,7 +1482,7 @@ def duck_ivfpq_incr_sql(
     )
 
 
-def ivfpq_drift_stats(
+def ivfpq_vector_stats(
     df: DataFrame,
     cmat,
     cmats: list,
@@ -1490,28 +1490,12 @@ def ivfpq_drift_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Per-inverted-list drift statistics under FROZEN quantizers — the
-    monitor that decides WHEN to run ivfpq_retrain_swap, closing the
-    maintenance loop (append cheaply → watch this → swap when it
-    moves): for every vector, one Arrow pass computes its frozen
-    coarse assignment AND that assignment's distance (coarse_err —
-    the per-vector inertia), its PQ code word, and its PQ
-    reconstruction error (Σ_m of the chosen code's integer squared
-    distance). Aggregated per inverted list: corpus/batch occupancy,
-    distinct code words used by each side, and exact integer error
-    sums. The pager alarm — MEASURED, tests/test_operators.py — is
-    OCCUPANCY CONCENTRATION: under the drift that collapses frozen
-    IVFPQ recall 0.288→0.026 (docs/reindex_recall_r10.json), the
-    batch's top-list share jumps 0.084 → 0.556 (6.6×) while every
-    error-style statistic stays nearly silent (coarse assignment
-    error +9 %, PQ reconstruction error +2 %, distinct code words
-    flat until extreme drift). The negative finding matters as much
-    as the alarm: on ~unit-norm high-dim data, quantization error is
-    noise-dominated and barely moves under drift — WHERE vectors land
-    (occupancy histograms), not HOW FAR they quantize (error sums),
-    is the production drift signal; the error/code-word columns stay
-    as diagnostics for localizing which lists to inspect. All-integer
-    output: both engines agree bit-for-bit, no ratios to round."""
+    """The STATELESS per-vector half of the drift monitor — one Arrow
+    pass emitting (centroid_id, is_batch, code_word, coarse_err,
+    rec_err) per vector under frozen quantizers. Split out so the
+    streaming monitor (stream_index_drift_stats) can run it per
+    micro-batch and keep only the 16-row aggregation as streaming
+    state."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1567,7 +1551,40 @@ def ivfpq_drift_stats(
                 }
             )
 
-    per_vec = flagged.mapInPandas(stats, schema)
+    return flagged.mapInPandas(stats, schema)
+
+
+def ivfpq_drift_stats(
+    df: DataFrame,
+    cmat,
+    cmats: list,
+    batch_flag: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-inverted-list drift statistics under FROZEN quantizers — the
+    monitor that decides WHEN to run ivfpq_retrain_swap, closing the
+    maintenance loop (append cheaply → watch this → swap when it
+    moves): for every vector, one Arrow pass computes its frozen
+    coarse assignment AND that assignment's distance (coarse_err —
+    the per-vector inertia), its PQ code word, and its PQ
+    reconstruction error (Σ_m of the chosen code's integer squared
+    distance). Aggregated per inverted list: corpus/batch occupancy,
+    distinct code words used by each side, and exact integer error
+    sums. The pager alarm — MEASURED, tests/test_operators.py — is
+    OCCUPANCY CONCENTRATION: under the drift that collapses frozen
+    IVFPQ recall 0.288→0.026 (docs/reindex_recall_r10.json), the
+    batch's top-list share jumps 0.084 → 0.556 (6.6×) while every
+    error-style statistic stays nearly silent (coarse assignment
+    error +9 %, PQ reconstruction error +2 %, distinct code words
+    flat until extreme drift). The negative finding matters as much
+    as the alarm: on ~unit-norm high-dim data, quantization error is
+    noise-dominated and barely moves under drift — WHERE vectors land
+    (occupancy histograms), not HOW FAR they quantize (error sums),
+    is the production drift signal; the error/code-word columns stay
+    as diagnostics for localizing which lists to inspect. All-integer
+    output: both engines agree bit-for-bit, no ratios to round."""
+    per_vec = ivfpq_vector_stats(df, cmat, cmats, batch_flag, id_col, vec_col)
     return (
         per_vec.groupBy("centroid_id")
         .agg(

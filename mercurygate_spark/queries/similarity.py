@@ -785,6 +785,102 @@ def sim_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_drift_oracle() -> str:
+    """The batch drift oracle minus the code-word columns — exactly
+    the columns the streamed monitor can maintain with bounded state."""
+    return f"""
+    SELECT centroid_id, n_corpus, n_batch,
+           coarse_err_corpus, coarse_err_batch,
+           rec_err_corpus, rec_err_batch
+    FROM ({_drift_stats_oracle()})
+    """
+
+
+@query("stream_index_drift_stats", oracle=_stream_drift_oracle())
+def stream_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor RUNNING CONTINUOUSLY — sim_index_drift_stats'
+    production deployment shape: the appended batch arrives as a
+    STREAM (same availableNow parquet source as stream_ivfpq_probe),
+    each micro-batch goes through the STATELESS Arrow stats pass
+    (operators.similarity.ivfpq_vector_stats — frozen coarse
+    assignment + its distance + PQ reconstruction error), and a
+    streaming complete-mode groupBy keeps the per-list running
+    occupancy and error sums: the pager signal is live after every
+    micro-batch, and the aggregation state is EXACTLY N_CENTROIDS
+    rows regardless of stream length — the smallest stateful
+    streaming operator in the repo. The distinct-code-word diagnostic
+    is deliberately NOT streamed: count(DISTINCT) is unsupported in
+    streaming aggregations and a collect_set would grow state with
+    the code vocabulary — at 100 TB the words diagnostic stays a
+    batch job (sim_index_drift_stats); the 16-row alarm streams.
+    Corpus-side columns are computed once statically and
+    full-outer-joined after the sink (a list can hold only corpus or
+    only batch vectors — coalesce(0) both sides). Oracle: the batch
+    drift oracle minus the code-word columns — streaming must be
+    value-invisible."""
+    import os as _os
+    import tempfile as _tf
+
+    from mercurygate_spark.io.tmp_tables import register_tmp_dir
+    from mercurygate_spark.operators.similarity import (
+        ivfpq_drift_stats,
+        ivfpq_vector_stats,
+    )
+    from mercurygate_spark.streaming.windows import run_to_memory
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
+    cmat = train_ivf_centroids(corpus)
+    cmats = pq_train_codebooks(corpus)
+
+    corpus_stats = ivfpq_drift_stats(
+        corpus, cmat, cmats, batch_flag=F.lit(False)
+    ).select("centroid_id", "n_corpus", "coarse_err_corpus", "rec_err_corpus")
+
+    d = _os.path.join(
+        _tf.gettempdir(),
+        f"mercurygate_stream_drift_{_os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    _os.makedirs(d, exist_ok=True)
+    register_tmp_dir(_os.path.dirname(d))
+    link = _os.path.join(d, "embeddings.parquet")
+    try:
+        _os.symlink(f"{sf_dir}/embeddings.parquet", link)
+    except FileExistsError:
+        pass
+    stream_batch = (
+        spark.readStream.schema(e.schema)
+        .parquet(d)
+        .where(F.col("vec_id") % INCR_ANN_MOD == 0)
+    )
+    batch_agg = (
+        ivfpq_vector_stats(stream_batch, cmat, cmats, batch_flag=F.lit(True))
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum("coarse_err").cast("long").alias("coarse_err_batch"),
+            F.sum("rec_err").cast("long").alias("rec_err_batch"),
+        )
+    )
+    sunk = run_to_memory(batch_agg, output_mode="complete")
+    joined = corpus_stats.join(sunk, "centroid_id", "full_outer")
+    fill = {
+        "n_corpus": 0, "n_batch": 0,
+        "coarse_err_corpus": 0, "coarse_err_batch": 0,
+        "rec_err_corpus": 0, "rec_err_batch": 0,
+    }
+    out = joined
+    for c, v in fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)).cast("long"))
+    return out.select(
+        "centroid_id", "n_corpus", "n_batch",
+        "coarse_err_corpus", "coarse_err_batch",
+        "rec_err_corpus", "rec_err_batch",
+    )
+
+
 def _vector_ingest_oracle() -> str:
     """Oracle for pipeline_vector_ingest: the frozen-quantizer IVFPQ
     replay (duck_ivfpq_frozen_sql) whose FULL corpus is the composed
