@@ -71,6 +71,10 @@ def test_column_pruning(spark):
 #   dimension domains (5 regions × 5 priorities) — never fact-sized.
 _BOUNDED_BNLJ_OK = {
     "sim_cosine_topk",
+    # broadcast(n_queries rows) × decoded-code scan — the same
+    # deliberate brute-force shape as sim_cosine_topk, reading 64 B
+    # codes instead of 256 B floats
+    "sim_sq8_topk",
     "text_unigram_logprob",
     "project_dense_grid",
     # 1-row corpus-size frame broadcast onto the tf×df join
