@@ -481,3 +481,89 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psi_feature(price, "o_totalprice_bin50k", F.col("is_ref")).unionAll(
         _psi_feature(status, "o_orderstatus", F.col("is_ref"))
     )
+
+
+@query(
+    "dq_embedding_quality",
+    oracle="""
+    WITH per_vec AS (
+      SELECT label,
+             len(embedding) AS dim,
+             len(list_filter(embedding::DOUBLE[],
+                             x -> isnan(x) OR isinf(x))) > 0 AS bad_float,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm,
+             md5(list_aggregate(list_transform(embedding::DOUBLE[],
+                   x -> CAST(CAST(floor(x * 1000 + 0.5) AS BIGINT) AS VARCHAR)),
+                 'string_agg', ',')) AS ck
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dim_mismatch,
+           CAST(sum(CASE WHEN bad_float THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_float,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           floor(min(nrm) * 1000000 + 0.5) / 1000000 AS norm_min,
+           floor(max(nrm) * 1000000 + 0.5) / 1000000 AS norm_max,
+           CAST(count(*) - count(DISTINCT ck) AS BIGINT) AS n_dup_content
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def dq_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit for the EMBEDDING column — the dq_*
+    family applied to vectors, which a 100 TB embedding pipeline needs
+    as badly as row counts (one NaN vector poisons every dot product
+    in its list; silent dimension drift breaks every zip_with
+    downstream; duplicate content wastes index space and skews ANN
+    training): per label, vector count, dimension mismatches, NaN/Inf
+    carriers, zero-norm vectors (undefined cosine), the [min, max]
+    norm range (6-dp — catches an unnormalized batch landing in a
+    unit-norm corpus), and duplicate-content count via the md5 of the
+    quantized component string (the pipeline_vector_ingest gate key,
+    reused). One scan, one groupBy on the label — all counters are
+    conditional aggregations in codegen; min/max of doubles are
+    order-independent, so the only rounding anywhere is the 6-dp on
+    the norm extremes. The norm expression is the sequential-fold dot
+    product, bit-identical to DuckDB's list_dot_product."""
+    from mercurygate_spark.operators.similarity import dot
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    ev = F.col("embedding").cast("array<double>")
+    bad = F.exists(ev, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    nrm = F.sqrt(dot(ev, ev))
+    ck = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                ev,
+                lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long").cast("string"),
+            ),
+        )
+    )
+    per_vec = e.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        bad.alias("bad_float"),
+        nrm.alias("nrm"),
+        ck.alias("ck"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dim_mismatch"),
+        F.sum(F.when(F.col("bad_float"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_float"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        r6(F.min("nrm")).alias("norm_min"),
+        r6(F.max("nrm")).alias("norm_max"),
+        (F.count("*") - F.countDistinct("ck")).cast("long").alias("n_dup_content"),
+    )

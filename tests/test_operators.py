@@ -1465,3 +1465,47 @@ def test_sq8_recall_near_exact(spark):
         len(sq8.get(q, set()) & t) / len(t) for q, t in truth.items()
     ) / len(truth)
     assert recall >= 0.8, recall
+
+
+def test_dq_embedding_quality_counters_fire_on_crafted_frame(spark):
+    """dq_embedding_quality is all zeros on the clean testdata, so the
+    oracle gate alone can't prove the counters work — craft a frame
+    with one NaN carrier, one Inf carrier, one wrong-dimension vector,
+    one zero vector, and one exact duplicate, and assert every counter
+    fires exactly once (and the clean rows don't)."""
+    from mercurygate_spark.queries.quality import dq_embedding_quality  # noqa: F401
+    from mercurygate_spark.queries.registry import REGISTRY
+
+    clean = [0.6, 0.8] + [0.0] * 62
+    rows = [
+        (0, clean, 1),
+        (1, [float("nan")] + [1.0] * 63, 1),
+        (2, [float("inf")] + [1.0] * 63, 1),
+        (3, [1.0] * 32, 1),          # wrong dim
+        (4, [0.0] * 64, 1),          # zero norm
+        (5, clean, 1),               # duplicate of vec 0
+        (6, [1.0] + [0.0] * 63, 2),  # clean, other label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        r["label"]: r
+        for r in REGISTRY["dq_embedding_quality"].fn(spark, d).collect()
+    }
+    l1 = out[1]
+    assert l1["n_vecs"] == 6
+    assert l1["n_dim_mismatch"] == 1
+    assert l1["n_bad_float"] == 2       # the NaN and the Inf carriers
+    assert l1["n_zero_norm"] == 1
+    assert l1["n_dup_content"] == 1     # vec 5 duplicates vec 0
+    assert l1["norm_min"] == 0.0        # the zero vector
+    l2 = out[2]
+    assert (l2["n_vecs"], l2["n_dim_mismatch"], l2["n_bad_float"],
+            l2["n_zero_norm"], l2["n_dup_content"]) == (1, 0, 0, 0, 0)
+    assert l2["norm_min"] == l2["norm_max"] == 1.0
