@@ -1186,3 +1186,168 @@ def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunk = run_to_memory(scored, output_mode="append")
     w = Window.partitionBy("query_id").orderBy("adc", "candidate_id")
     return sunk.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TOP_K)
+
+
+@query("stream_vector_ingest", oracle=_vector_ingest_oracle())
+def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_vector_ingest with the CDC log arriving as a STREAM —
+    the medallion streaming-silver doctrine applied to vectors: the
+    three CDC waves (seq-0 inserts, seq-1 updates, seq-2 tombstones)
+    land as separate files, a maxFilesPerTrigger=1 availableNow query
+    delivers them as separate micro-batches, and a foreachBatch
+    handler merges each into the persisted latest-per-key vector
+    source (read → union → latest-wins window on (k, seq) → staging
+    write → atomic dir swap — the Delta-free MERGE fallback;
+    latest-wins by seq makes the result independent of how the log is
+    micro-batched, the same idempotency argument as the silver merge).
+    After the stream drains, the rest of the cycle is the batch key
+    unchanged: tombstone filter → content-key dedup gate → frozen
+    encode → bucketed append → probe. Oracle: IDENTICAL to
+    pipeline_vector_ingest — streaming the log must be
+    value-invisible."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import time as _time
+
+    from mercurygate_spark.io.bucketing import write_bucketed
+    from mercurygate_spark.io.tmp_tables import register_tmp_dir, register_tmp_table
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mod = INCR_ANN_MOD
+    corpus = e.where(F.col("vec_id") % mod != 0)
+
+    root = _os.path.join(
+        _tf.gettempdir(),
+        f"mercurygate_stream_vi_{_os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    register_tmp_dir(_os.path.dirname(root))
+    logdir = _os.path.join(root, "log")
+    latest_path = _os.path.join(root, "latest")
+    ckpt = _os.path.join(root, "ckpt")
+    for p in (logdir, latest_path, ckpt):
+        if _os.path.exists(p):
+            _shutil.rmtree(p)
+    _os.makedirs(logdir)
+
+    def log_frame(df, key_col, emb, seq, op):
+        return df.select(
+            F.col(key_col).alias("k"),
+            emb.alias("embedding"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    dup_src = (
+        e.where(F.col("vec_id") % (4 * mod) == 3 * mod)
+        .alias("b")
+        .join(e.alias("s"), F.col("s.vec_id") == F.col("b.vec_id") - 4)
+    )
+    waves = [
+        log_frame(e.where(F.col("vec_id") % mod == 0), "vec_id",
+                  F.col("embedding"), 0, "I"),
+        log_frame(e.where(F.col("vec_id") % (2 * mod) == 0), "vec_id",
+                  F.reverse(F.col("embedding")), 1, "U").unionByName(
+            dup_src.select(
+                F.col("b.vec_id").alias("k"),
+                F.col("s.embedding").alias("embedding"),
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        ),
+        log_frame(e.where(F.col("vec_id") % (4 * mod) == mod), "vec_id",
+                  F.col("embedding"), 2, "D"),
+    ]
+    now = _time.time()
+    for i, wave in enumerate(waves):
+        staging = _os.path.join(root, f"wave_stage_{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = _glob.glob(_os.path.join(staging, "part-*.parquet"))[0]
+        dest = _os.path.join(logdir, f"wave_{i}.parquet")
+        _shutil.move(part, dest)
+        _os.utime(dest, (now - 60 * (3 - i), now - 60 * (3 - i)))
+        _shutil.rmtree(staging, ignore_errors=True)
+
+    log_schema = "k long, embedding array<double>, seq int, op string"
+    stream = (
+        spark.readStream.schema(log_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(logdir)
+    )
+
+    def merge_batch(bdf, batch_id):
+        cur_files = _os.path.exists(latest_path)
+        if cur_files:
+            allr = bdf.sparkSession.read.parquet(latest_path).unionByName(bdf)
+        else:
+            allr = bdf
+        w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+        latest = (
+            allr.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        stage = latest_path + "__stage"
+        latest.write.mode("overwrite").parquet(stage)
+        if cur_files:
+            _shutil.rmtree(latest_path)
+        _os.rename(stage, latest_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_final = (
+        spark.read.parquet(latest_path)
+        .where(F.col("op") != "D")
+        .select(F.col("k").alias("vec_id"), "embedding")
+    )
+
+    def content_key(col):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    col.cast("array<double>"),
+                    lambda x: F.floor(x * QUANT + F.lit(0.5)).cast("long").cast("string"),
+                ),
+            )
+        )
+
+    gated = (
+        batch_final.withColumn("ck", content_key(F.col("embedding")))
+        .join(
+            corpus.select(content_key(F.col("embedding")).alias("ck")),
+            "ck",
+            "left_anti",
+        )
+        .drop("ck")
+    )
+    cmat = train_ivf_centroids(corpus)
+    cmats = pq_train_codebooks(corpus)
+    name = f"mg_stream_vi_{_os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(
+        ivfpq_encode(corpus, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id",
+    )
+    register_tmp_table(spark, name)
+    write_bucketed(
+        ivfpq_encode(gated, cmat, cmats), name, "centroid_id", 8,
+        sort_by="centroid_id", mode="append",
+    )
+    grown = corpus.unionByName(gated)
+    return ivfpq_adc_topk(
+        grown, k=TOP_K, n_queries=N_QUERIES,
+        index=spark.table(name), quantizers=(cmat, cmats),
+        query_source=grown,
+    )

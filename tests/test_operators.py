@@ -1223,6 +1223,7 @@ def test_stateful_index_keys_rerun_identical(spark):
         "sim_ivfpq_incremental_append",
         "sim_ivfpq_reindex_swap",
         "pipeline_vector_ingest",
+        "stream_vector_ingest",
     ]:
         first = queries[key](spark, "/root/testdata/sf0.001")
         cols = sorted(first.columns)
