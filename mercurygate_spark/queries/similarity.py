@@ -660,6 +660,131 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TOP_K)
 
 
+_IVFSQ_ORACLE = f"""
+    WITH {duck_ivf_kmeans_sql()},
+    assign_final AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(range(1, {EMBED_DIMS + 1}),
+                          j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))),
+                        c.cidx
+             ) AS probe_rank
+      FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+    ),
+    stats AS (
+      SELECT i, min(v) AS lo, max(v) AS hi FROM (
+        SELECT i, embedding[i + 1]::DOUBLE AS v
+        FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+      ) GROUP BY i
+    ), statarr AS (
+      SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM stats
+    ),
+    corpus_lists AS (
+      SELECT a.vec_id AS candidate_id, a.cidx,
+             list_transform(range(1, {EMBED_DIMS + 1}), j ->
+               (CASE WHEN s.hi[j] = s.lo[j] THEN 0.0
+                     ELSE floor((a.embedding[j]::DOUBLE - s.lo[j])
+                                / (s.hi[j] - s.lo[j]) * 255 + 0.5) END)
+               * (s.hi[j] - s.lo[j]) / 255 + s.lo[j]
+             ) AS dv
+      FROM assign_final a, statarr s WHERE a.probe_rank = 1
+    ),
+    query_probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cidx
+      FROM assign_final WHERE vec_id < {N_QUERIES} AND probe_rank <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.candidate_id,
+             floor(
+               list_dot_product(p.qv::DOUBLE[], c.dv) /
+               (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+                sqrt(list_dot_product(c.dv, c.dv)))
+               * 10000 + 0.5) / 10000 AS cos
+      FROM query_probes p JOIN corpus_lists c
+        ON p.cidx = c.cidx AND p.query_id <> c.candidate_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """
+
+
+@query("sim_ivfsq_topk", oracle=_IVFSQ_ORACLE)
+def sim_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 — the FAISS "IVF,SQ8" composition, SQ8's SCALE path
+    (sim_sq8_topk is the full-scan form): IVF partition-pruning
+    restricts each query to its {N_PROBE} nearest trained lists, then
+    the asymmetric SQ8 cosine (exact query vs per-dimension-decoded
+    candidate) ranks only the probed lists' candidates. The
+    production trade vs IVFPQ at the SAME candidate budget: 4× codes
+    instead of 16× but nearly exact scoring (SQ8 recall 0.98 vs
+    PQ16's 0.42 full-scan) — at 100 TB the probe reads 64 B/candidate
+    from only nprobe/N_CENTROIDS of the index, and the decode+cosine
+    stays pure codegen (zip_with/aggregate — no Python in the scoring
+    path; the coarse assignment is the one Arrow pass). Oracle: the
+    IVF training-replay chain joined with the SQ8 grid decode, ranked
+    within probed lists."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    from mercurygate_spark.operators.similarity import ivf_assign
+
+    cmat = train_ivf_centroids(e)
+    stats = (
+        e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()  # bounded by construction: EMBED_DIMS rows
+    )
+    lo = {r["pos"]: r["lo"] for r in stats}
+    hi = {r["pos"]: r["hi"] for r in stats}
+    lo_arr = F.array(*[F.lit(lo[j]) for j in range(EMBED_DIMS)])
+    rng_arr = F.array(*[F.lit(hi[j] - lo[j]) for j in range(EMBED_DIMS)])
+
+    def decoded(col):
+        ev = col.cast("array<double>")
+        code = F.zip_with(
+            F.zip_with(ev, lo_arr, lambda x, l: x - l),
+            rng_arr,
+            lambda d, r: F.when(r == 0, F.lit(0.0)).otherwise(
+                F.floor(d / r * 255 + F.lit(0.5))
+            ),
+        )
+        return F.zip_with(
+            F.zip_with(code, rng_arr, lambda c, r: c * r / 255),
+            lo_arr,
+            lambda t_, l: t_ + l,
+        )
+
+    lists = ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1).select(
+        F.col("vec_id").alias("candidate_id"),
+        decoded(F.col("embedding")).alias("cv"),
+        "centroid_id",
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    probes = ivf_assign(q, cmat, "vec_id", "embedding", n_probe=N_PROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        "centroid_id",
+    )
+    scored = (
+        probes.join(lists, "centroid_id")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
+             ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "candidate_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TOP_K)
+
+
 def _drift_stats_oracle() -> str:
     """Oracle for sim_index_drift_stats: the frozen-chain prefix
     (duck_frozen_chains_sql — trainset = base corpus, fullset =
