@@ -115,31 +115,48 @@ def main() -> None:
         print(f"# {name}: best-of-{runs} {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "query_runs": all_runs,
-                "query_means": {
-                    k: round(sum(v) / len(v), 3) for k, v in all_runs.items()
-                },
-                # medians resist both transient stalls AND the one-fast-
-                # run flattery that best-of-N gives; with the raw runs
-                # above, round-over-round drift can be judged against
-                # actual spread (scripts/bench_variance.py does this
-                # with fresh-JVM isolation per key).
-                "query_medians": {
-                    k: round(statistics.median(v), 3) for k, v in all_runs.items()
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "load_avg_1m": round(os.getloadavg()[0], 2),
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "query_runs": all_runs,
+        "query_means": {k: round(sum(v) / len(v), 3) for k, v in all_runs.items()},
+        # medians resist both transient stalls AND the one-fast-
+        # run flattery that best-of-N gives; with the raw runs
+        # above, round-over-round drift can be judged against
+        # actual spread (scripts/bench_variance.py does this
+        # with fresh-JVM isolation per key).
+        "query_medians": {
+            k: round(statistics.median(v), 3) for k, v in all_runs.items()
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+    }
+    # The driver captures only the last 2000 chars of stdout; the full
+    # doc (~6 KB with per-run arrays) got front-truncated into an
+    # unparseable tail in round 10 ("parsed": null). Parse-proofing:
+    # persist the FULL doc to docs/bench_local_latest.json, and print a
+    # COMPACT line (no per-run arrays/means/medians — those live in the
+    # artifact, which each round commits as docs/bench_r{N}_local.json)
+    # small enough to survive the tail capture intact.
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_local_latest.json"
     )
+    try:
+        with open(artifact, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # bench must still emit its line read-only
+        print(f"# artifact write failed: {exc}", file=sys.stderr)
+    slim = {k: v for k, v in full.items() if k not in ("query_runs", "query_means", "query_medians")}
+    slim["artifact"] = "docs/bench_local_latest.json"
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1900:  # still must fit the 2000-char tail window
+        slim.pop("queries", None)
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

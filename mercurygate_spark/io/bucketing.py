@@ -43,8 +43,17 @@ def swap_bucketed(spark: SparkSession, table_name: str, staging: str) -> None:
     data copy. Same atomicity caveat as compact_bucketed's swap: a
     crash between the renames can leave the live name missing (at
     100 TB this runs under the ingest job's retry/lock, or on
-    Delta/Iceberg where the swap is one transaction); readers planned
-    BEFORE the swap keep working off the old file listing."""
+    Delta/Iceberg where the swap is one transaction).
+
+    Reader safety is BOUNDED, not absolute (ADVICE r10): readers
+    planned before the swap keep working only until the final DROP of
+    the __old managed table, which deletes its data files immediately
+    — an in-flight scan that outlives the swap fails on missing files.
+    In this engine's usage the swap runs between probe batches of the
+    same single job, so no reader can span it; a multi-reader
+    production deployment needs a transactional catalog
+    (Delta/Iceberg) or a deferred garbage-collect of __old instead of
+    the inline DROP."""
     old = f"{table_name}__old"
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")

@@ -16,6 +16,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Hot-key driver-collect cap (the _uni_bounded_collect doctrine,
+# queries/text.py): keys above a COUNT threshold are few by definition
+# — a fact with N rows has at most N/threshold hot keys — but a
+# pathological threshold (e.g. 0 on a high-cardinality key) would turn
+# the collect unbounded. 10k hot keys is already far past the point
+# where hot/cold isolation is the wrong tool (that's not skew, that's
+# uniform volume); raise rather than flood the driver.
+HOT_KEY_CAP = 10_000
+
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
     """Deterministic salt in [0, n_salts): hash of the whole row's
@@ -86,7 +95,19 @@ def skew_isolated_join(
     hot_keys_df = (
         fact.groupBy(on).agg(F.count("*").alias("__n")).where(F.col("__n") > hot_key_threshold)
     ).select(on)
-    hot_keys = [r[on] for r in hot_keys_df.collect()]
+    # bounded collect: limit(CAP + 1) so the driver never materializes
+    # more than CAP + 1 keys even on a pathological threshold; the
+    # raise fires on the bounded frame, not after an unbounded collect
+    rows = hot_keys_df.limit(HOT_KEY_CAP + 1).collect()
+    if len(rows) > HOT_KEY_CAP:
+        raise RuntimeError(
+            f"skew_isolated_join found >{HOT_KEY_CAP} keys above "
+            f"hot_key_threshold={hot_key_threshold}: that is not skew, "
+            "it is uniform volume — raise the threshold (hot keys must "
+            "be few for broadcast isolation to make sense) or rely on "
+            "AQE skew-join splitting instead."
+        )
+    hot_keys = [r[on] for r in rows]
     if not hot_keys:
         return fact.join(dim, on, how)
     fact_hot = fact.where(F.col(on).isin(hot_keys))

@@ -1322,7 +1322,13 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivers them as separate micro-batches, and a foreachBatch
     handler merges each into the persisted latest-per-key vector
     source (read → union → latest-wins window on (k, seq) → staging
-    write → atomic dir swap — the Delta-free MERGE fallback;
+    write → rename-aside dir swap — the Delta-free MERGE fallback; the
+    swap renames the old state aside as __prev BEFORE promoting the
+    staging dir and deletes __prev last, so a crash at any point
+    leaves either the old or the new state recoverable: merge_batch
+    restores a stranded __prev on entry, which is what makes
+    checkpoint REPLAY safe — without it a replayed batch would see no
+    prior state and silently become the whole 'latest' (ADVICE r10);
     latest-wins by seq makes the result independent of how the log is
     micro-batched, the same idempotency argument as the silver merge).
     After the stream drains, the rest of the cycle is the batch key
@@ -1406,6 +1412,13 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge_batch(bdf, batch_id):
+        prev = latest_path + "__prev"
+        # crash/replay recovery: a failure between the two renames
+        # below strands the old state under __prev with no live dir —
+        # restore it so a checkpoint-replayed batch merges against the
+        # prior waves instead of silently becoming the whole 'latest'
+        if not _os.path.exists(latest_path) and _os.path.exists(prev):
+            _os.rename(prev, latest_path)
         cur_files = _os.path.exists(latest_path)
         if cur_files:
             allr = bdf.sparkSession.read.parquet(latest_path).unionByName(bdf)
@@ -1419,9 +1432,15 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stage = latest_path + "__stage"
         latest.write.mode("overwrite").parquet(stage)
+        # rename-aside swap: old → __prev, stage → live, delete __prev
+        # LAST — at every intermediate point either the old or the new
+        # state is intact on disk (plain rmtree-then-rename would lose
+        # all merged state if the process died between the two calls)
+        _shutil.rmtree(prev, ignore_errors=True)
         if cur_files:
-            _shutil.rmtree(latest_path)
+            _os.rename(latest_path, prev)
         _os.rename(stage, latest_path)
+        _shutil.rmtree(prev, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

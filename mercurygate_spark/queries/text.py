@@ -1035,6 +1035,138 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+SUBSTR_K = 12  # minimum duplicated-substring length (tokens): a span is
+               # "duplicated" iff every token of it lies inside some
+               # K-token window that occurs ≥2 times corpus-wide
+               # (Lee et al. 2022 use 50 BPE tokens at web scale; 12
+               # keeps the testdata's 10-99-token docs non-trivial)
+
+
+@query(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk, len({_DUCK_TK}) AS n FROM documents
+    ), g AS (
+      SELECT doc_id, tk, unnest(range(0, n - {SUBSTR_K} + 1)) AS pos
+      FROM tk WHERE n >= {SUBSTR_K}
+    ), gh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(tk, pos + 1, pos + {SUBSTR_K}), ' ')) AS h
+      FROM g
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM gh
+      ) WHERE c >= 2
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {SUBSTR_K} THEN 0 ELSE 1 END AS b
+      FROM dup
+    ), rid AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM brk
+    ), runs AS (
+      SELECT doc_id, run_id, min(pos) AS rs, max(pos) + {SUBSTR_K} - 1 AS re
+      FROM rid GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_dup_runs,
+             sum(re - rs + 1) AS n_dup_tokens,
+             max(re - rs + 1) AS max_run_len
+      FROM runs GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_dup_runs, 0) AS BIGINT) AS n_dup_runs,
+           CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(coalesce(p.max_run_len, 0) AS BIGINT) AS max_run_len
+    FROM tk t LEFT JOIN per_doc p USING (doc_id)
+    WHERE t.n >= {SUBSTR_K}
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", ExactSubstr) — the canonical
+    "remove repeated ≥K-token substrings from training data" operator,
+    the member of the dedup family that whole-doc (dedup_exact),
+    near-dup (dedup_minhash_lsh) and fixed-chunk (pipeline_chunk_dedup)
+    passes all miss: a duplicated span at an arbitrary OFFSET inside
+    two otherwise-unique documents.
+
+    Distributed shape — sorted k-grams, never a global suffix array on
+    one node (the paper's single-node suffix automaton does not
+    distribute; its k-gram formulation does):
+      1. each doc emits its OVERLAPPING {SUBSTR_K}-token windows as
+         (md5, doc_id, pos) — the shuffle carries 48-byte gram keys,
+         NEVER text (plan-pinned in tests/test_plans.py);
+      2. a count window over the gram hash marks every window that
+         occurs ≥2 times corpus-wide (within-doc repeats count, per
+         the paper — self-repetition is training-data duplication too);
+      3. per doc, duplicated window STARTS merge into maximal runs
+         (interval union: equal-length intervals [pos, pos+K-1] chain
+         while the start gap ≤ K), the lag+cumsum idiom — so two
+         overlapping duplicated windows report one span, and the
+         token-coverage count is exact, not per-window-double-counted.
+    Per-doc audit frame: token count, number of maximal duplicated
+    runs, tokens covered by duplicated runs, longest run. Downstream a
+    curation pass re-emits each doc minus its runs; this stats frame
+    is the auditable summary (same doctrine as pipeline_chunk_dedup).
+
+    At 100 TB: grams ≈ tokens (n-K+1 per doc), so stage 1 shuffles
+    ~48 bytes/token once — the same order as any tokenize-and-count
+    pass; the per-doc run-merge windows partition by doc_id (bounded
+    by doc length). 10x scale probe: docs/scale_probe_r11.json."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", tokens("text").alias("tk")
+    ).withColumn("n", F.size("tk")).where(F.col("n") >= SUBSTR_K)
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - SUBSTR_K),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.md5(F.array_join(F.slice("tk", i + 1, SUBSTR_K), " ")).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wd) <= SUBSTR_K, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    rid = dup.withColumn("run_id", F.sum(brk).over(wd))
+    runs = rid.groupBy("doc_id", "run_id").agg(
+        F.min("pos").alias("rs"), (F.max("pos") + SUBSTR_K - 1).alias("re")
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_runs"),
+        F.sum(F.col("re") - F.col("rs") + 1).alias("n_dup_tokens"),
+        F.max(F.col("re") - F.col("rs") + 1).alias("max_run_len"),
+    )
+    return (
+        docs.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_runs", F.lit(0)).cast("long").alias("n_dup_runs"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.coalesce("max_run_len", F.lit(0)).cast("long").alias("max_run_len"),
+        )
+    )
+
+
 def adjacent_pairs(tk):
     """Array of (w1, w2) structs for every ADJACENT element pair of
     tk — the token array zipped against itself shifted one, built
@@ -1562,9 +1694,15 @@ def _uni_bounded_collect(df: DataFrame, what: str) -> list:
     operators/logreg.py 2^53-guard doctrine): if a future edit to
     UNI_MAX_PIECE / the tokenizer alphabet breaks the documented
     Σ alphabet^l cap's assumptions, this raises instead of silently
-    turning a bounded driver collect into an unbounded one."""
-    rows = df.collect()
+    turning a bounded driver collect into an unbounded one.
+
+    The guard runs BEFORE the unbounded materialization, not after:
+    collect via limit(cap + 1) so the driver never holds more than
+    cap + 1 rows even when the contract is violated — a post-collect
+    check would OOM first at the scale it exists to protect
+    (ADVICE r10)."""
     cap = _uni_vocab_cap()
+    rows = df.limit(cap + 1).collect()
     if len(rows) > cap:
         raise RuntimeError(
             f"unigram {what} frame has {len(rows)} rows, above the "

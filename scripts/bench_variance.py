@@ -141,9 +141,30 @@ def main() -> None:
                     if v is not None
                 }
             inner = inner or doc
+            # r11+: the full per-round doc (incl. medians) is committed
+            # as docs/bench_{r}_local.json because the driver's 2000-char
+            # tail capture truncates the long line; prefer it when the
+            # BENCH file itself carries no medians
+            local = os.path.join(REPO, "docs", f"bench_{r}_local.json")
+            if not (inner.get("query_medians") or inner.get("queries")) or (
+                "query_medians" not in inner and os.path.exists(local)
+            ):
+                if os.path.exists(local):
+                    with open(local) as f:
+                        inner = json.load(f)
             # medians are the round's stable number; best-of-3 "queries"
             # is the fallback for rounds that predate medians
             prior[r] = inner.get("query_medians") or inner.get("queries", {})
+            if not prior[r]:
+                # ADVICE r10: a silently skipped prior reads as "no prior
+                # recorded" — make the drop loud
+                print(
+                    f"WARNING: BENCH_{r}.json present but neither "
+                    "query_medians nor queries could be extracted "
+                    "(parsed null + unrecoverable tail, no local doc); "
+                    f"round {r} is EXCLUDED from fence judging",
+                    file=sys.stderr,
+                )
 
     results = {}
     for key in args.keys:

@@ -216,6 +216,28 @@ def test_skew_isolated_join_matches_plain_join(spark):
     assert iso2 == plain
 
 
+def test_skew_isolated_join_hot_key_cap_trips(spark, monkeypatch):
+    """Cap-guard trip test (VERDICT r10 #6): a pathological threshold
+    that marks EVERY key hot must raise before flooding the driver,
+    and the collect itself must be bounded (limit(cap+1)), not a
+    collect-then-check."""
+    import pytest
+
+    from mercurygate_spark.operators import skew
+
+    monkeypatch.setattr(skew, "HOT_KEY_CAP", 5)
+    fact = spark.createDataFrame(
+        [(k, k) for k in range(20)], schema="k long, v long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(20)], schema="k long, name string")
+    with pytest.raises(RuntimeError, match="not skew, it is uniform volume"):
+        skew.skew_isolated_join(fact, dim, "k", hot_key_threshold=0)
+    # at a sane cap the same call works
+    monkeypatch.setattr(skew, "HOT_KEY_CAP", 10_000)
+    out = skew.skew_isolated_join(fact, dim, "k", hot_key_threshold=0)
+    assert out.count() == 20
+
+
 def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
     from mercurygate_spark.io.maintenance import compact_parquet
 

@@ -864,3 +864,30 @@ def test_vector_ingest_gate_shuffles_keys_not_vectors(spark):
         assert proj is not None, corpus_side[:800]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark):
+    """dedup_substring_exact's 'shuffle hashes, never text' contract
+    (the dedup-family doctrine): the overlapping k-gram generation
+    (Generate explode) happens MAP-SIDE below the gram exchange, the
+    gram exchange's child projects exactly (doc_id, pos, h) — no text
+    or token-array column crosses the wire — and the per-doc run-merge
+    exchange carries only (doc_id, pos)."""
+    import re
+
+    s = _plan(spark, "dedup_substring_exact")
+    i_h = s.index("Exchange hashpartitioning(h#")
+    assert s.index("Generate explode") > i_h  # grams built below the shuffle
+    m = re.search(
+        r"Exchange hashpartitioning\(h#\d+[^\n]*\n\s*\+- Project \[([^\]]*)\]", s
+    )
+    assert m, s
+    gram_cols = m.group(1)
+    assert "text#" not in gram_cols and "tk#" not in gram_cols, gram_cols
+    assert "doc_id#" in gram_cols and "pos#" in gram_cols and "h#" in gram_cols
+    m2 = re.search(
+        r"Exchange hashpartitioning\(doc_id#\d+[^\n]*\n\s*\+- Project \[([^\]]*)\]", s
+    )
+    assert m2, s
+    run_cols = m2.group(1)
+    assert "text#" not in run_cols and "h#" not in run_cols, run_cols
