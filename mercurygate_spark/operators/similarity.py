@@ -458,19 +458,26 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids
     (integer squared euclidean on the quantized grid, tie-break by
     centroid index) via numpy per Arrow batch. ``cmat`` is the small
     (k, dims) int64 centroid matrix — closure-captured, sent once per
-    executor (the broadcast-dim pattern)."""
+    executor (the broadcast-dim pattern). ``extra_cols`` are metadata
+    columns carried through the Arrow pass unchanged (the filtered-ANN
+    path: the filter attribute rides the SAME mapInPandas batch, so
+    adding it costs zero extra shuffles or joins — at 100 TB joining
+    the assignment back to the corpus on id would be a second full
+    corpus shuffle)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    in_schema = df.select(id_col, vec_col).schema
+    cols = [id_col, vec_col, *extra_cols]
+    in_schema = df.select(*cols).schema
     schema = StructType(
         list(in_schema.fields)
         + [StructField("centroid_id", IntegerType()), StructField("probe_rank", IntegerType())]
@@ -489,11 +496,11 @@ def ivf_assign(
             for i in range(len(pdf)):
                 for r in range(order.shape[1]):
                     rows.append(
-                        (*pdf.iloc[i][[id_col, vec_col]], int(order[i, r]), r + 1)
+                        (*pdf.iloc[i][cols], int(order[i, r]), r + 1)
                     )
-            yield pd.DataFrame(rows, columns=[id_col, vec_col, "centroid_id", "probe_rank"])
+            yield pd.DataFrame(rows, columns=[*cols, "centroid_id", "probe_rank"])
 
-    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+    return df.select(*cols).mapInPandas(assign, schema)
 
 
 def cosine_topk_ivf(
@@ -899,12 +906,15 @@ def pq_adc_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-def duck_pq_sql(n_queries: int, top_k: int) -> str:
+def duck_pq_sql(n_queries: int, top_k: int, table: str = "embeddings",
+                prelude: str = "") -> str:
     """Generated DuckDB oracle replaying the FULL PQ pipeline: per
     subspace the identical unrolled Lloyd's chain (prefixed CTEs),
     code assignment, then ADC scoring + ranking. Integer arithmetic
     end to end, so every codebook entry, code word, and distance
-    matches Spark exactly."""
+    matches Spark exactly. ``table`` swaps the corpus (OPQ rotates it
+    first); ``prelude`` injects CTEs at the head of the WITH clause
+    (e.g. the rotation's variance/permutation chain)."""
     chains, code_ctes = [], []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
@@ -913,7 +923,7 @@ def duck_pq_sql(n_queries: int, top_k: int) -> str:
                 k=PQ_K,
                 dims=PQ_SUBDIM,
                 table=(
-                    f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings)"
+                    f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM {table})"
                 ),
                 vec_col="sub",
                 prefix=f"s{m}_",
@@ -953,7 +963,7 @@ def duck_pq_sql(n_queries: int, top_k: int) -> str:
     chains_sql = ",\n    ".join(chains)
     codes_sql = ",\n    ".join(code_ctes)
     return f"""
-    WITH {chains_sql},
+    WITH {prelude}{chains_sql},
     {codes_sql},
     cand AS (
       SELECT vec_id, {cand_cols}
@@ -979,6 +989,118 @@ def duck_pq_sql(n_queries: int, top_k: int) -> str:
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge et al., CVPR 2013)
+# restricted to PERMUTATION rotations: OPQ-parametric's "eigenvalue
+# allocation" balances variance across subspaces via an orthogonal
+# transform; with axis-aligned principal directions that transform IS a
+# permutation, which keeps every step integer-exact on the quantized
+# grid and therefore DuckDB-replayable (a dense learned rotation needs
+# SVD — not expressible in the oracle). Measured decision probe
+# (docs/opq_recall_r11.json): on variance-skewed data the permutation
+# recovers recall 0.05 -> 0.78 (identity PQ vs OPQ-perm) while a dense
+# Hadamard rotation only reaches 0.15; on this repo's native isotropic
+# testdata NO rotation helps (even exact PCA: 0.320 vs identity 0.328)
+# — OPQ's premise is correlated/variance-skewed dims, and the negative
+# finding is pinned as a test so it can't regress into folklore.
+# ---------------------------------------------------------------------------
+
+
+def opq_variance_permutation(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[int]:
+    """Learn the OPQ permutation: per-dimension variance on the
+    quantized integer grid (var_num_j = n·Σq² − (Σq)², exact integer
+    arithmetic — no float variance drift between engines), dims ranked
+    by variance desc (tie: dim index), then allocated round-robin so
+    each subspace receives one dim per variance tier (rank r → subspace
+    r % PQ_M, slot r // PQ_M). Returns perm where permuted[p] =
+    original[perm[p]].
+
+    Driver traffic is ONE aggregated row of 2·dims+1 longs — the
+    variance pass is a single partial-aggregable job over the corpus.
+    At 100 TB Σq² can approach int64 range (1e12 rows × 4e6 per-row
+    square ≈ 4e18 < 2^63); past that, learn the permutation on the
+    md5-bucket training_sample — variance needs a representative
+    sample, not every row (same doctrine as sampled IVF training)."""
+    qe = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor(x * QUANT + F.lit(0.5)).cast("long"),
+    )
+    dims = EMBED_DIMS
+    d = corpus.select(qe.alias("qe"))
+    aggs = (
+        [F.sum(F.col("qe")[j]).alias(f"s{j}") for j in range(dims)]
+        + [F.sum(F.col("qe")[j] * F.col("qe")[j]).alias(f"ss{j}") for j in range(dims)]
+        + [F.count("*").alias("n")]
+    )
+    row = d.agg(*aggs).collect()[0]  # bounded: ONE row of 2*dims+1 longs
+    n = row["n"]
+    var_num = [n * row[f"ss{j}"] - row[f"s{j}"] ** 2 for j in range(dims)]
+    order = sorted(range(dims), key=lambda j: (-var_num[j], j))
+    perm = [0] * dims
+    for r, dim in enumerate(order):
+        perm[(r % PQ_M) * PQ_SUBDIM + r // PQ_M] = dim
+    return perm
+
+
+def opq_permute(df: DataFrame, perm: list[int], id_col: str, vec_col: str) -> DataFrame:
+    """Apply the learned permutation as a pure codegen projection —
+    no UDF, no shuffle; permuting floats commutes with elementwise
+    quantization, so downstream PQ sees exactly the permuted grid."""
+    return df.select(
+        id_col,
+        F.array(*[F.col(vec_col)[int(i)] for i in perm]).alias(vec_col),
+    )
+
+
+def opq_adc_topk(
+    corpus: DataFrame,
+    k: int,
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end OPQ ANN: learn the variance-balancing permutation,
+    rotate the corpus (queries live in the corpus, so they rotate with
+    it), then the UNCHANGED PQ pipeline — training, encoding, and ADC
+    scoring all operate in the rotated space, exactly as in Ge et al.
+    (R is applied once up front; ADC distances are computed in the
+    rotated coordinates)."""
+    perm = opq_variance_permutation(corpus, id_col, vec_col)
+    rot = opq_permute(corpus, perm, id_col, vec_col)
+    return pq_adc_topk(rot, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+
+
+def duck_opq_sql(n_queries: int, top_k: int) -> str:
+    """DuckDB replay of the full OPQ pipeline: the variance/permutation
+    chain as a prelude (integer variance numerators, rank, round-robin
+    allocation, list-indexed rotation), then the standard PQ oracle
+    over the rotated corpus."""
+    q = (
+        f"list_transform(embedding::DOUBLE[], "
+        f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))"
+    )
+    prelude = f"""opq_vstats AS (
+      SELECT j,
+             sum(qe[j]) AS s, sum(qe[j] * qe[j]) AS ss, count(*) AS n
+      FROM (SELECT {q} AS qe FROM embeddings)
+      CROSS JOIN (SELECT unnest(range(1, {EMBED_DIMS + 1})) AS j)
+      GROUP BY j
+    ), opq_ranked AS (
+      SELECT j, CAST(row_number() OVER (ORDER BY (n * ss - s * s) DESC, j) AS INT) - 1 AS r
+      FROM opq_vstats
+    ), opq_permlist AS (
+      SELECT list(j ORDER BY (r % {PQ_M}) * {PQ_SUBDIM} + r // {PQ_M}) AS pl
+      FROM opq_ranked
+    ), opq_rot AS (
+      SELECT e.vec_id, list_transform(pl, jj -> e.embedding[jj]) AS embedding
+      FROM embeddings e, opq_permlist
+    ),
+    """
+    return duck_pq_sql(n_queries, top_k, table="opq_rot", prelude=prelude)
 
 
 # ---------------------------------------------------------------------------

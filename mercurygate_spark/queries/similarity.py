@@ -204,6 +204,104 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TOP_K)
 
 
+@query(
+    "sim_filtered_topk",
+    oracle=f"""
+    WITH {duck_ivf_kmeans_sql()},
+    assign_final AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_sum(list_transform(range(1, {EMBED_DIMS + 1}),
+                          j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))),
+                        c.cidx
+             ) AS probe_rank
+      FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+    ), corpus_lists AS (
+      SELECT a.vec_id AS candidate_id, a.embedding AS cv, a.cidx, m.label
+      FROM assign_final a JOIN embeddings m ON a.vec_id = m.vec_id
+      WHERE a.probe_rank = 1
+    ), query_probes AS (
+      SELECT a.vec_id AS query_id, a.embedding AS qv, a.cidx, m.label
+      FROM assign_final a JOIN embeddings m ON a.vec_id = m.vec_id
+      WHERE a.vec_id < {N_QUERIES} AND a.probe_rank <= {N_PROBE}
+    ), scored AS (
+      SELECT p.query_id, p.label, c.candidate_id,
+             round(
+               list_dot_product(p.qv::DOUBLE[], c.cv::DOUBLE[]) /
+               (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+                sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
+               4) AS cos
+      FROM query_probes p JOIN corpus_lists c
+        ON p.cidx = c.cidx AND p.label = c.label
+           AND p.query_id <> c.candidate_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, candidate_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, label, candidate_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — the production vector-DB query shape (search
+    within a tenant/category/language) every plain ANN key lacks: each
+    query retrieves its top-{TOP_K} cosine neighbors among ONLY the
+    corpus vectors satisfying a metadata predicate (here: same `label`
+    as the query — the per-query filter, harder than a constant one).
+
+    This is the PRE-FILTER strategy: the predicate attribute rides the
+    inverted lists (ivf_assign carries `label` through the same Arrow
+    assignment pass — zero extra shuffles), and the probe join adds
+    label to the equi-key, so non-matching candidates are never even
+    scored. The alternative — post-filtering a plain ANN top-k' — loses
+    recall whenever the unfiltered top-k' is dominated by non-matching
+    vectors (at 10% selectivity, k'=k keeps ~k/10 usable results);
+    measured head-to-head at equal candidate budget in
+    docs/filtered_ann_r11.json (scripts/filtered_ann_probe.py).
+
+    At 100 TB: same probe shape as sim_cosine_ivf — the label join key
+    only SHRINKS the join fan-out; selective predicates cut scored
+    candidates proportionally. A persisted variant would bucket the
+    index by (centroid_id) and cluster files by label for file skipping.
+    Oracle: full Lloyd replay + label-filtered probe join."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    from mercurygate_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    cmat = train_ivf_centroids(e)
+    corpus_assigned = ivf_assign(
+        e, cmat, "vec_id", "embedding", n_probe=1, extra_cols=("label",)
+    ).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("cv"),
+        "centroid_id",
+        "label",
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    query_probes = ivf_assign(
+        q, cmat, "vec_id", "embedding", n_probe=N_PROBE, extra_cols=("label",)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "centroid_id",
+        "label",
+    )
+    scored = (
+        query_probes.join(corpus_assigned, ["centroid_id", "label"])
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "label",
+            "candidate_id",
+            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= TOP_K)
+
+
 # The 100 TB training path: centroids learned on the deterministic
 # md5-bucket sample (~30%), assignment/scoring over the full corpus.
 _SAMPLE_TABLE = (
@@ -403,6 +501,38 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end."""
     t = load_tables(spark, sf_dir, "embeddings")
     return pq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)
+
+
+from mercurygate_spark.operators.similarity import duck_opq_sql, opq_adc_topk  # noqa: E402
+
+
+@query("sim_opq_topk", oracle=duck_opq_sql(N_QUERIES, TOP_K))
+def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (Ge et al. 2013, Optimized Product Quantization,
+    parametric variant restricted to permutation rotations): learn a
+    variance-balancing dimension permutation (integer-exact variance
+    numerators n*Σq²−(Σq)², rank desc, round-robin allocation so each
+    subspace gets one dim per variance tier), rotate the corpus with a
+    pure codegen projection (no UDF, no shuffle), then the unchanged
+    PQ train/encode/ADC pipeline in the rotated space. The permutation
+    is the SQL-replayable member of OPQ's rotation family — a dense
+    learned rotation needs SVD, which no oracle can replay.
+
+    Measured (docs/opq_recall_r11.json, pinned in tests): on
+    variance-skewed corpora — OPQ's actual premise — the permutation
+    recovers PQ recall@10 from 0.05 to ~0.78 at IDENTICAL budget
+    (16 bytes/vector, same K' scored); a dense Hadamard rotation
+    manages only 0.15. On this repo's native isotropic testdata no
+    rotation helps (exact PCA included: 0.320 vs identity 0.328), so
+    this key's value vs sim_pq_adc_topk is parity there — the uplift
+    claim lives where the premise holds, and the negative finding is
+    pinned so it can't regress into folklore.
+
+    At 100 TB: the rotation adds ONE partial-aggregable variance pass
+    (driver sees one 129-long row) and a zero-cost projection; encode/
+    scoring costs are unchanged from PQ."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return opq_adc_topk(t["embeddings"], k=TOP_K, n_queries=N_QUERIES)
 
 
 from mercurygate_spark.operators.similarity import (  # noqa: E402

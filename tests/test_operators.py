@@ -1566,3 +1566,61 @@ def test_ivfsq_recall_matches_exact_ivf_at_equal_budget(spark):
     )
     assert r_ivfsq >= 0.95 * r_ivf, (r_ivfsq, r_ivf)
     assert r_ivfsq > r_ivfpq, (r_ivfsq, r_ivfpq)
+
+
+def test_opq_uplift_on_skewed_variance_and_parity_on_native(spark):
+    """The OPQ recall contract, both directions (measured-claims
+    doctrine — docs/opq_recall_r11.json):
+    1. On a variance-skewed corpus (OPQ's premise: 4 contiguous hot
+       dims ×50, all landing in plain PQ's subspace 0), the variance-
+       balancing permutation must recover most of the recall plain PQ
+       loses (sf0.1 measured: 0.06 → 0.768 at identical 16 B budget).
+    2. On the native ISOTROPIC corpus no rotation helps (even exact
+       PCA: 0.320 vs identity 0.328) — OPQ must stay within a parity
+       band of PQ, pinning the negative finding so it can't regress
+       into an assumed uplift."""
+    import numpy as np
+
+    from mercurygate_spark.operators.similarity import (
+        _quantize,
+        opq_adc_topk,
+        pq_adc_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    skew = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i < 4, x * 50.0).otherwise(x),
+        ).alias("embedding"),
+    )
+
+    def recall(corpus, topk_fn):
+        rows = corpus.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        qmat = _quantize(np.array([list(r["embedding"]) for r in rows], dtype=np.float64))
+        got = {}
+        for r in topk_fn(corpus, k=10, n_queries=20).collect():
+            got.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        recs = []
+        for qid, cand in got.items():
+            qv = qmat[ids == qid][0]
+            d = ((qmat - qv) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d))
+            exact = [int(ids[i]) for i in order if ids[i] != qid][:10]
+            recs.append(len(cand & set(exact)) / 10)
+        return sum(recs) / len(recs)
+
+    pq_skew = recall(skew, pq_adc_topk)
+    opq_skew = recall(skew, opq_adc_topk)
+    # sf0.01 / 20 queries measured: pq 0.215, opq 0.825
+    assert opq_skew >= 0.6, (pq_skew, opq_skew)
+    assert pq_skew <= 0.45, pq_skew
+    assert opq_skew >= pq_skew + 0.3, (pq_skew, opq_skew)
+
+    pq_nat = recall(e, pq_adc_topk)
+    opq_nat = recall(e, opq_adc_topk)
+    assert abs(opq_nat - pq_nat) <= 0.2, (pq_nat, opq_nat)
