@@ -1436,6 +1436,163 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WP_TRAIN_MERGES = 8   # rounds trained by text_wordpiece_train
+WP_SCALE = 10**9      # fixed-point scale for the likelihood score
+
+
+def _wp_chain_sql() -> str:
+    """Unrolled-CTE chain replaying the WordPiece training loop: same
+    docs{k} / triple-replace skeleton as _bpe_chain_sql, but each
+    round's winner is selected by the LIKELIHOOD score
+    count(ab)/(count(a)*count(b)) — quantized to the exact integer
+    (c * WP_SCALE) // (u1 * u2) so the two engines can never disagree
+    on a ranking (float division drift would compound: a different
+    round-3 winner changes every later round)."""
+    parts = [
+        f"""docs0 AS MATERIALIZED (
+      SELECT doc_id, ' ' || array_to_string({_DUCK_TK}, ' ') || ' ' AS s
+      FROM documents
+    )"""
+    ]
+    for k in range(1, WP_TRAIN_MERGES + 1):
+        prev = f"docs{k - 1}"
+        pat = f"(SELECT ' ' || w1 || ' ' || w2 || ' ' FROM sel{k})"
+        rep = f"(SELECT ' ' || w1 || '_' || w2 || ' ' FROM sel{k})"
+        parts.append(
+            f"""uc{k} AS MATERIALIZED (
+      SELECT t AS w, count(*) AS u FROM (
+        SELECT unnest(string_split(trim(s), ' ')) AS t FROM {prev}
+      ) GROUP BY 1
+    ), pc{k} AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c FROM (
+        SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT string_split(trim(s), ' ') AS tk FROM {prev}) t,
+             UNNEST(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2
+      ) p WHERE w1 <> w2 GROUP BY 1, 2
+    ), sel{k} AS MATERIALIZED (
+      SELECT p.w1, p.w2, p.c,
+             (p.c * {WP_SCALE}) // (u1.u * u2.u) AS sq
+      FROM pc{k} p
+      JOIN uc{k} u1 ON u1.w = p.w1
+      JOIN uc{k} u2 ON u2.w = p.w2
+      ORDER BY sq DESC, p.c DESC, p.w1, p.w2 LIMIT 1
+    ), docs{k} AS MATERIALIZED (
+      SELECT doc_id,
+             replace(replace(replace(s, {pat}, {rep}), {pat}, {rep}),
+                     {pat}, {rep}) AS s
+      FROM {prev}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _wp_train_loop(docs: DataFrame, merges: int) -> list[tuple]:
+    """The WordPiece training loop over a space-joined corpus frame
+    (columns doc_id, s — ' tok tok ... '); returns the winner rows
+    (step, w1, w2, merged, n_pairs, score_q). Factored out of the key
+    so the property test can drive it with a constructed corpus and
+    compare against a pure-Python greedy replay."""
+    docs = docs.localCheckpoint(eager=True)
+    rows = []
+    for step in range(1, merges + 1):
+        tk = F.split(F.trim(F.col("s")), " ")
+        uc = (
+            docs.select(F.explode(tk).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("u"))
+        )
+        pairs = (
+            docs.select(F.explode(adjacent_pairs(tk)).alias("p"))
+            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .where(F.col("w1") != F.col("w2"))
+        )
+        pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+        scored = (
+            pc.join(uc.select(F.col("w").alias("w1"), F.col("u").alias("u1")), "w1")
+            .join(uc.select(F.col("w").alias("w2"), F.col("u").alias("u2")), "w2")
+            .withColumn("sq", F.expr(f"(c * {WP_SCALE}L) div (u1 * u2)"))
+        )
+        top = (
+            scored.orderBy(F.col("sq").desc(), F.col("c").desc(), "w1", "w2")
+            .limit(1)
+            .collect()  # bounded by construction: exactly 1 row/round
+        )
+        w1, w2, c, sq = top[0]["w1"], top[0]["w2"], top[0]["c"], top[0]["sq"]
+        rows.append((step, w1, w2, f"{w1}_{w2}", c, sq))
+        pat, rep = F.lit(f" {w1} {w2} "), F.lit(f" {w1}_{w2} ")
+        s = F.col("s")
+        for _ in range(3):
+            s = F.replace(s, pat, rep)
+        docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+    return rows
+
+
+def _wp_train_oracle() -> str:
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS step, w1, w2, w1 || '_' || w2 AS merged,"
+        f" CAST(c AS BIGINT) AS n_pairs, CAST(sq AS BIGINT) AS score_q FROM sel{k}"
+        for k in range(1, WP_TRAIN_MERGES + 1)
+    )
+    return "WITH " + _wp_chain_sql() + "\n    " + selects
+
+
+@query("text_wordpiece_train", oracle=_wp_train_oracle())
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training ({WP_TRAIN_MERGES} merges) — the
+    third member of the tokenizer-training family (BPE: count-scored
+    merges; unigram/SentencePiece: global Viterbi-EM pruning;
+    WordPiece: LIKELIHOOD-scored merges, Schuster & Nakajima 2012 /
+    BERT). Per round the winning pair maximizes
+    count(ab) / (count(a) * count(b)) — the increase in corpus
+    log-likelihood under a unigram LM when ab becomes one symbol —
+    instead of BPE's raw count(ab); rare-but-always-together pairs
+    win over frequent-but-independent ones.
+
+    Mechanics shared with text_bpe_train (token granularity, triple-
+    replace application, one bounded 1-row collect per round,
+    localCheckpoint lineage truncation; self-pairs excluded for
+    replace-safety). New per round: a unigram-count frame joined onto
+    the pair counts (two vocab-sized frames keyed on the token — AQE
+    sizes the join; at 100 TB both are vocab-bounded, not
+    corpus-bounded). The score is quantized to the exact integer
+    (c * {WP_SCALE}) div (u1*u2) — long `div` long on BOTH engines —
+    because a float score could flip a round's winner on a last-ulp
+    difference and compound through every later round; ties break by
+    raw pair count desc, then lexicographic. (Int64 headroom:
+    c * {WP_SCALE} overflows past c ≈ 9.2e9 — at that corpus scale
+    promote the numerator to DECIMAL(38,0)/HUGEINT, both engines
+    support it.) Oracle: the full loop unrolled, winner selection
+    included, so merge-order drift fails the hash."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
+    )
+    rows = _wp_train_loop(docs, WP_TRAIN_MERGES)
+
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("w1", StringType()),
+            StructField("w2", StringType()),
+            StructField("merged", StringType()),
+            StructField("n_pairs", LongType()),
+            StructField("score_q", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 @query(
     "text_lang_id_metrics",
     oracle=f"""

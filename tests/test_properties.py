@@ -723,3 +723,79 @@ def test_unigram_vocab_cap_matches_doc():
     from mercurygate_spark.queries.text import _uni_vocab_cap
 
     assert _uni_vocab_cap() == 36 + 36**2 + 36**3 + 36**4 == 1_727_604
+
+
+def _py_wordpiece(corpora: list[list[str]], merges: int) -> list[tuple]:
+    """Pure-Python greedy WordPiece replay: unigram + adjacent-pair
+    counts, winner by ((c * 1e9) // (u1*u2), c, w1 asc, w2 asc) with
+    self-pairs excluded, merge applied left-to-right greedily."""
+    from collections import Counter
+
+    docs = [list(t) for t in corpora]
+    out = []
+    for step in range(1, merges + 1):
+        uc: Counter = Counter()
+        pc: Counter = Counter()
+        for t in docs:
+            uc.update(t)
+            for i in range(len(t) - 1):
+                if t[i] != t[i + 1]:
+                    pc[(t[i], t[i + 1])] += 1
+        if not pc:
+            break
+        best = max(
+            pc.items(),
+            key=lambda kv: (
+                (kv[1] * 10**9) // (uc[kv[0][0]] * uc[kv[0][1]]),
+                kv[1],
+                # lexicographic ASC tie-break → invert for max()
+                tuple(-b for b in kv[0][0].encode()) + (1,),
+                tuple(-b for b in kv[0][1].encode()) + (1,),
+            ),
+        )
+        (w1, w2), c = best
+        sq = (c * 10**9) // (uc[w1] * uc[w2])
+        out.append((step, w1, w2, f"{w1}_{w2}", c, sq))
+        new_docs = []
+        for t in docs:
+            nt, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == w1 and t[i + 1] == w2:
+                    nt.append(f"{w1}_{w2}")
+                    i += 2
+                else:
+                    nt.append(t[i])
+                    i += 1
+            new_docs.append(nt)
+        docs = new_docs
+    return out
+
+
+def test_wordpiece_spark_loop_matches_python_replay(spark):
+    """text_wordpiece_train's distributed loop (vocab-join scoring,
+    integer-quantized likelihood, triple-replace application) must
+    reproduce the greedy single-machine reference exactly, merge by
+    merge — including a case where the LIKELIHOOD winner differs from
+    the COUNT (BPE) winner: 'x y' appears 3x but x,y are frequent
+    elsewhere; 'p q' appears 2x and p,q appear nowhere else, so
+    2e9/(2*2) > 3e9/(8*8) and WordPiece must pick (p,q) first."""
+    from mercurygate_spark.queries.text import _wp_train_loop
+
+    corpora = [
+        ["x", "y", "x", "z", "y", "p", "q"],
+        ["x", "y", "x", "w", "y", "p", "q"],
+        ["x", "y", "x", "x", "y", "y", "z"],
+        ["w", "z", "x", "y", "w", "x", "y"],
+    ]
+    # sanity of the scenario: (p,q) likelihood-wins despite lower count
+    py = _py_wordpiece(corpora, 4)
+    assert (py[0][1], py[0][2]) == ("p", "q"), py[0]
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " " + " ".join(t) + " ") for i, t in enumerate(corpora)],
+        schema="doc_id long, s string",
+    )
+    got = _wp_train_loop(docs, 4)
+    assert got == py, (got, py)
