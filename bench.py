@@ -75,6 +75,10 @@ HEADLINE = [
     # round-10 additions
     "sim_ivfpq_reindex_swap",     # retrain + re-encode + atomic index swap
     "pipeline_vector_ingest",     # CDC batch -> dedup gate -> frozen encode -> append -> probe
+    # round-11 additions
+    "dedup_substring_exact",      # overlapping-k-gram exact substring dedup
+    "text_wordpiece_train",       # 8-round likelihood-scored merge trainer
+    "sim_opq_topk",               # variance-permutation OPQ + PQ ADC
 ]
 
 
