@@ -18,9 +18,17 @@ from mercurygate_spark.queries.registry import TABLES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table (the scaled sf1 evidence dir): a
+            # DIRECTORY of part files — DuckDB needs the glob; the
+            # driver's raw testdata is single-file and stays as-is
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
