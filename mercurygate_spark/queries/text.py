@@ -1167,6 +1167,142 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_apply",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk, len({_DUCK_TK}) AS n FROM documents
+    ), g AS (
+      SELECT doc_id, tk, unnest(range(0, n - {SUBSTR_K} + 1)) AS pos
+      FROM tk WHERE n >= {SUBSTR_K}
+    ), gh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(tk, pos + 1, pos + {SUBSTR_K}), ' ')) AS h
+      FROM g
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM gh
+      ) WHERE c >= 2
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {SUBSTR_K} THEN 0 ELSE 1 END AS b
+      FROM dup
+    ), rid AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM brk
+    ), runs AS (
+      SELECT doc_id, run_id, min(pos) AS rs, max(pos) + {SUBSTR_K} - 1 AS re
+      FROM rid GROUP BY 1, 2
+    ), run_arrays AS (
+      SELECT doc_id, list(struct_pack(rs := rs, re := re)) AS rr
+      FROM runs GROUP BY 1
+    ), kept AS (
+      SELECT t.doc_id, t.n,
+             CASE WHEN a.rr IS NULL THEN t.tk
+                  ELSE list_transform(
+                         list_filter(range(0, t.n),
+                           p -> len(list_filter(a.rr,
+                                  r -> p >= r.rs AND p <= r.re)) = 0),
+                         p -> t.tk[p + 1])
+             END AS kt
+      FROM tk t LEFT JOIN run_arrays a USING (doc_id)
+      WHERE t.n >= {SUBSTR_K}
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(kt) AS BIGINT) AS n_kept,
+           -- DuckDB's array_to_string([]) is NULL where Spark's
+           -- array_join([]) is '' — a fully-deleted doc must hash as
+           -- the empty string on both engines
+           md5(coalesce(array_to_string(kt, ' '), '')) AS kept_hash
+    FROM kept
+    """,
+)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_substring_exact APPLIED — re-emit the corpus with every
+    token inside a duplicated maximal run REMOVED (Lee et al. 2022's
+    ExactSubstr deletion semantics: every occurrence of a duplicated
+    ≥K-token span is dropped; the conservative variant — no ownership
+    bookkeeping, both copies go, matching the paper's observation that
+    duplicated spans are overwhelmingly boilerplate). The stats twin
+    reports coverage; THIS key pins the actual reconstruction — each
+    doc's surviving token sequence is content-hashed (md5 over the
+    space-joined kept tokens, order preserved), so an off-by-one in
+    run extension or interval union fails the value hash, not just a
+    count.
+
+    Plan shape: the dup-run detection is dedup_substring_exact's
+    (48-byte gram shuffle, per-doc interval union); application adds
+    ONE doc-keyed join (runs aggregated to a per-doc interval array —
+    rows = docs with ≥1 run, far smaller than the corpus) and a pure
+    codegen filter/transform over the token array. No second corpus
+    shuffle: the text column never leaves its scan partition until the
+    final per-doc hash."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = (
+        t["documents"]
+        .select("doc_id", tokens("text").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .where(F.col("n") >= SUBSTR_K)
+    )
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - SUBSTR_K),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.md5(F.array_join(F.slice("tk", i + 1, SUBSTR_K), " ")).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wd) <= SUBSTR_K, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    runs = (
+        dup.withColumn("run_id", F.sum(brk).over(wd))
+        .groupBy("doc_id", "run_id")
+        .agg(F.min("pos").alias("rs"), (F.max("pos") + SUBSTR_K - 1).alias("re"))
+    )
+    run_arrays = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("rs", "re")).alias("rr")
+    )
+    kept = docs.join(run_arrays, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.when(F.col("rr").isNull(), F.col("tk"))
+        .otherwise(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), F.col("n") - 1),
+                    lambda p: ~F.exists(
+                        F.col("rr"), lambda r: (p >= r["rs"]) & (p <= r["re"])
+                    ),
+                ),
+                lambda p: F.element_at("tk", (p + 1).cast("int")),
+            )
+        )
+        .alias("kt"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kt").cast("long").alias("n_kept"),
+        F.md5(F.array_join("kt", " ")).alias("kept_hash"),
+    )
+
+
 def adjacent_pairs(tk):
     """Array of (w1, w2) structs for every ADJACENT element pair of
     tk — the token array zipped against itself shifted one, built
@@ -1487,12 +1623,13 @@ def _wp_chain_sql() -> str:
     return ",\n    ".join(parts)
 
 
-def _wp_train_loop(docs: DataFrame, merges: int) -> list[tuple]:
+def _wp_train_loop(docs: DataFrame, merges: int) -> tuple[DataFrame, list[tuple]]:
     """The WordPiece training loop over a space-joined corpus frame
-    (columns doc_id, s — ' tok tok ... '); returns the winner rows
-    (step, w1, w2, merged, n_pairs, score_q). Factored out of the key
-    so the property test can drive it with a constructed corpus and
-    compare against a pure-Python greedy replay."""
+    (columns doc_id, s — ' tok tok ... '); returns (final merged
+    corpus frame, winner rows (step, w1, w2, merged, n_pairs,
+    score_q)). Factored out of the key so the property test can drive
+    it with a constructed corpus and compare against a pure-Python
+    greedy replay, and so text_wordpiece_apply shares the loop."""
     docs = docs.localCheckpoint(eager=True)
     rows = []
     for step in range(1, merges + 1):
@@ -1525,7 +1662,7 @@ def _wp_train_loop(docs: DataFrame, merges: int) -> list[tuple]:
         for _ in range(3):
             s = F.replace(s, pat, rep)
         docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
-    return rows
+    return docs, rows
 
 
 def _wp_train_oracle() -> str:
@@ -1578,7 +1715,7 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
     )
-    rows = _wp_train_loop(docs, WP_TRAIN_MERGES)
+    _, rows = _wp_train_loop(docs, WP_TRAIN_MERGES)
 
     schema = StructType(
         [
@@ -1591,6 +1728,58 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _wp_apply_oracle() -> str:
+    n = WP_TRAIN_MERGES
+    return f"""
+    WITH {_wp_chain_sql()}
+    SELECT
+      (SELECT count(*) FROM docs0) AS n_docs,
+      (SELECT CAST(sum(len({_DUCK_TK})) AS BIGINT)
+       FROM documents) AS tokens_before,
+      (SELECT CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+       FROM docs{n}) AS tokens_after,
+      (SELECT CAST(sum(len(list_filter(string_split(trim(s), ' '),
+                                       t -> contains(t, '_')))) AS BIGINT)
+       FROM docs{n}) AS merged_tokens
+    """
+
+
+@query("text_wordpiece_apply", oracle=_wp_apply_oracle())
+def text_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLICATION after training — same audit frame as
+    text_bpe_apply (corpus token count before/after the
+    {WP_TRAIN_MERGES} learned merges + merged-symbol count), but under
+    the likelihood-scored merge sequence, which picks DIFFERENT merges
+    than BPE's count-scored one (the property test constructs a case;
+    on the testdata the two vocabularies diverge from round 1).
+    Shares _wp_train_loop and its oracle chain; the result is one
+    aggregate row on top of the trained corpus."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs0 = t["documents"].select(
+        "doc_id",
+        F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
+    )
+    docs, _ = _wp_train_loop(docs0, WP_TRAIN_MERGES)
+    tk = F.split(F.trim(F.col("s")), " ")
+    per_doc = docs.select(
+        F.size(tk).alias("n_after"),
+        F.size(F.filter(tk, lambda tok: tok.contains("_"))).alias("n_merged"),
+    )
+    before = t["documents"].select(F.size(tokens("text")).alias("n_before"))
+    a = before.agg(
+        F.count("*").alias("n_docs"), F.sum("n_before").alias("tokens_before")
+    )
+    b = per_doc.agg(
+        F.sum("n_after").alias("tokens_after"),
+        F.sum("n_merged").alias("merged_tokens"),
+    )
+    return a.crossJoin(b).select(
+        "n_docs", "tokens_before", "tokens_after", "merged_tokens"
+    )
 
 
 @query(

@@ -1624,3 +1624,28 @@ def test_opq_uplift_on_skewed_variance_and_parity_on_native(spark):
     pq_nat = recall(e, pq_adc_topk)
     opq_nat = recall(e, opq_adc_topk)
     assert abs(opq_nat - pq_nat) <= 0.2, (pq_nat, opq_nat)
+
+
+def test_substring_apply_consistent_with_stats(spark):
+    """dedup_substring_apply's reconstruction must agree with
+    dedup_substring_exact's audit arithmetic doc by doc:
+    n_kept == n_tokens - n_dup_tokens (the apply key deletes exactly
+    the tokens the stats key counts as covered), and a doc with zero
+    runs must keep every token."""
+    from mercurygate_spark.queries import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    stats = {r["doc_id"]: r for r in q["dedup_substring_exact"](spark, sf).collect()}
+    appl = {r["doc_id"]: r for r in q["dedup_substring_apply"](spark, sf).collect()}
+    assert stats.keys() == appl.keys()
+    n_deleted_docs = 0
+    for d, s in stats.items():
+        a = appl[d]
+        assert a["n_kept"] == s["n_tokens"] - s["n_dup_tokens"], (d, dict(s.asDict()), dict(a.asDict()))
+        if s["n_dup_runs"] == 0:
+            assert a["n_kept"] == a["n_tokens"]
+        if a["n_kept"] == 0:
+            n_deleted_docs += 1
+    # the testdata plants whole-doc duplicates, so full deletions exist
+    assert n_deleted_docs > 0

@@ -797,5 +797,5 @@ def test_wordpiece_spark_loop_matches_python_replay(spark):
         [(i, " " + " ".join(t) + " ") for i, t in enumerate(corpora)],
         schema="doc_id long, s string",
     )
-    got = _wp_train_loop(docs, 4)
+    _, got = _wp_train_loop(docs, 4)
     assert got == py, (got, py)
