@@ -891,3 +891,19 @@ def test_substring_dedup_shuffles_hashes_not_text(spark):
     assert m2, s
     run_cols = m2.group(1)
     assert "text#" not in run_cols and "h#" not in run_cols, run_cols
+
+
+def test_filtered_ann_adds_no_exchange_over_plain_ivf(spark):
+    """sim_filtered_topk's contract: the metadata predicate rides the
+    SAME Arrow assignment pass (ivf_assign extra_cols) and merely
+    widens the probe join's equi-key — so the filtered plan has
+    exactly as many Exchanges as the unfiltered IVF plan. A regression
+    that joins the label back onto the assignment (a second corpus
+    shuffle) fails this count."""
+    plain = _plan(spark, "sim_cosine_ivf")
+    filtered = _plan(spark, "sim_filtered_topk")
+    n_plain = plain.count("Exchange ")
+    n_filtered = filtered.count("Exchange ")
+    assert n_filtered == n_plain, (n_filtered, n_plain)
+    # and the probe join's key includes label (pre-filter, not post)
+    assert "label" in filtered.split("Window")[-1] or "label#" in filtered
