@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--progress", action="store_true",
+                    help="print a per-key ok line (long big-SF sweeps)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated key list/prefixes to restrict to")
     args = ap.parse_args()
 
     from mercurygate_spark.queries import all_oracles, all_queries
@@ -40,6 +44,12 @@ def main() -> None:
     results: dict[str, dict] = {}
     n_fail = 0
     t_all = time.time()
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        queries = {
+            n: f for n, f in queries.items()
+            if any(n == p or n.startswith(p) for p in pats)
+        }
     for name in sorted(queries):
         t0 = time.time()
         try:
@@ -57,7 +67,17 @@ def main() -> None:
             rec["msg"] = msg
             n_fail += 1
             print(f"# FAIL {name}: {msg}", file=sys.stderr)
+        elif args.progress:
+            print(f"# ok {name} {rec['seconds']}s", file=sys.stderr, flush=True)
         results[name] = rec
+        # partial flush so a killed/timed-out sweep still leaves an
+        # auditable artifact (big-SF sweeps can run for an hour+)
+        if args.out and len(results) % 10 == 0:
+            partial = {"sf_dir": args.sf_dir, "partial": True,
+                       "n_done": len(results), "n_keys": len(queries),
+                       "n_fail": n_fail, "keys": results}
+            with open(os.path.join(REPO, args.out) + ".partial", "w") as f:
+                json.dump(partial, f, indent=2)
 
     out = {
         "sf_dir": args.sf_dir,
