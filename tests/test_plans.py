@@ -100,6 +100,8 @@ _BOUNDED_BNLJ_OK = {
     # 1-row before-stats × 1-row after-stats frames crossed into the
     # single tokenizer-application summary row
     "text_bpe_apply",
+    # same 1-row before-agg × 1-row after-agg cross as text_bpe_apply
+    "text_wordpiece_apply",
     # 1-row summary × 1-row distinct-piece-count frame — the unigram
     # tokenizer-application summary row
     "text_unigram_apply",
