@@ -544,6 +544,22 @@ def cosine_topk_ivf(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Inject ``AS MATERIALIZED`` into every CTE of a generated oracle.
+
+    Load-bearing at big SF (the _bpe_chain_sql doctrine, measured r11):
+    DuckDB inlines plain CTEs per reference, so the Lloyd chain —
+    cent{i} referenced by assign{i+1} AND cent{i+1}, across 16 PQ
+    subspaces — expands multiplicatively; at the sf1 evidence scale
+    (20k vectors) the un-materialized duck_ivfpq_sql spilled >40 GB of
+    DuckDB temp and ran >20 min, vs 33 s materialized, identical
+    results. Only CTE headers match the pattern (column aliases are
+    ``AS name`` with no following paren; casts are ``AS TYPE)``)."""
+    import re
+
+    return re.sub(r"(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+
+
 def duck_ivf_kmeans_sql(
     iters: int = KMEANS_ITERS,
     k: int = N_CENTROIDS,
@@ -602,7 +618,7 @@ def duck_ivf_kmeans_sql(
         FROM {p}sums{i} GROUP BY cidx
       ) n ON p.cidx = n.cidx
     )""")
-    return ",\n    ".join(parts)
+    return _materialize_ctes(",\n    ".join(parts))
 
 
 def cosine_pairs_blocked(
@@ -961,7 +977,8 @@ def duck_pq_sql(n_queries: int, top_k: int, table: str = "embeddings",
         for m in range(PQ_M)
     )
     chains_sql = ",\n    ".join(chains)
-    codes_sql = ",\n    ".join(code_ctes)
+    codes_sql = _materialize_ctes(",\n    ".join(code_ctes))
+    prelude = _materialize_ctes(prelude)
     return f"""
     WITH {prelude}{chains_sql},
     {codes_sql},
@@ -1329,7 +1346,7 @@ def duck_ivfpq_sql(n_queries: int, top_k: int, n_probe: int = N_PROBE) -> str:
     )
     chains_sql = ",\n    ".join(chains)
     codes_sql = ",\n    ".join(code_ctes)
-    return f"""
+    return _materialize_ctes(f"""
     WITH {chains_sql},
     {codes_sql},
     ivfprobe AS (
@@ -1370,7 +1387,7 @@ def duck_ivfpq_sql(n_queries: int, top_k: int, n_probe: int = N_PROBE) -> str:
       FROM scored
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
-    """
+    """)
 
 
 IVFPQ_RERANK_R = 50  # code-ranked candidates re-scored exactly per query
@@ -1427,7 +1444,7 @@ def duck_ivfpq_rerank_sql(
     """Oracle for ivfpq_rerank_topk: the full IVFPQ replay (nested
     WITH) producing the code-ranked top ``r``, then exact 4-dp cosine
     re-ranking over the raw embeddings."""
-    return f"""
+    return _materialize_ctes(f"""
     WITH ivfpq AS (
       {duck_ivfpq_sql(n_queries, r, n_probe)}
     ),
@@ -1449,7 +1466,7 @@ def duck_ivfpq_rerank_sql(
       FROM rer
     )
     SELECT query_id, candidate_id, cos, rk FROM rranked WHERE rk <= {top_k}
-    """
+    """)
 
 
 INCR_ANN_MOD = 5  # vec_id % mod == 0 → the appended batch; rest = corpus
@@ -1491,7 +1508,7 @@ def duck_frozen_chains_sql(corpus_select: str, full_select: str) -> str:
             f"fs{m} AS (SELECT vec_id, "
             f"{qz.format(v=f'embedding[{lo}:{hi}]')} AS qe FROM fullset)"
         )
-    return ",\n    ".join(parts)
+    return _materialize_ctes(",\n    ".join(parts))
 
 
 def duck_ivfpq_frozen_sql(
@@ -1542,7 +1559,7 @@ def duck_ivfpq_frozen_sql(
     )
     prefix_sql = duck_frozen_chains_sql(corpus_select, full_select)
     codes_sql = ",\n    ".join(code_ctes)
-    return f"""
+    return _materialize_ctes(f"""
     WITH {prefix_sql},
     {codes_sql},
     ivfprobe AS (
@@ -1583,7 +1600,7 @@ def duck_ivfpq_frozen_sql(
       FROM scored
     )
     SELECT query_id, candidate_id, adc, rk FROM ranked WHERE rk <= {top_k}
-    """
+    """)
 
 
 def duck_ivfpq_incr_sql(
