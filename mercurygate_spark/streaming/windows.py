@@ -40,9 +40,14 @@ EVENTS_SCHEMA = StructType(
 
 
 def _as_stream_dir(sf_dir: str) -> str:
-    """Spark's file streaming source requires a DIRECTORY; testdata is
-    one parquet file. Symlink it into a per-sf temp dir (idempotent,
+    """Spark's file streaming source requires a DIRECTORY of data
+    FILES; testdata is one parquet file, and the sf1 evidence dir is a
+    Spark-written DIRECTORY table (whose part files must be linked
+    individually — a symlinked subdirectory is silently ignored by the
+    file source's non-recursive listing, which zeroed every streaming
+    key at sf1). Symlink file(s) into a per-sf temp dir (idempotent,
     no data copy) — at scale the source is a real landing directory."""
+    import glob
     import os
     import tempfile
 
@@ -50,11 +55,17 @@ def _as_stream_dir(sf_dir: str) -> str:
         tempfile.gettempdir(), "mercurygate_stream_src", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    try:
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    except FileExistsError:  # concurrent creator won the race — same target
-        pass
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        targets = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    else:
+        targets = [src]
+    for t in targets:
+        link = os.path.join(d, os.path.basename(t) if len(targets) > 1 else "events.parquet")
+        try:
+            os.symlink(t, link)
+        except FileExistsError:  # concurrent creator won the race — same target
+            pass
     return d
 
 
@@ -68,10 +79,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _as_stream_dir(sf_dir)
+    # File streams require an explicit schema; take it from a batch
+    # footer peek of the SAME files rather than hard-coding the raw
+    # testdata's layout — the raw files surface ts as LONG (NANOS under
+    # nanosAsLong), while Spark-rewritten evidence dirs (the sf1 set)
+    # carry INT96/MICROS timestamps, and a mismatched explicit schema
+    # either errors (INT96) or silently yields zero rows.
+    # normalize_event_ts is the shared choke point that maps either
+    # surfaced type to TimestampType.
+    schema = spark.read.parquet(d).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
-        .load(_as_stream_dir(sf_dir))
+        .load(d)
     )
     return normalize_event_ts(raw)
 
