@@ -344,11 +344,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _os.makedirs(d, exist_ok=True)
     register_tmp_dir(_os.path.dirname(d))
-    link = _os.path.join(d, "documents.parquet")
-    try:
-        _os.symlink(f"{sf_dir}/documents.parquet", link)
-    except FileExistsError:
-        pass
+    from mercurygate_spark.streaming.windows import link_parquet_into_dir
+
+    link_parquet_into_dir(d, f"{sf_dir}/documents.parquet", "documents.parquet")
     stream_docs = (
         spark.readStream.schema(docs.schema)
         .parquet(d)

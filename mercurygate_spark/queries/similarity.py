@@ -1100,11 +1100,9 @@ def stream_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _os.makedirs(d, exist_ok=True)
     register_tmp_dir(_os.path.dirname(d))
-    link = _os.path.join(d, "embeddings.parquet")
-    try:
-        _os.symlink(f"{sf_dir}/embeddings.parquet", link)
-    except FileExistsError:
-        pass
+    from mercurygate_spark.streaming.windows import link_parquet_into_dir
+
+    link_parquet_into_dir(d, f"{sf_dir}/embeddings.parquet", "embeddings.parquet")
     stream_batch = (
         spark.readStream.schema(e.schema)
         .parquet(d)
@@ -1427,11 +1425,9 @@ def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _os.makedirs(d, exist_ok=True)
     register_tmp_dir(_os.path.dirname(d))
-    link = _os.path.join(d, "embeddings.parquet")
-    try:
-        _os.symlink(f"{sf_dir}/embeddings.parquet", link)
-    except FileExistsError:
-        pass
+    from mercurygate_spark.streaming.windows import link_parquet_into_dir
+
+    link_parquet_into_dir(d, f"{sf_dir}/embeddings.parquet", "embeddings.parquet")
     stream_q = (
         spark.readStream.schema(e.schema)
         .parquet(d)

@@ -39,15 +39,34 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def _as_stream_dir(sf_dir: str) -> str:
-    """Spark's file streaming source requires a DIRECTORY of data
-    FILES; testdata is one parquet file, and the sf1 evidence dir is a
-    Spark-written DIRECTORY table (whose part files must be linked
-    individually — a symlinked subdirectory is silently ignored by the
-    file source's non-recursive listing, which zeroed every streaming
-    key at sf1). Symlink file(s) into a per-sf temp dir (idempotent,
-    no data copy) — at scale the source is a real landing directory."""
+def link_parquet_into_dir(d: str, src: str, single_name: str) -> None:
+    """Symlink a parquet source into stream-source dir ``d``
+    (idempotent, no data copy). Spark's file streaming source lists
+    data FILES non-recursively: a raw testdata table (one file) links
+    under ``single_name``, while a Spark-written DIRECTORY table (the
+    sf1 evidence layout) must have each part file linked individually
+    — a symlinked subdirectory is silently ignored, which zeroed every
+    streaming key at sf1 before this was factored out."""
     import glob
+    import os
+
+    if os.path.isdir(src):
+        targets = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    else:
+        targets = [src]
+    for t in targets:
+        link = os.path.join(
+            d, os.path.basename(t) if len(targets) > 1 else single_name
+        )
+        try:
+            os.symlink(t, link)
+        except FileExistsError:  # concurrent creator won the race — same target
+            pass
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """Per-sf stream-source dir for the events table — at scale the
+    source is a real landing directory."""
     import os
     import tempfile
 
@@ -55,17 +74,7 @@ def _as_stream_dir(sf_dir: str) -> str:
         tempfile.gettempdir(), "mercurygate_stream_src", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(d, exist_ok=True)
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isdir(src):
-        targets = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
-    else:
-        targets = [src]
-    for t in targets:
-        link = os.path.join(d, os.path.basename(t) if len(targets) > 1 else "events.parquet")
-        try:
-            os.symlink(t, link)
-        except FileExistsError:  # concurrent creator won the race — same target
-            pass
+    link_parquet_into_dir(d, f"{sf_dir}/events.parquet", "events.parquet")
     return d
 
 
