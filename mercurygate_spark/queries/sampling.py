@@ -605,3 +605,158 @@ def sample_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("neg_doc_id"),
         F.col("lang").alias("neg_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+# Hashed-bigram bag features; importance weight = target-domain prob /
+# raw-corpus prob per hashed bucket; deterministic Gumbel-top-k resample.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 128     # hashed n-gram feature space (the paper uses 10k)
+DSIR_ADD_K = 0.5       # add-k smoothing over the bucket distribution
+DSIR_TARGET_LANG = "en"  # target domain: labeled-en docs
+DSIR_TOPN = 50         # resample size
+
+_DUCK_DSIR_BUCKET = (
+    "('0x' || substr(md5(w1 || ' ' || w2), 1, 15))::BIGINT % " + str(DSIR_BUCKETS)
+)
+
+
+@query(
+    "sample_dsir",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, {_DUCK_DSIR_BUCKET} AS bucket
+      FROM (
+        SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+        FROM tk, UNNEST(range(1, len(tk))) AS t(i)
+        WHERE len(tk) >= 2
+      )
+    ),
+    raw_cnt AS (SELECT bucket, count(*) AS c_r FROM bg GROUP BY 1),
+    tgt_cnt AS (
+      SELECT bucket, count(*) AS c_t FROM bg
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    tots AS (
+      SELECT count(*) AS n_r,
+             count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS n_t
+      FROM bg
+    ),
+    ratio AS (
+      SELECT r.bucket,
+             ln((COALESCE(t.c_t, 0) + {DSIR_ADD_K})
+                / (tots.n_t + {DSIR_ADD_K} * {DSIR_BUCKETS}))
+             - ln((r.c_r + {DSIR_ADD_K})
+                  / (tots.n_r + {DSIR_ADD_K} * {DSIR_BUCKETS})) AS log_ratio
+      FROM raw_cnt r LEFT JOIN tgt_cnt t USING (bucket) CROSS JOIN tots
+    ),
+    weighted AS (
+      SELECT bg.doc_id, bg.lang,
+             count(*) AS n_feats,
+             round(sum(ratio.log_ratio), 6) AS log_w
+      FROM bg JOIN ratio USING (bucket)
+      GROUP BY 1, 2
+    ),
+    gumbel AS (
+      SELECT *,
+             round(log_w - ln(-ln(
+               (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 + 0.5) / 1000000.0
+             )), 6) AS score
+      FROM weighted
+    )
+    SELECT doc_id, lang, n_feats, log_w, score
+    FROM gumbel
+    ORDER BY score DESC, doc_id LIMIT {DSIR_TOPN}
+    """,
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select raw-corpus
+    docs whose hashed-bigram feature distribution looks like the target
+    domain (labeled-{DSIR_TARGET_LANG}). Per-doc log importance weight
+    sums ln(p_target(b)/p_raw(b)) over the doc's hashed bigram
+    occurrences (add-k smoothed over {DSIR_BUCKETS} buckets); sampling
+    is Gumbel-top-k made deterministic by driving the Gumbel noise from
+    md5(doc_id) — content-derived like every sampler in this module, so
+    the selected set is reproducible on any engine and any partitioning.
+
+    Scale shape: one tokenize pass feeds the bucket explode; bucket
+    counts are two partially-aggregable groupBys; the bucket→log-ratio
+    table is {DSIR_BUCKETS} rows and BROADCASTS to the per-occurrence
+    join (the only corpus-sized shuffle is the per-doc reduce on
+    doc_id); top-{DSIR_TOPN} rides TakeOrderedAndProject on the
+    r6-rounded score (the PMI ranking doctrine)."""
+    from mercurygate_spark.functions import let1, tokens
+    from mercurygate_spark.queries.text import adjacent_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    tk = t["documents"].select(
+        "doc_id", "lang", let1(tokens("text"), lambda x: x).alias("tk")
+    )
+    bg = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(let1(F.col("tk"), adjacent_pairs)).alias("pr"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            md5_long(F.concat_ws(" ", F.col("pr.w1"), F.col("pr.w2")))
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    raw_cnt = bg.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tgt_cnt = (
+        bg.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tots = bg.agg(
+        F.count("*").alias("n_r"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_t"),
+    )
+    k, b = F.lit(DSIR_ADD_K), F.lit(DSIR_BUCKETS)
+    ratio = (
+        raw_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + k) / (F.col("n_t") + k * b))
+                - F.log((F.col("c_r") + k) / (F.col("n_r") + k * b))
+            ).alias("log_ratio"),
+        )
+    )
+    weighted = (
+        bg.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_feats"),
+            r6(F.sum("log_ratio")).alias("log_w"),
+        )
+    )
+    u = (
+        md5_long(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        % 1000000
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    gumbel = weighted.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "log_w",
+        r6(F.col("log_w") - F.log(-F.log(u))).alias("score"),
+    )
+    return (
+        gumbel.orderBy(F.col("score").desc(), "doc_id")
+        .limit(DSIR_TOPN)
+        .select("doc_id", "lang", "n_feats", "log_w", "score")
+    )

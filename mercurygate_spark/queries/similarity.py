@@ -1621,3 +1621,72 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=spark.table(name), quantizers=(cmat, cmats),
         query_source=grown,
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search (radius query) — the other production vector-DB query
+# shape next to top-k: ALL pairs within a similarity radius, the
+# building block for ε-neighbor graphs and radius-based dedup
+# (FAISS range_search). Candidates come from the same deterministic
+# hyperplane-LSH buckets as sim_cosine_ann_lsh; the radius test runs on
+# the r4-ROUNDED cosine so the threshold cut is bit-identical across
+# engines (the PMI ranking doctrine applied to a filter).
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.3  # cosine radius; ~4% of within-bucket candidate pairs at sf0.01
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {duck_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+             {_DUCK_COS} AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, cos
+    FROM scored WHERE cos >= {RANGE_TAU}
+    ORDER BY vec_id_a, vec_id_b
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-radius similarity search: every vector pair with cosine >=
+    {RANGE_TAU}, candidates generated by the deterministic
+    hyperplane-LSH bucket equi-join (never an all-pairs cross). Unlike
+    the top-k family there is no per-query ranking window — the radius
+    IS the result bound, which is exactly the ε-neighbor-graph /
+    radius-dedup contract.
+
+    Scale shape: one Arrow-batched bucket pass over the corpus, a
+    bucket-equi self-join (pairwise work bounded by bucket occupancy,
+    not corpus²), a codegen dot product per candidate, and a pushed
+    filter on the rounded cosine. No window, no global sort in the
+    plan that matters (the ORDER BY twin exists only for the oracle's
+    deterministic hash)."""
+    from mercurygate_spark.operators.similarity import lsh_bucket
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    b = lsh_bucket(e, "vec_id", "embedding")
+    q = b.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (
+                F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5))
+                / 10**4
+            ).alias("cos"),
+        )
+    )
+    return scored.where(F.col("cos") >= RANGE_TAU).orderBy("vec_id_a", "vec_id_b")

@@ -2434,3 +2434,359 @@ def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_distinct_pieces")
     )
     return summary.crossJoin(F.broadcast(distinct_pieces))
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-corpus filter frontier (round 11): Gopher rule filter and
+# CCNet-style n-gram-LM perplexity bucketing.
+#
+# Public-knowledge basis: Rae et al. 2021 (Gopher, §A1.1 quality rules);
+# Wenzek et al. 2020 (CCNet: score a crawl by the perplexity of a
+# reference-domain LM, bucket per language into head/middle/tail).
+# Reference parity: the reference ETL (mm_bronze_silver.py) has no text
+# surface at all — these extend the engine's LLM-pipeline frontier.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50       # Gopher: 50 <= word count <= 100k
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0         # mean word length in [3, 10]
+GOPHER_MWL_HI = 10.0
+GOPHER_SYM_MAX = 0.1        # symbol-to-word ratio ('#' and '...') < 0.1
+GOPHER_ALPHA_MIN = 0.8      # >= 80% of words contain an alphabetic char
+GOPHER_MIN_STOP = 2         # >= 2 distinct English stopwords present
+GOPHER_BULLET_MAX = 0.9     # <= 90% of lines start with a bullet
+GOPHER_ELLIPSIS_MAX = 0.3   # <= 30% of lines end with an ellipsis
+
+_DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, text, {_DUCK_TK} AS tk,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             len(tk) AS n_words,
+             CAST(list_sum(list_transform(tk, w -> length(w))) AS BIGINT) AS n_word_chars,
+             len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+             len(list_intersect(list_distinct(tk), {_DUCK_STOPLIST})) AS n_stop,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> starts_with(trim(x), '- ')
+                                       OR starts_with(trim(x), '* ')
+                                       OR starts_with(trim(x), '•'))) AS n_bullet,
+             len(list_filter(lines, x -> trim(x) LIKE '%...')) AS n_ellipsis
+      FROM tk
+    ), rules AS (
+      SELECT doc_id, lang, n_words, n_stop,
+             round(n_word_chars * 1.0 / n_words, 6) AS mean_word_len,
+             round(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
+             round(n_alpha_words * 1.0 / n_words, 6) AS alpha_frac,
+             round(n_bullet * 1.0 / n_lines, 6) AS bullet_frac,
+             round(n_ellipsis * 1.0 / n_lines, 6) AS ellipsis_frac
+      FROM feat WHERE n_words > 0
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           n_stop, bullet_frac, ellipsis_frac,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_word_count,
+           (mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI}) AS r_mean_word_len,
+           (symbol_ratio < {GOPHER_SYM_MAX}) AS r_symbol_ratio,
+           (alpha_frac >= {GOPHER_ALPHA_MIN}) AS r_alpha_words,
+           (n_stop >= {GOPHER_MIN_STOP}) AS r_stopwords,
+           (bullet_frac <= {GOPHER_BULLET_MAX}) AS r_bullets,
+           (ellipsis_frac <= {GOPHER_ELLIPSIS_MAX}) AS r_ellipsis,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI}
+            AND symbol_ratio < {GOPHER_SYM_MAX}
+            AND alpha_frac >= {GOPHER_ALPHA_MIN}
+            AND n_stop >= {GOPHER_MIN_STOP}
+            AND bullet_frac <= {GOPHER_BULLET_MAX}
+            AND ellipsis_frac <= {GOPHER_ELLIPSIS_MAX}) AS gopher_pass
+    FROM rules
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1): the seven
+    document-level heuristics — word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio < 0.1, >= 80% alphabetic
+    words, >= 2 distinct stopwords, <= 90% bullet lines, <= 30%
+    ellipsis lines — each surfaced as its own boolean so downstream
+    mixture jobs can ablate rules independently, plus the conjunctive
+    gopher_pass verdict.
+
+    Scale shape: one linear scan, pure whole-stage-codegen column
+    expressions (array ops over the shared let1-bound token split —
+    no UDF, no shuffle at all before the sink). At 100 TB this is the
+    cheapest possible operator class: embarrassingly parallel,
+    filter-pushdown-transparent, zero exchanges."""
+    from mercurygate_spark.functions import let1, r6
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        "text",
+        let1(tokens("text"), lambda x: x).alias("tk"),
+        F.split("text", "\n").alias("lines"),
+    )
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size("tk").alias("n_words"),
+        F.aggregate(
+            "tk", F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("n_word_chars"),
+        F.size(F.filter("tk", lambda w: w.rlike("[a-z]"))).alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("tk"),
+                F.array(*[F.lit(w) for w in STOPWORDS_EN]),
+            )
+        ).alias("n_stop"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+            / F.lit(3)
+        ).cast("bigint").alias("n_symbols"),
+        F.size("lines").alias("n_lines"),
+        F.size(
+            F.filter(
+                "lines",
+                lambda x: F.trim(x).startswith("- ")
+                | F.trim(x).startswith("* ")
+                | F.trim(x).startswith("•"),
+            )
+        ).alias("n_bullet"),
+        F.size(F.filter("lines", lambda x: F.trim(x).endswith("..."))).alias(
+            "n_ellipsis"
+        ),
+    ).where(F.col("n_words") > 0)
+    rules = feat.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_stop",
+        r6(F.col("n_word_chars") * F.lit(1.0) / F.col("n_words")).alias("mean_word_len"),
+        r6(F.col("n_symbols") * F.lit(1.0) / F.col("n_words")).alias("symbol_ratio"),
+        r6(F.col("n_alpha_words") * F.lit(1.0) / F.col("n_words")).alias("alpha_frac"),
+        r6(F.col("n_bullet") * F.lit(1.0) / F.col("n_lines")).alias("bullet_frac"),
+        r6(F.col("n_ellipsis") * F.lit(1.0) / F.col("n_lines")).alias("ellipsis_frac"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = (F.col("mean_word_len") >= GOPHER_MWL_LO) & (
+        F.col("mean_word_len") <= GOPHER_MWL_HI
+    )
+    r_sym = F.col("symbol_ratio") < GOPHER_SYM_MAX
+    r_alpha = F.col("alpha_frac") >= GOPHER_ALPHA_MIN
+    r_stop = F.col("n_stop") >= GOPHER_MIN_STOP
+    r_bullet = F.col("bullet_frac") <= GOPHER_BULLET_MAX
+    r_ell = F.col("ellipsis_frac") <= GOPHER_ELLIPSIS_MAX
+    return rules.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_frac",
+        "n_stop",
+        "bullet_frac",
+        "ellipsis_frac",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        r_bullet.alias("r_bullets"),
+        r_ell.alias("r_ellipsis"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop & r_bullet & r_ell).alias(
+            "gopher_pass"
+        ),
+    )
+
+
+LM_TRAIN_LANG = "en"  # the reference-domain LM trains on labeled-en docs
+LM_ADD_K = 0.5        # add-k smoothing mass
+LM_TOPK = 50          # bounded LM surface emitted by the train key
+
+_DUCK_LM_CTES = f"""
+    tk AS (
+      SELECT doc_id, lang, {_DUCK_TK} AS tk FROM documents
+    ),
+    p_all AS (
+      SELECT doc_id, lang, tk[i] AS w1, tk[i+1] AS w2
+      FROM tk, UNNEST(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2
+    ),
+    p AS (SELECT w1, w2 FROM p_all WHERE lang = '{LM_TRAIN_LANG}'),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(tk) AS w FROM tk WHERE lang = '{LM_TRAIN_LANG}')
+    )
+"""
+
+
+@query(
+    "text_ngram_lm_train",
+    oracle=f"""
+    WITH {_DUCK_LM_CTES}
+    SELECT c12.w1, c12.w2,
+           c12.c12 AS n_pair, c1.c1 AS n_ctx,
+           round(ln((c12.c12 + {LM_ADD_K}) / (c1.c1 + {LM_ADD_K} * v.v)), 6) AS logprob
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ORDER BY n_pair DESC, w1, w2 LIMIT {LM_TOPK}
+    """,
+)
+def text_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training with add-k smoothing over the
+    reference domain (labeled-{LM_TRAIN_LANG} docs) — the LM half of the
+    CCNet quality pipeline (Wenzek et al. 2020 train a KenLM on
+    Wikipedia; a smoothed count n-gram model is the same estimator
+    family expressed as two aggregates).
+
+    logprob(w2 | w1) = ln((c(w1,w2) + k) / (c(w1,·) + k·V)).
+
+    Scale shape: bigrams come from the map-side adjacent_pairs zip (no
+    posexplode+join), pair and context counts are two partially-
+    aggregable groupBys, the context join keys on w1 with NO broadcast
+    hint (web-scale vocabularies are unbounded — the tfidf doctrine),
+    the 1-row vocab total broadcasts, and the bounded top-{LM_TOPK}
+    rides TakeOrderedAndProject. The full LM (unbounded rows) would be
+    sunk to a bucketed table in production; the key emits the bounded
+    head as its stable surface."""
+    from mercurygate_spark.functions import let1, r6
+
+    t = load_tables(spark, sf_dir, "documents")
+    en = t["documents"].where(F.col("lang") == LM_TRAIN_LANG)
+    tk = en.select(let1(tokens("text"), lambda x: x).alias("tk"))
+    pairs = tk.select(
+        F.explode(let1(F.col("tk"), adjacent_pairs)).alias("pr")
+    ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("n_ctx"))
+    vocab = F.broadcast(
+        tk.select(F.explode("tk").alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        )
+    )
+    scored = (
+        c12.join(c1, "w1")
+        .crossJoin(vocab)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_ctx",
+            r6(
+                F.log(
+                    (F.col("n_pair") + F.lit(LM_ADD_K))
+                    / (F.col("n_ctx") + F.lit(LM_ADD_K) * F.col("v"))
+                )
+            ).alias("logprob"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_pair").desc(), "w1", "w2"
+    ).limit(LM_TOPK).select("w1", "w2", "n_pair", "n_ctx", "logprob")
+
+
+PPL_BUCKETS = ("head", "middle", "tail")  # CCNet terciles, best first
+
+
+@query(
+    "text_perplexity_filter",
+    oracle=f"""
+    WITH {_DUCK_LM_CTES},
+    scored AS (
+      SELECT pa.doc_id, pa.lang,
+             ln((COALESCE(c12.c12, 0) + {LM_ADD_K})
+                / (COALESCE(c1.c1, 0) + {LM_ADD_K} * v.v)) AS lp
+      FROM p_all pa
+      LEFT JOIN c12 ON pa.w1 = c12.w1 AND pa.w2 = c12.w2
+      LEFT JOIN c1 ON pa.w1 = c1.w1
+      CROSS JOIN v
+    ),
+    docs AS (
+      SELECT doc_id, lang,
+             count(*) AS n_bigrams,
+             round(-avg(lp), 6) AS cross_entropy
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, percent_rank() OVER (
+               PARTITION BY lang ORDER BY cross_entropy, doc_id
+             ) AS pr
+      FROM docs
+    )
+    SELECT doc_id, lang, n_bigrams, cross_entropy,
+           CASE WHEN pr < 1.0/3 THEN 'head'
+                WHEN pr < 2.0/3 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): score EVERY
+    document's bigrams under the reference-domain LM (trained on
+    labeled-{LM_TRAIN_LANG} docs by text_ngram_lm_train's estimator),
+    with add-k backoff for unseen contexts/pairs, then bucket each
+    language's docs into head/middle/tail perplexity terciles — the
+    split CCNet uses to keep 'head' for pretraining.
+
+    Scale shape: the doc-bigram frame left-joins the LM count frames
+    on (w1,w2) and (w1) with no broadcast hints (LM size is unbounded;
+    AQE picks the strategy at runtime), the 1-row vocab total
+    broadcasts, the per-doc reduce is a partially-aggregable groupBy
+    on doc_id, and the tercile window partitions by lang — bounded
+    per-partition state, never a global unpartitioned sort. Ranking
+    uses the r6-ROUNDED cross-entropy with a doc_id tiebreak so the
+    tercile cut is bit-identical across engines (the PMI doctrine)."""
+    from mercurygate_spark.functions import let1, r6
+
+    t = load_tables(spark, sf_dir, "documents")
+    tk = t["documents"].select(
+        "doc_id", "lang", let1(tokens("text"), lambda x: x).alias("tk")
+    )
+    p_all = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(let1(F.col("tk"), adjacent_pairs)).alias("pr"),
+    ).select("doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    en_pairs = p_all.where(F.col("lang") == LM_TRAIN_LANG)
+    c12 = en_pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = en_pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = F.broadcast(
+        tk.where(F.col("lang") == LM_TRAIN_LANG)
+        .select(F.explode("tk").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(LM_ADD_K))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(LM_ADD_K) * F.col("v"))
+    )
+    scored = (
+        p_all.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(vocab)
+        .select("doc_id", "lang", lp.alias("lp"))
+    )
+    docs = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_bigrams"),
+        r6(-F.avg("lp")).alias("cross_entropy"),
+    )
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "cross_entropy",
+        F.when(F.percent_rank().over(w) < 1.0 / 3, "head")
+        .when(F.percent_rank().over(w) < 2.0 / 3, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -111,6 +111,13 @@ _BOUNDED_BNLJ_OK = {
     # 5-row class/prior frames and a 1-row vocab-size frame crossed
     # onto the vocab grid and the test docs
     "ml_naive_bayes",
+    # 1-row reference-domain vocab total crossed into the smoothed
+    # bigram logprob (both LM keys share the estimator)
+    "text_ngram_lm_train",
+    "text_perplexity_filter",
+    # 1-row (n_raw, n_target) totals frame crossed into the 128-row
+    # hashed-bucket log-ratio table
+    "sample_dsir",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
@@ -909,3 +916,56 @@ def test_filtered_ann_adds_no_exchange_over_plain_ivf(spark):
     assert n_filtered == n_plain, (n_filtered, n_plain)
     # and the probe join's key includes label (pre-filter, not post)
     assert "label" in filtered.split("Window")[-1] or "label#" in filtered
+
+
+def test_gopher_filter_is_scan_only(spark):
+    """Gopher rule filtering is a linear projection over one corpus
+    scan — any Exchange means an accidental shuffle landed in the
+    cheapest operator class the engine has."""
+    s = _plan(spark, "text_gopher_filter")
+    assert "Exchange" not in s
+    assert "mapInPandas" not in s.lower()  # pure codegen, no Python
+
+
+def test_ngram_lm_never_hints_vocabulary_broadcast(spark):
+    """The LM count frames (bigram and context counts) are unbounded
+    at web scale — neither the train key's context join nor the
+    scorer's two LM joins may carry a broadcast HINT (AQE is still
+    free to broadcast when runtime stats fit — that's the point of
+    not hinting). The only permitted hint per key is the 1-row vocab
+    total."""
+    from mercurygate_spark.queries.registry import REGISTRY
+
+    for key in ("text_ngram_lm_train", "text_perplexity_filter"):
+        df = REGISTRY[key].fn(spark, SF)
+        o = df._jdf.queryExecution().optimizedPlan().toString()
+        assert o.count("strategy=broadcast") == 1, (key, o.count("strategy=broadcast"))
+
+
+def test_dsir_broadcasts_ratio_table_not_corpus(spark):
+    """DSIR's per-occurrence join keys the corpus-sized hashed-bigram
+    frame against the 128-row bucket log-ratio table: the ratio side
+    broadcasts (BroadcastHashJoin on bucket), and the corpus side must
+    never be exchanged for that join — the only corpus-sized shuffle
+    is the per-doc reduce."""
+    s = _plan(spark, "sample_dsir")
+    assert "BroadcastHashJoin" in s
+    # bucket-keyed exchanges exist only inside the 128-row count
+    # cascades: each must feed a partial_count HashAggregate, and no
+    # bucket exchange may carry the corpus-sized (doc_id) frame
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(bucket#\d+[^\n]*\n\s*\+- ([^\n]*)", s):
+        child = m.group(1)
+        assert "HashAggregate" in child and "partial_count" in child, child
+        assert "doc_id" not in child, child
+
+
+def test_range_search_candidates_are_bucket_join_not_cross(spark):
+    """sim_range_search generates candidates by the LSH bucket
+    equi-join — a SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin on
+    bucket, never a cartesian or a per-query corpus scan."""
+    s = _plan(spark, "sim_range_search")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "bucket" in s
