@@ -79,6 +79,11 @@ HEADLINE = [
     "dedup_substring_exact",      # overlapping-k-gram exact substring dedup
     "text_wordpiece_train",       # 8-round likelihood-scored merge trainer
     "sim_opq_topk",               # variance-permutation OPQ + PQ ADC
+    # round-11 second-wave additions (corpus-filter frontier)
+    "text_perplexity_filter",     # CCNet LM scoring + per-lang terciles
+    "sample_dsir",                # hashed-bigram importance resampling
+    "pipeline_filter_funnel",     # gopher -> perplexity -> dedup attrition
+    "multimodal_phash_dedup",     # banded perceptual-hash image near-dup
 ]
 
 

@@ -656,3 +656,119 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_chunks"), F.lit(0)).cast("long").alias("total_chunks"),
         )
     )
+
+
+def _funnel_oracle() -> str:
+    from mercurygate_spark.queries.text import (
+        _DUCK_GOPHER_PASS_CTES,
+        _DUCK_LM_CTES,
+        LM_ADD_K,
+    )
+
+    sig = "bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"""
+    WITH {_DUCK_GOPHER_PASS_CTES},
+    {_DUCK_LM_CTES},
+    f_scored AS (
+      SELECT pa.doc_id, pa.lang,
+             ln((COALESCE(c12.c12, 0) + {LM_ADD_K})
+                / (COALESCE(c1.c1, 0) + {LM_ADD_K} * v.v)) AS lp
+      FROM p_all pa
+      JOIN gpass USING (doc_id)
+      LEFT JOIN c12 ON pa.w1 = c12.w1 AND pa.w2 = c12.w2
+      LEFT JOIN c1 ON pa.w1 = c1.w1
+      CROSS JOIN v
+    ),
+    f_ce AS (
+      SELECT doc_id, lang, round(-avg(lp), 6) AS cross_entropy
+      FROM f_scored GROUP BY 1, 2
+    ),
+    f_ranked AS (
+      SELECT *, percent_rank() OVER (
+               PARTITION BY lang ORDER BY cross_entropy, doc_id
+             ) AS pr
+      FROM f_ce
+    ),
+    s2 AS (SELECT doc_id FROM f_ranked WHERE pr < 2.0/3),
+    f_fp AS (
+      SELECT d.doc_id,
+             md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents d JOIN s2 USING (doc_id)
+    ),
+    s3 AS (SELECT min(doc_id) AS doc_id FROM f_fp GROUP BY fp)
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs, {sig} AS sig
+      FROM documents
+      UNION ALL
+      SELECT 1, 'gopher_rules', count(*), {sig} FROM gpass
+      UNION ALL
+      SELECT 2, 'perplexity_head_middle', count(*), {sig} FROM s2
+      UNION ALL
+      SELECT 3, 'exact_dedup', count(*), {sig} FROM s3
+    ) ORDER BY stage_idx
+    """
+
+
+@query("pipeline_filter_funnel", oracle=_funnel_oracle())
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/RefinedWeb-style filter funnel as ONE key: Gopher
+    rule filter → CCNet perplexity cut (keep head+middle terciles,
+    computed per language OVER THE SURVIVORS — sequential-funnel
+    semantics, not precomputed buckets) → exact dedup (normalized-text
+    fingerprint, keep min doc_id). Emits the attrition table every
+    corpus report publishes — one row per stage with the surviving doc
+    count and an order-independent content signature
+    (bit_xor of md5(doc_id)), so a single wrong survivor anywhere in
+    the chain flips a stage hash.
+
+    Stage operators are individually oracle-checked
+    (text_gopher_filter, text_perplexity_filter, text_fingerprint);
+    this key proves they COMPOSE — stage N runs on exactly stage N-1's
+    survivors, sharing the same helper frames
+    (queries.text.gopher_frame / ppl_cross_entropy).
+
+    Scale shape: every stage is the shape its standalone key pins —
+    gopher is a scan-only projection, the LM joins are unhinted with a
+    broadcast 1-row vocab, the tercile window partitions by lang, the
+    dedup shuffle carries (16-byte fp, id), and each stage signature
+    is a partially-aggregable 2-column reduce. Nothing corpus-sized
+    ever reaches the driver."""
+    from mercurygate_spark.functions import md5_long
+    from mercurygate_spark.queries.text import (
+        gopher_frame,
+        ppl_cross_entropy,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+
+    def stage(ids: DataFrame, idx: int, name: str) -> DataFrame:
+        h = ids.select(md5_long(F.col("doc_id").cast("string")).alias("h"))
+        return h.agg(
+            F.count("*").alias("n_docs"), F.expr("bit_xor(h)").alias("sig")
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "sig",
+        )
+
+    s1 = gopher_frame(d).where(F.col("gopher_pass")).select("doc_id")
+    s1_docs = d.join(s1, "doc_id")
+    ce = ppl_cross_entropy(d, s1_docs)
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    s2 = (
+        ce.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") < 2.0 / 3)
+        .select("doc_id")
+    )
+    s2_docs = d.join(s2, "doc_id")
+    fp = s2_docs.select("doc_id", fingerprint("text").alias("fp"))
+    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        stage(d.select("doc_id"), 0, "raw")
+        .unionByName(stage(s1, 1, "gopher_rules"))
+        .unionByName(stage(s2, 2, "perplexity_head_middle"))
+        .unionByName(stage(s3, 3, "exact_dedup"))
+        .orderBy("stage_idx")
+    )

@@ -558,10 +558,14 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_phash",
-    oracle="""
-    WITH px AS (
+# The arithmetic twin of build_png → decode_png_gray → ahash64: the
+# oracle predicts every phash bit from the generator formula without
+# decoding anything. Shared by multimodal_image_phash and
+# multimodal_phash_dedup. `halves` is MATERIALIZED: the dedup key's
+# band self-join references it on both sides, and DuckDB would
+# otherwise inline (and recompute) the whole per-pixel chain per
+# reference (the round-11 oracle-blowup lesson).
+_DUCK_PHASH_CTES = """px AS (
       SELECT doc_id,
              8 + doc_id % 16 AS w,
              8 + doc_id % 12 AS h,
@@ -592,7 +596,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN b.bs * t.tn > t.ts * b.bn THEN 1 ELSE 0 END AS bit
       FROM blocks b JOIN tot t USING (doc_id)
     ),
-    halves AS (
+    halves AS MATERIALIZED (
       SELECT doc_id,
              CAST(sum(CASE WHEN idx < 32
                            THEN bit::BIGINT << (31 - idx) ELSE 0 END)
@@ -601,7 +605,13 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN bit::BIGINT << (63 - idx) ELSE 0 END)
                   AS BIGINT) AS lo
       FROM bits GROUP BY doc_id
-    ),
+    )"""
+
+
+@query(
+    "multimodal_image_phash",
+    oracle=f"""
+    WITH {_DUCK_PHASH_CTES},
     hashed AS (
       SELECT doc_id,
              lpad(lower(to_hex(hi)), 8, '0')
@@ -657,3 +667,210 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("phash")
     return hashed.withColumn("n_same_hash", F.count("*").over(w))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup IMAGE dedup: band the 64-bit aHash into 4×16-bit
+# bands; a pair is a candidate iff some band matches exactly, then
+# verified by popcount Hamming. For HAM_MAX = 3 the banding is EXACT
+# (pigeonhole: ≤3 differing bits cannot touch all 4 bands), so unlike
+# the probabilistic LSH families this key misses nothing within the
+# radius — the image twin of dedup_simhash_hamming.
+# ---------------------------------------------------------------------------
+
+PHASH_HAM_MAX = 3
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH {_DUCK_PHASH_CTES},
+    dh AS MATERIALIZED (
+      SELECT hi, lo, count(*) AS mult, min(doc_id) AS min_doc
+      FROM halves GROUP BY 1, 2
+    ),
+    db AS (
+      SELECT hi, lo, mult, min_doc, b.i AS band,
+             CASE b.i WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                      WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+      FROM dh, (SELECT unnest(range(4)) AS i) b
+    ),
+    hpairs AS (
+      SELECT DISTINCT a.hi AS ah, a.lo AS al, c.hi AS ch, c.lo AS cl,
+             c.mult AS cmult, c.min_doc AS cmin
+      FROM db a JOIN db c ON a.band = c.band AND a.bv = c.bv
+                         AND (a.hi <> c.hi OR a.lo <> c.lo)
+    ),
+    hstats AS (
+      SELECT ah AS hi, al AS lo,
+             CAST(sum(cmult) AS BIGINT) AS sum_cand,
+             CAST(COALESCE(sum(CASE WHEN bit_count(xor(ah, ch))
+                                       + bit_count(xor(al, cl))
+                                       <= {PHASH_HAM_MAX}
+                                    THEN cmult END), 0) AS BIGINT) AS sum_near,
+             min(CASE WHEN bit_count(xor(ah, ch)) + bit_count(xor(al, cl))
+                           <= {PHASH_HAM_MAX}
+                      THEN cmin END) AS near_min
+      FROM hpairs GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT doc_id, hi, lo,
+             count(*) OVER (PARTITION BY hi, lo) AS mult,
+             min(doc_id) OVER (PARTITION BY hi, lo) AS m1
+      FROM halves
+    ),
+    d2 AS (
+      SELECT *, min(CASE WHEN doc_id <> m1 THEN doc_id END)
+                  OVER (PARTITION BY hi, lo) AS m2
+      FROM d1
+    ),
+    joined AS (
+      SELECT d2.doc_id,
+             d2.mult - 1 + COALESCE(h.sum_cand, 0) AS n_candidates,
+             d2.mult - 1 + COALESCE(h.sum_near, 0) AS n_near_dups,
+             CASE WHEN d2.mult > 1 AND d2.doc_id = d2.m1 THEN d2.m2
+                  WHEN d2.mult > 1 THEN d2.m1 END AS same_min,
+             h.near_min
+      FROM d2 LEFT JOIN hstats h USING (hi, lo)
+    )
+    SELECT doc_id,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_near_dups AS BIGINT) AS n_near_dups,
+           least(COALESCE(same_min, near_min),
+                 COALESCE(near_min, same_min)) AS nearest_partner,
+           (n_near_dups > 0) AS is_dup
+    FROM joined
+    WHERE n_candidates > 0
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection over perceptual hashes: the
+    64-bit aHash (same decode → ahash64 Arrow pass as
+    multimodal_image_phash) split into 4×16-bit bands, candidates from
+    a band-equi join, verification by popcount Hamming ≤
+    {PHASH_HAM_MAX} — EXACT within the radius by pigeonhole (≤3
+    differing bits cannot touch all 4 bands), unlike the
+    probabilistic LSH families. Per-doc summary (candidate degree,
+    near-dup degree, smallest partner, dup flag); docs with no
+    candidate at all are omitted (they have nothing to report).
+
+    Scale shape — the identical-hash collapse is the load-bearing
+    move: real near-dup corpora are dominated by EXACT perceptual
+    duplicates, and a naive doc-level band self-join is quadratic in
+    that multiplicity (measured 17× wall at 10× data on the saturated
+    synthetic corpus). So identical phashes collapse to one
+    (hash, mult, min_doc) row first, the band self-join runs over
+    DISTINCT hashes only (bounded by the distinct-image population,
+    not the corpus), and per-doc stats re-expand arithmetically:
+    n_near_dups(d) = (mult−1) + Σ mult(h′) over near hashes. The
+    decode+hash Arrow pass runs exactly once (checkpointed
+    24-byte/doc halves frame); every shuffle carries ids + 8-byte
+    hash halves, never pixels."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mercurygate_spark.operators.multimodal import (
+        ahash64,
+        build_png,
+        decode_png_gray,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payload = build_png(8 + d % 16, 8 + d % 12, d % 251)
+                decoded = decode_png_gray(payload)
+                assert decoded is not None
+                w, h, pix = decoded
+                rows.append((d, ahash64(w, h, pix)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = t["documents"].select("doc_id").mapInPandas(
+        roundtrip, schema="doc_id long, phash string"
+    )
+    # checkpoint: the decode+hash pass must run once, not once per
+    # downstream branch (the dedup_winnowing doctrine); 24 bytes/doc
+    halves = hashed.select(
+        "doc_id",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("lo"),
+    ).localCheckpoint(eager=True)
+
+    dh = halves.groupBy("hi", "lo").agg(
+        F.count("*").alias("mult"), F.min("doc_id").alias("min_doc")
+    )
+    band_vals = F.array(
+        (F.col("hi") / F.lit(65536)).cast("long"),
+        F.col("hi") % 65536,
+        (F.col("lo") / F.lit(65536)).cast("long"),
+        F.col("lo") % 65536,
+    )
+    db = dh.select(
+        "hi", "lo", "mult", "min_doc",
+        F.posexplode(band_vals).alias("band", "bv"),
+    )
+    a = db.select(
+        F.col("hi").alias("ah"), F.col("lo").alias("al"), "band", "bv"
+    )
+    c = db.select(
+        F.col("hi").alias("ch"), F.col("lo").alias("cl"),
+        F.col("mult").alias("cmult"), F.col("min_doc").alias("cmin"),
+        "band", "bv",
+    )
+    hpairs = (
+        a.join(c, ["band", "bv"])
+        .where((F.col("ah") != F.col("ch")) | (F.col("al") != F.col("cl")))
+        .select("ah", "al", "ch", "cl", "cmult", "cmin")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ah").bitwiseXOR(F.col("ch"))) + F.bit_count(
+        F.col("al").bitwiseXOR(F.col("cl"))
+    )
+    near = ham <= PHASH_HAM_MAX
+    hstats = hpairs.groupBy(
+        F.col("ah").alias("hi"), F.col("al").alias("lo")
+    ).agg(
+        F.sum("cmult").alias("sum_cand"),
+        F.coalesce(F.sum(F.when(near, F.col("cmult"))), F.lit(0)).alias("sum_near"),
+        F.min(F.when(near, F.col("cmin"))).alias("near_min"),
+    )
+    w_h = Window.partitionBy("hi", "lo")
+    d1 = halves.select(
+        "doc_id", "hi", "lo",
+        F.count("*").over(w_h).alias("mult"),
+        F.min("doc_id").over(w_h).alias("m1"),
+    )
+    d2 = d1.withColumn(
+        "m2",
+        F.min(F.when(F.col("doc_id") != F.col("m1"), F.col("doc_id"))).over(w_h),
+    )
+    joined = d2.join(hstats, ["hi", "lo"], "left").select(
+        "doc_id",
+        (F.col("mult") - 1 + F.coalesce(F.col("sum_cand"), F.lit(0))).alias(
+            "n_candidates"
+        ),
+        (F.col("mult") - 1 + F.coalesce(F.col("sum_near"), F.lit(0))).alias(
+            "n_near_dups"
+        ),
+        F.when(
+            (F.col("mult") > 1) & (F.col("doc_id") == F.col("m1")), F.col("m2")
+        )
+        .when(F.col("mult") > 1, F.col("m1"))
+        .alias("same_min"),
+        "near_min",
+    )
+    return joined.where(F.col("n_candidates") > 0).select(
+        "doc_id",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_near_dups").cast("long").alias("n_near_dups"),
+        F.least(
+            F.coalesce("same_min", "near_min"),
+            F.coalesce("near_min", "same_min"),
+        ).alias("nearest_partner"),
+        (F.col("n_near_dups") > 0).alias("is_dup"),
+    )

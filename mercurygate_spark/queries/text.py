@@ -2460,6 +2460,54 @@ GOPHER_ELLIPSIS_MAX = 0.3   # <= 30% of lines end with an ellipsis
 _DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
 
+# The gopher-survivor id set with funnel-local CTE names (gtk/gfeat/
+# grules) so pipeline_filter_funnel can compose it next to the LM CTEs
+# (whose names tk/p_all/p/c12/c1/v must stay free). Same rounded-ratio
+# rule tests as the key's oracle above.
+_DUCK_GOPHER_PASS_CTES = f"""
+    gtk AS (
+      SELECT doc_id, lang, text, {_DUCK_TK} AS tk,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents
+    ),
+    gfeat AS (
+      SELECT doc_id, lang,
+             len(tk) AS n_words,
+             CAST(list_sum(list_transform(tk, w -> length(w))) AS BIGINT) AS n_word_chars,
+             len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words,
+             len(list_intersect(list_distinct(tk), {_DUCK_STOPLIST})) AS n_stop,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> starts_with(trim(x), '- ')
+                                       OR starts_with(trim(x), '* ')
+                                       OR starts_with(trim(x), '•'))) AS n_bullet,
+             len(list_filter(lines, x -> trim(x) LIKE '%...')) AS n_ellipsis
+      FROM gtk
+    ),
+    grules AS (
+      SELECT doc_id, lang, n_words, n_stop,
+             round(n_word_chars * 1.0 / n_words, 6) AS mean_word_len,
+             round(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
+             round(n_alpha_words * 1.0 / n_words, 6) AS alpha_frac,
+             round(n_bullet * 1.0 / n_lines, 6) AS bullet_frac,
+             round(n_ellipsis * 1.0 / n_lines, 6) AS ellipsis_frac
+      FROM gfeat WHERE n_words > 0
+    ),
+    gpass AS (
+      SELECT doc_id, lang FROM grules
+      WHERE (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI}
+        AND symbol_ratio < {GOPHER_SYM_MAX}
+        AND alpha_frac >= {GOPHER_ALPHA_MIN}
+        AND n_stop >= {GOPHER_MIN_STOP}
+        AND bullet_frac <= {GOPHER_BULLET_MAX}
+        AND ellipsis_frac <= {GOPHER_ELLIPSIS_MAX}
+    )"""
+
+
+
+
 @query(
     "text_gopher_filter",
     oracle=f"""
@@ -2523,10 +2571,16 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF, no shuffle at all before the sink). At 100 TB this is the
     cheapest possible operator class: embarrassingly parallel,
     filter-pushdown-transparent, zero exchanges."""
+    t = load_tables(spark, sf_dir, "documents")
+    return gopher_frame(t["documents"])
+
+
+def gopher_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher rule frame over any documents-shaped input — shared
+    by text_gopher_filter and pipeline_filter_funnel."""
     from mercurygate_spark.functions import let1, r6
 
-    t = load_tables(spark, sf_dir, "documents")
-    d = t["documents"].select(
+    d = docs.select(
         "doc_id",
         "lang",
         "text",
@@ -2746,47 +2800,66 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition state, never a global unpartitioned sort. Ranking
     uses the r6-ROUNDED cross-entropy with a doc_id tiebreak so the
     tercile cut is bit-identical across engines (the PMI doctrine)."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = ppl_cross_entropy(t["documents"], t["documents"])
+    return docs.select(
+        "doc_id", "lang", "n_bigrams", "cross_entropy",
+        ppl_tercile_bucket().alias("ppl_bucket"),
+    )
+
+
+def ppl_cross_entropy(corpus: DataFrame, score_set: DataFrame) -> DataFrame:
+    """Per-doc cross-entropy of `score_set` under the add-k bigram LM
+    trained on `corpus`'s labeled-{LM_TRAIN_LANG} docs — shared by
+    text_perplexity_filter (score_set == corpus) and
+    pipeline_filter_funnel (score_set == the gopher survivors).
+    Returns (doc_id, lang, n_bigrams, cross_entropy r6-rounded)."""
     from mercurygate_spark.functions import let1, r6
 
-    t = load_tables(spark, sf_dir, "documents")
-    tk = t["documents"].select(
-        "doc_id", "lang", let1(tokens("text"), lambda x: x).alias("tk")
-    )
-    p_all = tk.select(
+    def _pairs(docs: DataFrame) -> DataFrame:
+        tk = docs.select(
+            "doc_id", "lang", let1(tokens("text"), lambda x: x).alias("tk")
+        )
+        return tk.select(
         "doc_id",
         "lang",
         F.explode(let1(F.col("tk"), adjacent_pairs)).alias("pr"),
-    ).select("doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-    en_pairs = p_all.where(F.col("lang") == LM_TRAIN_LANG)
+        ).select(
+            "doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+        )
+
+    en_docs = corpus.where(F.col("lang") == LM_TRAIN_LANG)
+    en_pairs = _pairs(en_docs)
     c12 = en_pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = en_pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = F.broadcast(
-        tk.where(F.col("lang") == LM_TRAIN_LANG)
-        .select(F.explode("tk").alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
+        en_docs.select(F.explode(tokens("text")).alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        )
     )
     lp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(LM_ADD_K))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(LM_ADD_K) * F.col("v"))
     )
     scored = (
-        p_all.join(c12, ["w1", "w2"], "left")
+        _pairs(score_set)
+        .join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
         .crossJoin(vocab)
         .select("doc_id", "lang", lp.alias("lp"))
     )
-    docs = scored.groupBy("doc_id", "lang").agg(
+    return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_bigrams"),
         r6(-F.avg("lp")).alias("cross_entropy"),
     )
+
+
+def ppl_tercile_bucket():
+    """head/middle/tail label from the per-lang percent_rank over the
+    r6-rounded cross-entropy (doc_id tiebreak)."""
     w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
-    return docs.select(
-        "doc_id",
-        "lang",
-        "n_bigrams",
-        "cross_entropy",
+    return (
         F.when(F.percent_rank().over(w) < 1.0 / 3, "head")
         .when(F.percent_rank().over(w) < 2.0 / 3, "middle")
         .otherwise("tail")
-        .alias("ppl_bucket"),
     )

@@ -118,6 +118,9 @@ _BOUNDED_BNLJ_OK = {
     # 1-row (n_raw, n_target) totals frame crossed into the 128-row
     # hashed-bucket log-ratio table
     "sample_dsir",
+    # inherits text_perplexity_filter's 1-row vocab cross for its
+    # perplexity stage
+    "pipeline_filter_funnel",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
@@ -969,3 +972,24 @@ def test_range_search_candidates_are_bucket_join_not_cross(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "bucket" in s
+
+
+def test_phash_dedup_decodes_once_and_shuffles_hashes(spark):
+    """multimodal_phash_dedup's contract: the PNG decode+hash Arrow
+    pass runs exactly ONCE (the halves frame is checkpointed before
+    the band self-join — otherwise each join branch would re-decode
+    every image), and the shuffles carry only doc ids + 8-byte hash
+    halves, never pixel data."""
+    s = _plan(spark, "multimodal_phash_dedup")
+    assert "mapInPandas" not in s.lower()  # decode happened at build, once
+    assert "ExistingRDD" in s or "Scan" in s  # reads the checkpoint
+    assert "text#" not in s and "phash#" not in s  # hashes-as-longs only
+
+
+def test_funnel_stages_share_one_gopher_frame_shape(spark):
+    """pipeline_filter_funnel composes the pinned stage shapes: the
+    tercile window stays lang-partitioned (no global unpartitioned
+    window) and the dedup reduce keys on the 16-byte fingerprint."""
+    s = _plan(spark, "pipeline_filter_funnel")
+    assert "windowspecdefinition(lang" in s.replace(" ", "").lower() or "partitionBy" not in s
+    assert "CartesianProduct" not in s
