@@ -1649,3 +1649,83 @@ def test_substring_apply_consistent_with_stats(spark):
             n_deleted_docs += 1
     # the testdata plants whole-doc duplicates, so full deletions exist
     assert n_deleted_docs > 0
+
+
+def test_funnel_stages_match_standalone_keys(spark):
+    """pipeline_filter_funnel's compose contract: stage 1 count equals
+    the standalone text_gopher_filter's pass count, the funnel is
+    monotonically non-increasing, and the raw stage equals the corpus
+    size — so the funnel can never drift from the keys it composes."""
+    q = all_queries()
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in q["pipeline_filter_funnel"](spark, SF).collect()
+    }
+    gopher = q["text_gopher_filter"](spark, SF)
+    n_docs = gopher.count()  # gopher frame keeps every n_words>0 doc
+    n_pass = gopher.where(F.col("gopher_pass")).count()
+    assert funnel["raw"] == n_docs
+    assert funnel["gopher_rules"] == n_pass
+    counts = [
+        funnel[s]
+        for s in ("raw", "gopher_rules", "perplexity_head_middle", "exact_dedup")
+    ]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_gopher_pass_is_conjunction_of_rules(spark):
+    """gopher_pass must equal the AND of the seven rule booleans on
+    every row (a refactor that drops a rule from the conjunction would
+    still pass the oracle if the oracle drifted with it — this pins
+    the structural invariant independently)."""
+    rows = all_queries()["text_gopher_filter"](spark, SF).collect()
+    rule_cols = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_alpha_words",
+        "r_stopwords", "r_bullets", "r_ellipsis",
+    ]
+    assert rows
+    for r in rows:
+        assert r["gopher_pass"] == all(r[c] for c in rule_cols)
+
+
+def test_phash_dedup_degree_is_symmetric(spark):
+    """Near-dup degree must be symmetric: Σ n_near_dups over docs is
+    even (every near pair contributes to both endpoints), and every
+    flagged doc's nearest_partner is itself a flagged doc whose own
+    near set is non-empty."""
+    rows = all_queries()["multimodal_phash_dedup"](spark, SF).collect()
+    total = sum(r["n_near_dups"] for r in rows)
+    assert total % 2 == 0
+    flagged = {r["doc_id"]: r for r in rows if r["is_dup"]}
+    for r in flagged.values():
+        p = r["nearest_partner"]
+        assert p is not None and p in flagged
+        assert flagged[p]["n_near_dups"] >= 1
+
+
+def test_dsir_prefers_target_domain(spark):
+    """DSIR's whole point: docs from the target domain's language
+    should dominate the resampled set (their hashed-bigram profile IS
+    the target profile). At sf0.001 the majority of the top-50 must be
+    labeled 'en' — a sign error in the log-ratio (raw/target flipped)
+    inverts this and passes no other test."""
+    rows = all_queries()["sample_dsir"](spark, SF).collect()
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    assert n_en > len(rows) / 2, (n_en, len(rows))
+
+
+def test_perplexity_en_head_is_lower_ce_than_tail(spark):
+    """Within each language, every 'head' doc's rounded cross-entropy
+    must be <= every 'tail' doc's (the tercile cut is an order
+    statistic of the same column — a wrong window ordering flips it)."""
+    import collections
+
+    rows = all_queries()["text_perplexity_filter"](spark, SF).collect()
+    by_lang = collections.defaultdict(lambda: {"head": [], "tail": []})
+    for r in rows:
+        if r["ppl_bucket"] in ("head", "tail"):
+            by_lang[r["lang"]][r["ppl_bucket"]].append(r["cross_entropy"])
+    assert by_lang
+    for lang, d in by_lang.items():
+        if d["head"] and d["tail"]:
+            assert max(d["head"]) <= min(d["tail"]), lang
