@@ -1690,3 +1690,128 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("cos") >= RANGE_TAU).orderBy("vec_id_a", "vec_id_b")
+
+
+KNN_GRAPH_K = 5  # neighbors per node in the corpus kNN graph
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {duck_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS node_id, c.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY node_id ORDER BY cos DESC, neighbor_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT node_id, neighbor_id, cos, rk FROM ranked WHERE rk <= {KNN_GRAPH_K}
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-NN graph construction: EVERY vector's top-{KNN_GRAPH_K}
+    neighbors among its LSH bucket-mates — the all-nodes generalization
+    of sim_cosine_ann_lsh (whose query set is 5 designated vectors) and
+    the backbone structure for NN-descent refinement, graph-based ANN
+    serving, and cluster-free semantic dedup.
+
+    Scale shape: identical to the range-search key — one Arrow bucket
+    pass, a bucket-equi self-join bounded by occupancy, a per-node
+    WindowGroupLimit top-k (never a global sort). Pairwise work grows
+    with bucket occupancy; the production dial is N_PLANES ∝ log2(N)
+    (see SCALING.md round-11 wave 2)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    g = cosine_topk_lsh(e, e, k=KNN_GRAPH_K)
+    return g.select(
+        F.col("query_id").alias("node_id"),
+        F.col("candidate_id").alias("neighbor_id"),
+        "cos",
+        "rk",
+    )
+
+
+PROTO_DROP_FRAC = 0.1  # drop the 10% most prototypical per label (SSL-prototypes)
+
+
+@query(
+    "sample_prototype_rank",
+    oracle="""
+    WITH e AS (
+      SELECT label, i, embedding[i + 1] AS v
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ), comp AS (
+      SELECT label, i, round(avg(v), 6) AS c FROM e GROUP BY 1, 2
+    ), cent AS MATERIALIZED (
+      SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY label
+    ), scored AS (
+      SELECT q.vec_id, q.label,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]))),
+               6) AS proto_cos
+      FROM embeddings q JOIN cent c USING (label)
+    ), ranked AS (
+      SELECT *, percent_rank() OVER (
+               PARTITION BY label ORDER BY proto_cos DESC, vec_id
+             ) AS pr
+      FROM scored
+    )
+    SELECT vec_id, label, proto_cos, round(pr, 6) AS proto_rank,
+           (pr < 0.1) AS drop_prototypical
+    FROM ranked
+    """,
+)
+def sample_prototype_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes / D4-style prototypicality pruning (Sorscher et
+    al. 2022; Tirumala et al. 2023): rank every vector by cosine to its
+    label centroid and flag the most prototypical {PROTO_DROP_FRAC:.0%}
+    per label for dropping — the 'easy examples carry least signal'
+    half of D4 (the near-dup half is dedup_semantic). Ranking runs on
+    the r6-ROUNDED cosine against r6-rounded centroid components, so
+    the drop cut is bit-identical across engines.
+
+    Scale shape: the centroid reduce shuffles (labels × dims) scalars
+    (never vectors — the sim_embedding_centroid contract), the
+    centroid table broadcasts back onto one corpus pass, and the
+    percent_rank window partitions by label. No UDF, no corpus-sized
+    driver traffic."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select("label", F.posexplode("embedding").alias("pos", "v"))
+    comp = e.groupBy("label", "pos").agg(r6(F.avg("v")).alias("c"))
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    scored = (
+        t["embeddings"]
+        .join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.floor(
+                    cosine(F.col("embedding"), F.col("centroid")) * 10**6
+                    + F.lit(0.5)
+                )
+                / 10**6
+            ).alias("proto_cos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("proto_cos").desc(), "vec_id")
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "vec_id",
+        "label",
+        "proto_cos",
+        r6(pr).alias("proto_rank"),
+        (pr < PROTO_DROP_FRAC).alias("drop_prototypical"),
+    )

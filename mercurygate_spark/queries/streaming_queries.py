@@ -491,3 +491,45 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         ohlc_bars_stream(read_events_stream(spark, sf_dir)), output_mode="complete"
     )
+
+
+def _quality_gate_oracle() -> str:
+    from mercurygate_spark.queries.text import _DUCK_GOPHER_PASS_CTES
+
+    return f"""
+    WITH {_DUCK_GOPHER_PASS_CTES}
+    SELECT g.lang, (p.doc_id IS NOT NULL) AS gopher_pass,
+           count(*) AS n_docs
+    FROM grules g LEFT JOIN gpass p USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query("stream_quality_gate", oracle=_quality_gate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality gate as a CONTINUOUS ingest job: documents
+    arrive as a file stream (the crawl landing directory), each batch
+    flows through the same stateless Gopher rule projection the batch
+    key pins (queries.text.gopher_frame — zero per-record state, so
+    the operator needs no watermark and scales as a pure map), and the
+    running per-(lang, verdict) admission counts aggregate in complete
+    mode. Oracle: the batch replay of the identical rule chain —
+    bounded-input batch/stream equivalence, like every streaming key
+    here.
+
+    Scale shape: the only stateful operator is the final 10-row
+    (lang × verdict) count — constant state regardless of corpus rate;
+    everything upstream is stateless codegen over Arrow file batches."""
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.queries.text import gopher_frame
+    from mercurygate_spark.streaming.windows import (
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    gated = gopher_frame(docs).groupBy("lang", "gopher_pass").agg(
+        F.count("*").alias("n_docs")
+    )
+    return run_to_memory(gated)

@@ -78,6 +78,25 @@ def _as_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet as a file stream (same landing-directory
+    pattern as the events stream; schema from a batch footer peek of
+    the same files). Used by the streaming corpus-filter keys — at
+    scale the source is the crawl landing directory."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = os.path.join(
+        tempfile.gettempdir(), "mercurygate_stream_src_docs",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link_parquet_into_dir(d, f"{sf_dir}/documents.parquet", "documents.parquet")
+    schema = spark.read.parquet(d).schema
+    return spark.readStream.schema(schema).format("parquet").load(d)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events parquet as a stream, ts normalized to timestamp via the
     same magnitude-guarded normalizer as the batch reader
