@@ -1815,3 +1815,207 @@ def sample_prototype_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(pr).alias("proto_rank"),
         (pr < PROTO_DROP_FRAC).alias("drop_prototypical"),
     )
+
+
+MRL_DIMS = 16  # truncated prefix width (Matryoshka coarse stage)
+MRL_SHORTLIST = 30  # truncated-space shortlist refined by full-dim rerank
+
+
+@query(
+    "sim_truncated_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, embedding[1:{MRL_DIMS}] AS emb_t
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+      SELECT vec_id, embedding, embedding[1:{MRL_DIMS}] AS emb_t
+      FROM embeddings
+    ), coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             q.embedding AS qe, c.embedding AS ce,
+             round(
+               list_dot_product(q.emb_t::DOUBLE[], c.emb_t::DOUBLE[]) /
+               (sqrt(list_dot_product(q.emb_t::DOUBLE[], q.emb_t::DOUBLE[])) *
+                sqrt(list_dot_product(c.emb_t::DOUBLE[], c.emb_t::DOUBLE[]))),
+               4) AS cos_t
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ), shortlist AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_t DESC, candidate_id
+             ) AS rk_t
+      FROM coarse
+    ), rerank AS (
+      SELECT query_id, candidate_id, cos_t,
+             round(
+               list_dot_product(qe::DOUBLE[], ce::DOUBLE[]) /
+               (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+                sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))),
+               4) AS cos_full
+      FROM shortlist WHERE rk_t <= {MRL_SHORTLIST}
+    )
+    SELECT query_id, candidate_id, cos_t, cos_full,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_full DESC, candidate_id
+           ) AS rk
+    FROM rerank
+    QUALIFY rk <= {TOP_K}
+    """,
+)
+def sim_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage retrieval (Kusupati et al. 2022):
+    stage 1 scores on the first 16 of 64 dims (4× less compute/IO per
+    candidate — MRL embeddings front-load information so prefixes are
+    usable embeddings), keeps a 30-candidate shortlist per query,
+    stage 2 re-ranks the shortlist with the full vector. The
+    coarse/fine split is the same economics as IVFPQ+rerank but along
+    the DIMENSION axis instead of the quantization axis.
+
+    Scale shape: the corpus pass reads only the prefix for stage 1
+    (columnar layouts can physically prune trailing dims when stored
+    as separate columns; here the slice happens post-read), the
+    shortlist is 30×queries rows, and the full-dim rerank touches only
+    the shortlist. Both rankings run on r4-rounded cosines with id
+    tiebreaks (the cross-engine ranking doctrine). Brute-force stage 1
+    mirrors sim_cosine_topk's broadcast shape: the 5-query side
+    broadcasts and crosses one corpus pass."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    trunc = F.slice("embedding", 1, MRL_DIMS)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        trunc.alias("qt"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("ce"),
+        trunc.alias("ct"),
+    )
+    r4 = lambda col: F.floor(col * 10**4 + F.lit(0.5)) / 10**4  # noqa: E731
+    coarse = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id", "candidate_id", "qe", "ce",
+            r4(cosine(F.col("qt"), F.col("ct"))).alias("cos_t"),
+        )
+    )
+    w_t = Window.partitionBy("query_id").orderBy(
+        F.col("cos_t").desc(), "candidate_id"
+    )
+    shortlist = coarse.withColumn("rk_t", F.row_number().over(w_t)).where(
+        F.col("rk_t") <= MRL_SHORTLIST
+    )
+    rerank = shortlist.select(
+        "query_id", "candidate_id", "cos_t",
+        r4(cosine(F.col("qe"), F.col("ce"))).alias("cos_full"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), "candidate_id"
+    )
+    return rerank.withColumn("rk", F.row_number().over(w_f)).where(
+        F.col("rk") <= TOP_K
+    )
+
+
+KCENTER_K = 8  # coreset size (greedy Gonzalez rounds)
+
+
+def _kcenter_cos_dist(b: str, s: str) -> str:
+    return (
+        f"round(1 - list_dot_product({b}.embedding::DOUBLE[], {s}.embedding::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])) * "
+        f"sqrt(list_dot_product({s}.embedding::DOUBLE[], {s}.embedding::DOUBLE[]))), 6)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center chain (the Lloyd-chain oracle doctrine:
+    every generated CTE MATERIALIZED so DuckDB cannot multiplicatively
+    inline the recursion)."""
+    parts = [
+        "base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "sel0 AS MATERIALIZED (SELECT 0 AS rnd, vec_id, embedding FROM base "
+        "WHERE vec_id = (SELECT min(vec_id) FROM base))",
+    ]
+    for r in range(1, KCENTER_K):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT b.vec_id, b.embedding, "
+            f"min({_kcenter_cos_dist('b', 's')}) AS d "
+            f"FROM base b, sel{r - 1} s GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT {r} AS rnd, vec_id, embedding, d "
+            f"FROM d{r} ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT rnd, vec_id, embedding FROM sel{r - 1} "
+            f"UNION ALL SELECT rnd, vec_id, embedding FROM p{r})"
+        )
+    picks = " UNION ALL ".join(
+        ["SELECT rnd, vec_id, CAST(0.0 AS DOUBLE) AS coverage_dist FROM sel0"]
+        + [
+            f"SELECT rnd, vec_id, d AS coverage_dist FROM p{r}"
+            for r in range(1, KCENTER_K)
+        ]
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({picks}) ORDER BY rnd"
+    )
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; Sener &
+    Savarese 2018 for active learning / data selection): seed with the
+    smallest vec_id, then 7 rounds of 'pick the point farthest (in
+    r6-rounded cosine distance) from everything selected so far' —
+    the classical 2-approximation of the k-center cover and the
+    diversity-maximizing counterpart to sample_prototype_rank's
+    redundancy pruning. Each pick's coverage_dist is the corpus cover
+    radius at that step (monotonically non-increasing — pinned by a
+    property test).
+
+    Scale shape: each round is one corpus pass — the ≤K-row selected
+    set broadcasts (a bounded BroadcastNestedLoopJoin, the
+    sim_cosine_topk shape), the per-vector min reduces map-side, and
+    the driver collects exactly ONE row per round (argmax by
+    TakeOrderedAndProject), so driver traffic is K rows total
+    regardless of corpus size. The argmax runs on the r6-ROUNDED
+    distance with a vec_id tiebreak so every round's pick — and hence
+    the whole recursion — is bit-identical across engines."""
+    from mercurygate_spark.functions import r6
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(0, int(seed["vec_id"]), [float(x) for x in seed["embedding"]], 0.0)]
+    for r in range(1, KCENTER_K):
+        sel_df = spark.createDataFrame(
+            [(vid, emb) for (_, vid, emb, _) in selected],
+            schema="svec_id long, semb array<double>",
+        )
+        dists = (
+            e.crossJoin(F.broadcast(sel_df))
+            .select(
+                "vec_id",
+                r6(
+                    F.lit(1.0)
+                    - cosine(F.col("embedding"), F.col("semb"))
+                ).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("d"))
+        )
+        pick = dists.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        emb = [
+            float(x)
+            for x in e.where(F.col("vec_id") == pick["vec_id"])
+            .collect()[0]["embedding"]
+        ]
+        selected.append((r, int(pick["vec_id"]), emb, float(pick["d"])))
+    return spark.createDataFrame(
+        [(rnd, vid, d) for (rnd, vid, _, d) in selected],
+        schema="rnd int, vec_id long, coverage_dist double",
+    )

@@ -1729,3 +1729,37 @@ def test_perplexity_en_head_is_lower_ce_than_tail(spark):
     for lang, d in by_lang.items():
         if d["head"] and d["tail"]:
             assert max(d["head"]) <= min(d["tail"]), lang
+
+
+def test_kcenter_coverage_radius_is_monotone(spark):
+    """Greedy k-center's defining invariant: the cover radius at each
+    pick is non-increasing (adding a center can only shrink every
+    point's distance-to-nearest-center), picks are distinct, and the
+    seed is the smallest vec_id."""
+    rows = sorted(
+        all_queries()["sample_kcenter_coreset"](spark, SF).collect(),
+        key=lambda r: r["rnd"],
+    )
+    assert rows[0]["rnd"] == 0 and rows[0]["coverage_dist"] == 0.0
+    dists = [r["coverage_dist"] for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+
+
+def test_truncated_rerank_recall_beats_coarse_order(spark):
+    """The Matryoshka two-stage contract: the final ranking is by the
+    FULL-dim cosine (rerank actually happened — cos_full ordering,
+    not cos_t), and every emitted row carries both scores so the
+    shortlist provenance is auditable."""
+    rows = all_queries()["sim_truncated_topk"](spark, SF).collect()
+    assert rows
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        fulls = [r["cos_full"] for r in rs]
+        assert fulls == sorted(fulls, reverse=True), q

@@ -121,6 +121,12 @@ _BOUNDED_BNLJ_OK = {
     # inherits text_perplexity_filter's 1-row vocab cross for its
     # perplexity stage
     "pipeline_filter_funnel",
+    # broadcast(5 query rows) × corpus pass for the truncated-dim
+    # coarse stage — the sim_cosine_topk brute-force shape
+    "sim_truncated_topk",
+    # broadcast(≤K selected rows) × corpus pass per greedy round —
+    # bounded by the coreset size by construction
+    "sample_kcenter_coreset",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
