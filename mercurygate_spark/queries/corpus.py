@@ -663,18 +663,24 @@ def _funnel_oracle() -> str:
         _DUCK_GOPHER_PASS_CTES,
         _DUCK_LM_CTES,
         LM_ADD_K,
+        _duck_repetition_ctes,
     )
 
     sig = "bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
     return f"""
     WITH {_DUCK_GOPHER_PASS_CTES},
+    rsrc AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN gpass USING (doc_id)
+    ),
+    {_duck_repetition_ctes("rsrc", "r_")},
+    rpass AS (SELECT doc_id FROM r_sum WHERE repetition_pass),
     {_DUCK_LM_CTES},
     f_scored AS (
       SELECT pa.doc_id, pa.lang,
              ln((COALESCE(c12.c12, 0) + {LM_ADD_K})
                 / (COALESCE(c1.c1, 0) + {LM_ADD_K} * v.v)) AS lp
       FROM p_all pa
-      JOIN gpass USING (doc_id)
+      JOIN rpass USING (doc_id)
       LEFT JOIN c12 ON pa.w1 = c12.w1 AND pa.w2 = c12.w2
       LEFT JOIN c1 ON pa.w1 = c1.w1
       CROSS JOIN v
@@ -702,9 +708,11 @@ def _funnel_oracle() -> str:
       UNION ALL
       SELECT 1, 'gopher_rules', count(*), {sig} FROM gpass
       UNION ALL
-      SELECT 2, 'perplexity_head_middle', count(*), {sig} FROM s2
+      SELECT 2, 'gopher_repetition', count(*), {sig} FROM rpass
       UNION ALL
-      SELECT 3, 'exact_dedup', count(*), {sig} FROM s3
+      SELECT 3, 'perplexity_head_middle', count(*), {sig} FROM s2
+      UNION ALL
+      SELECT 4, 'exact_dedup', count(*), {sig} FROM s3
     ) ORDER BY stage_idx
     """
 
@@ -712,7 +720,8 @@ def _funnel_oracle() -> str:
 @query("pipeline_filter_funnel", oracle=_funnel_oracle())
 def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FineWeb/RefinedWeb-style filter funnel as ONE key: Gopher
-    rule filter → CCNet perplexity cut (keep head+middle terciles,
+    rule filter → Gopher repetition battery (§A1.2, over the rule
+    survivors) → CCNet perplexity cut (keep head+middle terciles,
     computed per language OVER THE SURVIVORS — sequential-funnel
     semantics, not precomputed buckets) → exact dedup (normalized-text
     fingerprint, keep min doc_id). Emits the attrition table every
@@ -737,6 +746,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mercurygate_spark.queries.text import (
         gopher_frame,
         ppl_cross_entropy,
+        repetition_frame,
     )
 
     t = load_tables(spark, sf_dir, "documents")
@@ -755,7 +765,13 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = gopher_frame(d).where(F.col("gopher_pass")).select("doc_id")
     s1_docs = d.join(s1, "doc_id")
-    ce = ppl_cross_entropy(d, s1_docs)
+    s1b = (
+        repetition_frame(s1_docs)
+        .where(F.col("repetition_pass"))
+        .select("doc_id")
+    )
+    s1b_docs = d.join(s1b, "doc_id")
+    ce = ppl_cross_entropy(d, s1b_docs)
     w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
     s2 = (
         ce.withColumn("pr", F.percent_rank().over(w))
@@ -768,7 +784,8 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stage(d.select("doc_id"), 0, "raw")
         .unionByName(stage(s1, 1, "gopher_rules"))
-        .unionByName(stage(s2, 2, "perplexity_head_middle"))
-        .unionByName(stage(s3, 3, "exact_dedup"))
+        .unionByName(stage(s1b, 2, "gopher_repetition"))
+        .unionByName(stage(s2, 3, "perplexity_head_middle"))
+        .unionByName(stage(s3, 4, "exact_dedup"))
         .orderBy("stage_idx")
     )

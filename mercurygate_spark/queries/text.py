@@ -2863,3 +2863,217 @@ def ppl_tercile_bucket():
         .when(F.percent_rank().over(w) < 2.0 / 3, "middle")
         .otherwise("tail")
     )
+
+
+# Gopher §A1.2 repetition battery thresholds (Rae et al. 2021 Table A1)
+GOPHER_TOP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_FRAC = {5: 0.15, 10: 0.10}
+_REP_NS = sorted(set(GOPHER_TOP_FRAC) | set(GOPHER_DUP_FRAC))
+
+
+def _duck_gram(n: int) -> str:
+    """n-gram string array over {tk} (space-joined), empty below n."""
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(range(1, len(tk) - {n - 2}), i -> {joined}) "
+        f"ELSE [] END"
+    )
+
+
+def _duck_repetition_ctes(src: str = "documents", prefix: str = "rep_") -> str:
+    """CTE chain for the repetition battery over `src` (any CTE/table
+    with doc_id + text), ending in `{prefix}sum` (doc_id, fracs,
+    repetition_pass). `prefix` namespaces the CTEs so the funnel can
+    embed this next to the gopher/LM chains."""
+    tkl, grams, cnt, ranked, per_n = (
+        f"{prefix}tkl", f"{prefix}grams", f"{prefix}cnt",
+        f"{prefix}ranked", f"{prefix}per_n",
+    )
+    gram_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, norm_len, {n} AS n, unnest({_duck_gram(n)}) AS g "
+        f"FROM {tkl}"
+        for n in _REP_NS
+    )
+    top_cols = ",\n           ".join(
+        f"round(COALESCE(max(CASE WHEN n = {n} THEN top_frac END), 0.0), 6) "
+        f"AS top{n}_frac"
+        for n in GOPHER_TOP_FRAC
+    )
+    dup_cols = ",\n           ".join(
+        f"round(COALESCE(max(CASE WHEN n = {n} THEN dup_frac END), 0.0), 6) "
+        f"AS dup{n}_frac"
+        for n in GOPHER_DUP_FRAC
+    )
+    checks = " AND ".join(
+        [
+            f"round(COALESCE(max(CASE WHEN n = {n} THEN top_frac END), 0.0), 6)"
+            f" <= {t}"
+            for n, t in GOPHER_TOP_FRAC.items()
+        ]
+        + [
+            f"round(COALESCE(max(CASE WHEN n = {n} THEN dup_frac END), 0.0), 6)"
+            f" <= {t}"
+            for n, t in GOPHER_DUP_FRAC.items()
+        ]
+    )
+    return f"""{tkl} AS MATERIALIZED (
+      SELECT doc_id, tk,
+             CAST(list_sum(list_transform(tk, w -> length(w)))
+                  + len(tk) - 1 AS BIGINT) AS norm_len
+      FROM (SELECT doc_id, {_DUCK_TK} AS tk FROM {src})
+      WHERE len(tk) > 0
+    ),
+    {grams} AS MATERIALIZED (
+{gram_selects}
+    ),
+    {cnt} AS (
+      SELECT doc_id, norm_len, n, g, count(*) AS c, length(g) AS gl
+      FROM {grams} GROUP BY 1, 2, 3, 4
+    ),
+    {ranked} AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id, n ORDER BY c DESC, g
+             ) AS rk
+      FROM {cnt}
+    ),
+    {per_n} AS (
+      SELECT doc_id, norm_len, n,
+             least(1.0, max(CASE WHEN rk = 1 THEN c * gl END)
+                        * 1.0 / norm_len) AS top_frac,
+             least(1.0, COALESCE(sum(CASE WHEN c > 1 THEN (c - 1) * gl END), 0)
+                        * 1.0 / norm_len) AS dup_frac
+      FROM {ranked} GROUP BY 1, 2, 3
+    ),
+    {prefix}sum AS (
+      SELECT doc_id,
+           {top_cols},
+           {dup_cols},
+           ({checks}) AS repetition_pass
+      FROM {per_n}
+      GROUP BY doc_id
+    )"""
+
+
+def _gopher_repetition_oracle() -> str:
+    cols = ", ".join(
+        [f"top{n}_frac" for n in GOPHER_TOP_FRAC]
+        + [f"dup{n}_frac" for n in GOPHER_DUP_FRAC]
+    )
+    return (
+        "WITH " + _duck_repetition_ctes("documents", "rep_")
+        + f" SELECT doc_id, {cols}, repetition_pass FROM rep_sum"
+    )
+
+
+def _gram_array(tk, n: int):
+    """Spark twin of _duck_gram: space-joined n-gram array."""
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", *[tk[i + j] for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query("text_gopher_repetition", oracle=_gopher_repetition_oracle())
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.2 repetition battery (Rae et al. 2021 Table A1): per
+    document, the fraction of (normalized) characters inside the MOST
+    FREQUENT {2,3,4}-gram and inside DUPLICATED {5,10}-grams, with the
+    paper's thresholds conjoined into repetition_pass. Coverage uses
+    the standard occurrence-counting simplification (chars of repeat
+    occurrences beyond the first, capped at 1.0 — the DataTrove/NeMo
+    convention) rather than exact interval union; the exact-coverage
+    operator is dedup_substring_exact. Top-gram selection ranks
+    (count DESC, gram) so ties break textually on both engines;
+    fractions are r6-rounded BEFORE threshold comparison.
+
+    Scale shape: one tokenize pass fans out to the five gram widths
+    map-side (explode, no join); per-(doc, n, gram) counts are one
+    partially-aggregable groupBy; the top-gram window partitions by
+    (doc, n). Shuffle rows carry the gram STRING here because the
+    per-doc count reduce needs it — at 100 TB swap the gram for its
+    md5 (the dedup_substring trick) at the cost of losing the textual
+    tiebreak; both shapes are linear in corpus size."""
+    t = load_tables(spark, sf_dir, "documents")
+    return repetition_frame(t["documents"])
+
+
+def repetition_frame(docs: DataFrame) -> DataFrame:
+    """The §A1.2 repetition frame over any documents-shaped input —
+    shared by text_gopher_repetition and pipeline_filter_funnel."""
+    from mercurygate_spark.functions import let1, r6
+
+    tkl = (
+        docs
+        .select("doc_id", let1(tokens("text"), lambda x: x).alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            "tk",
+            (
+                F.aggregate(
+                    "tk", F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+                )
+                + F.size("tk")
+                - 1
+            ).alias("norm_len"),
+        )
+    )
+    grams = None
+    for n in _REP_NS:
+        g = tkl.select(
+            "doc_id",
+            "norm_len",
+            F.lit(n).alias("n"),
+            F.explode(_gram_array(F.col("tk"), n)).alias("g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    cnt = grams.groupBy("doc_id", "norm_len", "n", "g").agg(
+        F.count("*").alias("c")
+    ).withColumn("gl", F.length("g"))
+    w = Window.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "g")
+    ranked = cnt.withColumn("rk", F.row_number().over(w))
+    per_n = ranked.groupBy("doc_id", "norm_len", "n").agg(
+        F.least(
+            F.lit(1.0),
+            F.max(F.when(F.col("rk") == 1, F.col("c") * F.col("gl")))
+            * F.lit(1.0)
+            / F.col("norm_len"),
+        ).alias("top_frac"),
+        F.least(
+            F.lit(1.0),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("gl"))),
+                F.lit(0).cast("bigint"),
+            )
+            * F.lit(1.0)
+            / F.col("norm_len"),
+        ).alias("dup_frac"),
+    )
+    top_aggs = [
+        r6(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+            )
+        ).alias(f"top{n}_frac")
+        for n in GOPHER_TOP_FRAC
+    ]
+    dup_aggs = [
+        r6(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_frac"))), F.lit(0.0)
+            )
+        ).alias(f"dup{n}_frac")
+        for n in GOPHER_DUP_FRAC
+    ]
+    out = per_n.groupBy("doc_id").agg(*top_aggs, *dup_aggs)
+    passes = [
+        F.col(f"top{n}_frac") <= t for n, t in GOPHER_TOP_FRAC.items()
+    ] + [F.col(f"dup{n}_frac") <= t for n, t in GOPHER_DUP_FRAC.items()]
+    verdict = passes[0]
+    for p in passes[1:]:
+        verdict = verdict & p
+    return out.withColumn("repetition_pass", verdict)
