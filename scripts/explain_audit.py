@@ -62,6 +62,12 @@ def main() -> None:
         "sample_poisson_bootstrap",  # map-side explode(R) + grouped sum
         "text_bpe_merge_step",       # zip-shift pairs, TakeOrderedAndProject
         "dq_mad_outliers",           # two median passes, stats broadcast back
+        # round-11 wave additions whose plan shape IS the claim
+        "text_gopher_filter",        # zero-exchange scan-only rule projection
+        "sim_knn_graph",             # bucket-equi self-join + WindowGroupLimit
+        "sim_range_search",          # bucket-equi candidates, radius filter, no window
+        "text_gopher_repetition",    # map-side gram fanout, one count reduce
+        "sample_prototype_rank",     # (labels x dims) scalar reduce, centroid broadcast
     ]
     for name in HEADLINE + scale_showcase:
         df = queries[name](spark, SF_DIR)
