@@ -3022,15 +3022,30 @@ def repetition_frame(docs: DataFrame) -> DataFrame:
             ).alias("norm_len"),
         )
     )
-    grams = None
-    for n in _REP_NS:
-        g = tkl.select(
-            "doc_id",
-            "norm_len",
-            F.lit(n).alias("n"),
-            F.explode(_gram_array(F.col("tk"), n)).alias("g"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+    # One explode over the concatenated (n, gram) struct arrays — NOT a
+    # 5-way union: a union whose children share a partitioning makes
+    # Spark claim that partitioning for the concatenated output (8
+    # claimed vs 5×8 actual partitions), and a downstream forced
+    # SortMergeJoin then dies with "Can't zip RDDs with unequal
+    # numbers of partitions" (found by the bcast_off plan-matrix
+    # config). The single Generate is also simply the better plan:
+    # one pass, no repeated scan of the token frame per gram width.
+    def _tag(n: int):
+        # a ONE-argument lambda is mandatory here: pyspark's
+        # F.transform passes (element, index) to binary lambdas, so
+        # the idiomatic `lambda g, n=n:` default-arg capture silently
+        # receives the ARRAY INDEX as n (found by the oracle diff)
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    all_grams = F.concat(
+        *[
+            F.transform(_gram_array(F.col("tk"), n), _tag(n))
+            for n in _REP_NS
+        ]
+    )
+    grams = tkl.select(
+        "doc_id", "norm_len", F.explode(all_grams).alias("ng")
+    ).select("doc_id", "norm_len", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
     cnt = grams.groupBy("doc_id", "norm_len", "n", "g").agg(
         F.count("*").alias("c")
     ).withColumn("gl", F.length("g"))
