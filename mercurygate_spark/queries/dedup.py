@@ -1258,3 +1258,152 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969;
+# the scoring model behind Splink). m-probabilities fixed (0.95 — the
+# usual prior absent labeled pairs); u-probabilities ESTIMATED from the
+# data as the random-agreement probability Σ (n_v/N)² per field.
+# ---------------------------------------------------------------------------
+
+FS_M = 0.95  # P(field agrees | records are a true match)
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_block,
+             substr(c_name, length(c_name), 1) AS name_digit,
+             CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 10 AS VARCHAR)
+               AS cents_digit
+      FROM customer
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    u_seg AS (
+      SELECT sum(f * f) AS u FROM (
+        SELECT count(*) * 1.0 / (SELECT n FROM n) AS f
+        FROM c GROUP BY c_mktsegment)
+    ),
+    u_name AS (
+      SELECT sum(f * f) AS u FROM (
+        SELECT count(*) * 1.0 / (SELECT n FROM n) AS f
+        FROM c GROUP BY name_digit)
+    ),
+    u_cents AS (
+      SELECT sum(f * f) AS u FROM (
+        SELECT count(*) * 1.0 / (SELECT n FROM n) AS f
+        FROM c GROUP BY cents_digit)
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             (a.c_mktsegment = b.c_mktsegment) AS agree_segment,
+             (a.name_digit = b.name_digit) AS agree_name_digit,
+             (a.cents_digit = b.cents_digit) AS agree_cents_digit
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.bal_block = b.bal_block
+       AND a.c_custkey < b.c_custkey
+    ),
+    scored AS (
+      SELECT pairs.*,
+             round(
+               (CASE WHEN agree_segment
+                     THEN ln({FS_M} / u_seg.u) ELSE ln({1 - FS_M} / (1 - u_seg.u)) END
+                + CASE WHEN agree_name_digit
+                       THEN ln({FS_M} / u_name.u) ELSE ln({1 - FS_M} / (1 - u_name.u)) END
+                + CASE WHEN agree_cents_digit
+                       THEN ln({FS_M} / u_cents.u) ELSE ln({1 - FS_M} / (1 - u_cents.u)) END
+               ) / ln(2), 6) AS match_weight
+      FROM pairs CROSS JOIN u_seg CROSS JOIN u_name CROSS JOIN u_cents
+    )
+    SELECT custkey_a, custkey_b, agree_segment, agree_name_digit,
+           agree_cents_digit, match_weight
+    FROM scored
+    ORDER BY match_weight DESC, custkey_a, custkey_b LIMIT 50
+    """,
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the customer
+    table: candidate pairs from (nationkey, acctbal-hundreds) blocking,
+    each scored by the sum of per-field log2(m/u) agreement weights —
+    m fixed at {FS_M}, u ESTIMATED from the data as the
+    random-agreement probability Σ(n_v/N)² per field (the standard
+    unsupervised u-estimate; Splink's EM refines m the same way from
+    here). Top-50 by the r6-rounded weight with id tiebreaks.
+
+    Scale shape: blocking keys are content-derived and
+    cardinality-growing (balance hundreds × nation), so block
+    occupancy — and hence pairwise work — is governed by the blocking
+    resolution dial exactly as in er_blocked_match; the three u
+    frames are 1-row broadcasts; the weight is pure codegen
+    arithmetic; top-50 rides TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_block"),
+        F.substring(F.col("c_name"), -1, 1).alias("name_digit"),
+        (
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long") % 10
+        ).cast("string").alias("cents_digit"),
+    )
+    n_total = c.count()  # 1 scalar; the u estimates need the denominator
+
+    def u_of(col: str):
+        return (
+            c.groupBy(col)
+            .agg((F.count("*") * F.lit(1.0) / F.lit(n_total)).alias("f"))
+            .agg(F.sum(F.col("f") * F.col("f")).alias("u"))
+        )
+
+    u_seg = F.broadcast(u_of("c_mktsegment").withColumnRenamed("u", "u_seg"))
+    u_name = F.broadcast(u_of("name_digit").withColumnRenamed("u", "u_name"))
+    u_cents = F.broadcast(u_of("cents_digit").withColumnRenamed("u", "u_cents"))
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a_bal_block") == F.col("b_bal_block"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    ).select(
+        F.col("a_c_custkey").alias("custkey_a"),
+        F.col("b_c_custkey").alias("custkey_b"),
+        (F.col("a_c_mktsegment") == F.col("b_c_mktsegment")).alias("agree_segment"),
+        (F.col("a_name_digit") == F.col("b_name_digit")).alias("agree_name_digit"),
+        (F.col("a_cents_digit") == F.col("b_cents_digit")).alias("agree_cents_digit"),
+    )
+    m = F.lit(FS_M)
+    one_m = F.lit(1 - FS_M)
+
+    def w(agree: str, u):
+        return F.when(F.col(agree), F.log(m / u)).otherwise(
+            F.log(one_m / (F.lit(1.0) - u))
+        )
+
+    scored = (
+        pairs.crossJoin(u_seg)
+        .crossJoin(u_name)
+        .crossJoin(u_cents)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "agree_segment",
+            "agree_name_digit",
+            "agree_cents_digit",
+            r6(
+                (
+                    w("agree_segment", F.col("u_seg"))
+                    + w("agree_name_digit", F.col("u_name"))
+                    + w("agree_cents_digit", F.col("u_cents"))
+                )
+                / F.log(F.lit(2.0))
+            ).alias("match_weight"),
+        )
+    )
+    return scored.orderBy(
+        F.col("match_weight").desc(), "custkey_a", "custkey_b"
+    ).limit(50)

@@ -127,6 +127,8 @@ _BOUNDED_BNLJ_OK = {
     # broadcast(≤K selected rows) × corpus pass per greedy round —
     # bounded by the coreset size by construction
     "sample_kcenter_coreset",
+    # three 1-row u-probability frames crossed into the pair scorer
+    "er_fellegi_sunter",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
