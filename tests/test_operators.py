@@ -1246,6 +1246,11 @@ def test_stateful_index_keys_rerun_identical(spark):
         "sim_ivfpq_reindex_swap",
         "pipeline_vector_ingest",
         "stream_vector_ingest",
+        # round-11: the streaming gate drains a file stream into a
+        # memory sink and the phash key leaves a localCheckpoint —
+        # both must be invisible to a same-session second run
+        "stream_quality_gate",
+        "multimodal_phash_dedup",
     ]:
         first = queries[key](spark, "/root/testdata/sf0.001")
         cols = sorted(first.columns)
