@@ -81,25 +81,34 @@ def cosine_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-def signs_matrix(dims: int = 64):
-    """The md5-derived hyperplane sign matrix (N_PLANES × dims) as
+def signs_matrix(dims: int = 64, n_planes: int = N_PLANES):
+    """The md5-derived hyperplane sign matrix (n_planes × dims) as
     numpy — numerically identical to _plane_signs / duck_plane_signs_sql
-    (same md5 parity rule)."""
+    (same md5 parity rule). Plane p's row depends only on p, so the
+    matrix for a smaller n_planes is an exact PREFIX of the matrix for
+    a larger one — the property the occupancy dial's substr() oracle
+    twin relies on."""
     import hashlib
 
     import numpy as np
 
-    m = np.empty((N_PLANES, dims), dtype=np.float64)
-    for p in range(N_PLANES):
+    m = np.empty((n_planes, dims), dtype=np.float64)
+    for p in range(n_planes):
         for d in range(dims):
             first_hex = hashlib.md5(f"p{p}:{d}".encode()).hexdigest()[0]
             m[p, d] = 1.0 if int(first_hex, 16) % 2 == 0 else -1.0
     return m
 
 
-def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, out: str = "bucket") -> DataFrame:
-    """Random-hyperplane LSH bucket id: N_PLANES projection sign bits
-    concatenated into a string key. Computed via an Arrow-batched
+def lsh_bucket(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out: str = "bucket",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id: ``n_planes`` projection sign
+    bits concatenated into a string key. Computed via an Arrow-batched
     mapInPandas numpy projection (V @ S.T) — the Column-expression
     equivalent (zip_with folds) evaluates interpreted and is ~100×
     slower per row; values are identical up to BLAS ulp, which only
@@ -120,7 +129,7 @@ def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, out: str = "bucket") ->
                 continue
             vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if signs is None:
-                signs = signs_matrix(vecs.shape[1])
+                signs = signs_matrix(vecs.shape[1], n_planes)
             bits = (vecs @ signs.T) >= 0
             pdf[out] = ["".join("1" if b else "0" for b in row) for row in bits]
             yield pdf
@@ -288,14 +297,55 @@ def duck_plane_signs_sql(plane: int) -> str:
     return f"[{comps}]::DOUBLE[]"
 
 
-def duck_bucket_sql(vec_expr: str) -> str:
+def duck_bucket_sql(vec_expr: str, n_planes: int = N_PLANES) -> str:
     """DuckDB twin of lsh_bucket's bit-string key."""
     bits = " || ".join(
         f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {duck_plane_signs_sql(p)}) >= 0 "
         "THEN '1' ELSE '0' END)"
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     )
     return bits
+
+
+# ---------------------------------------------------------------------------
+# Occupancy dial (SCALING.md round-11 wave 2, VERDICT r11 next #1): a
+# FIXED plane count means 10× corpus ⇒ ~10× rows per bucket ⇒ ~100×
+# candidate pairs in radius/graph SELF-joins — the only measured
+# superlinearity left in the repo (4.4× / 2.9× at 10×). The production
+# dial derives n_planes from the corpus count so EXPECTED bucket
+# occupancy stays constant: smallest p with OCC_TARGET · 2^p ≥ N, i.e.
+# p ≈ log2(N / OCC_TARGET). Integer-threshold form (a CASE chain, no
+# floats) so Spark and the DuckDB oracle can never disagree on the
+# derived count; plane p's signs depend only on p (prefix property),
+# so the oracle computes the OCC_MAX_PLANES-bit string once and takes
+# a substr() prefix of the SQL-derived length.
+# ---------------------------------------------------------------------------
+
+OCC_TARGET = 32      # target expected rows per bucket under the dial
+OCC_MIN_PLANES = 4   # floor: below this, buckets are too coarse to prune
+OCC_MAX_PLANES = 16  # ceiling: 2^16 buckets ≈ 2M-row corpus per OCC_TARGET
+
+
+def scaled_n_planes(n_rows: int) -> int:
+    """Smallest p in [OCC_MIN_PLANES, OCC_MAX_PLANES] with
+    OCC_TARGET · 2^p ≥ n_rows — integer-exact (no log2 floats)."""
+    for p in range(OCC_MIN_PLANES, OCC_MAX_PLANES):
+        if n_rows <= OCC_TARGET * (1 << p):
+            return p
+    return OCC_MAX_PLANES
+
+
+def duck_scaled_np_sql(count_from: str = "embeddings") -> str:
+    """DuckDB twin of scaled_n_planes: a scalar subquery deriving the
+    plane count from count(*) via the SAME integer thresholds."""
+    cases = " ".join(
+        f"WHEN __n <= {OCC_TARGET * (1 << p)} THEN {p}"
+        for p in range(OCC_MIN_PLANES, OCC_MAX_PLANES)
+    )
+    return (
+        f"(SELECT CASE {cases} ELSE {OCC_MAX_PLANES} END "
+        f"FROM (SELECT count(*) AS __n FROM {count_from}))"
+    )
 
 
 N_CENTROIDS = 16
@@ -686,14 +736,15 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 10,
     round_scale: int = 4,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """ANN variant: score only candidates in the query's LSH bucket.
     Recall < 1 by design (pytest checks recall vs brute force); the
     candidate join is bucket-equi, so corpus work is bucket-local."""
-    q = lsh_bucket(queries, id_col, vec_col).select(
+    q = lsh_bucket(queries, id_col, vec_col, n_planes=n_planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
-    c = lsh_bucket(corpus, id_col, vec_col).select(
+    c = lsh_bucket(corpus, id_col, vec_col, n_planes=n_planes).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "bucket"
     )
     scored = (

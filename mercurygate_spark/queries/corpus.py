@@ -789,3 +789,106 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s3, 4, "exact_dedup"))
         .orderBy("stage_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-to-training-batch capstone (VERDICT r11 next #3): the full
+# path a pretraining pipeline runs between raw text and the data
+# loader — TRAIN a BPE vocabulary on the corpus, APPLY it (re-encode
+# every document with the learned merges), then PACK the re-encoded
+# token stream into fixed-length training sequences — composed under
+# ONE hash. Each stage is individually oracle-checked (text_bpe_train,
+# text_bpe_apply, pipeline_pack_sequences); this key proves the
+# composition: the packer consumes exactly the post-merge token
+# counts the trained tokenizer produces, so a drift anywhere in the
+# train loop, the merge application, or the prefix-sum packing flips
+# the hash.
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_e2e_oracle() -> str:
+    from mercurygate_spark.queries.text import BPE_TRAIN_MERGES, _bpe_chain_sql
+
+    n = BPE_TRAIN_MERGES
+    return f"""
+    WITH {_bpe_chain_sql()},
+    toks AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             len(string_split(trim(s), ' ')) AS n_tokens
+      FROM docs{n} WHERE trim(s) <> ''
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS token_start
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, token_start,
+           token_start // {SEQ_LEN} AS first_seq,
+           (token_start + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+           (token_start + n_tokens - 1) // {SEQ_LEN}
+             - token_start // {SEQ_LEN} + 1 AS n_seqs
+    FROM packed
+    """
+
+
+@query("text_tokenize_e2e", oracle=_tokenize_e2e_oracle())
+def text_tokenize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply → pack: BPE training loop (the text_bpe_train
+    rounds, shared via _bpe_train_loop — one winner collect per round,
+    triple-replace merge application, per-round localCheckpoint), then
+    the trained corpus' POST-MERGE token counts flow straight into the
+    pipeline_pack_sequences two-phase prefix sum (16-way sharded
+    cumsum + broadcast shard offsets — no single-partition window),
+    emitting each document's global token offset and sequence span in
+    the packed training stream.
+
+    Scale shape is the union of its parts' pinned shapes: the train
+    loop's driver traffic is one row per merge round, the re-encoded
+    corpus never leaves the executors (counts reduce map-side), and
+    the pack phase shuffles (doc_id, md5, count) — never text. The
+    oracle replays training, application, and packing in one chained
+    CTE, so the key certifies the COMPOSITION end-to-end."""
+    from mercurygate_spark.queries.text import _bpe_train_loop
+
+    docs, _ = _bpe_train_loop(spark, sf_dir)
+    tk = F.split(F.trim(F.col("s")), " ")
+    toks = (
+        docs.where(F.trim(F.col("s")) != "")
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+            F.size(tk).alias("n_tokens"),
+        )
+        .withColumn("shard", F.substring("h", 1, 1))
+    )
+    w_shard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    within = toks.withColumn(
+        "shard_cum", F.sum("n_tokens").over(w_shard) - F.col("n_tokens")
+    )
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn(
+            "shard_offset", F.coalesce(F.sum("shard_total").over(w_off), F.lit(0))
+        )
+        .select("shard", "shard_offset")
+    )
+    packed = within.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("shard_offset") + F.col("shard_cum")).alias("token_start"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "token_start",
+        F.expr(f"token_start div {SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(token_start + n_tokens - 1) div {SEQ_LEN}").alias("last_seq"),
+        F.expr(
+            f"(token_start + n_tokens - 1) div {SEQ_LEN}"
+            f" - token_start div {SEQ_LEN} + 1"
+        ).alias("n_seqs"),
+    )

@@ -1663,9 +1663,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one Arrow-batched bucket pass over the corpus, a
     bucket-equi self-join (pairwise work bounded by bucket occupancy,
     not corpus²), a codegen dot product per candidate, and a pushed
-    filter on the rounded cosine. No window, no global sort in the
-    plan that matters (the ORDER BY twin exists only for the oracle's
-    deterministic hash)."""
+    filter on the rounded cosine. No window, no global sort at all —
+    the ORDER BY lives only in the oracle SQL (the compare harness
+    sort-normalizes both sides, so the Spark plan stays sort-free)."""
     from mercurygate_spark.operators.similarity import lsh_bucket
 
     t = load_tables(spark, sf_dir, "embeddings")
@@ -1689,7 +1689,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    return scored.where(F.col("cos") >= RANGE_TAU).orderBy("vec_id_a", "vec_id_b")
+    return scored.where(F.col("cos") >= RANGE_TAU)
 
 
 KNN_GRAPH_K = 5  # neighbors per node in the corpus kNN graph
@@ -1734,6 +1734,148 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("candidate_id").alias("neighbor_id"),
         "cos",
         "rk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Occupancy-dialed twins (VERDICT r11 next #1): sim_range_search and
+# sim_knn_graph with N_PLANES derived from the corpus count so bucket
+# occupancy — and hence per-row candidate work — stays constant as the
+# corpus grows. The fixed-plane keys above stay as the documented
+# oracle anchors; these two are the production scale path, and the 10×
+# probe (docs/scale_probe_r12.json) is the evidence the dial collapses
+# the 4.4× / 2.9× superlinear ratios.
+# ---------------------------------------------------------------------------
+
+
+def _scaled_bucket_oracle_cte() -> str:
+    """Shared oracle CTE: derive np from count(*) (integer CASE chain,
+    duck_scaled_np_sql), compute the OCC_MAX_PLANES-bit string once,
+    and key buckets on its np-char prefix (signs_matrix prefix
+    property)."""
+    from mercurygate_spark.operators.similarity import (
+        OCC_MAX_PLANES,
+        duck_scaled_np_sql,
+    )
+
+    return f"""
+    par AS MATERIALIZED (SELECT {duck_scaled_np_sql('embeddings')} AS np),
+    b AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             substr({duck_bucket_sql('embedding', OCC_MAX_PLANES)}, 1,
+                    (SELECT np FROM par)) AS bucket
+      FROM embeddings
+    )"""
+
+
+def _scaled_lsh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with the occupancy-dialed bucket column: ONE count job
+    derives n_planes = scaled_n_planes(N) on the driver (a scalar —
+    legitimate at any scale), then one Arrow bucket pass computes
+    exactly that many sign bits."""
+    from mercurygate_spark.operators.similarity import (
+        lsh_bucket,
+        scaled_n_planes,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    np_ = scaled_n_planes(e.count())
+    return lsh_bucket(e, "vec_id", "embedding", n_planes=np_)
+
+
+@query(
+    "sim_range_search_scaled",
+    oracle=f"""
+    WITH {_scaled_bucket_oracle_cte()},
+    scored AS (
+      SELECT q.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+             {_DUCK_COS} AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, cos
+    FROM scored WHERE cos >= {RANGE_TAU}
+    """,
+)
+def sim_range_search_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_range_search under the occupancy dial: N_PLANES =
+    scaled_n_planes(count) — smallest p with OCC_TARGET·2^p ≥ N — so a
+    10× corpus gets ~3-4 more sign bits, expected bucket occupancy
+    stays ≈OCC_TARGET, and the bucket SELF-join's candidate count
+    grows ∝ N instead of ∝ N² (the fixed-plane key's measured 4.4×
+    at 10× — docs/SCALING.md r11 wave 2). The plane-count derivation
+    is an integer CASE chain replicated verbatim in the oracle, and
+    plane p's signs depend only on p, so the oracle buckets on a
+    substr() prefix of the 16-bit string — bit-identical keys on both
+    engines at ANY corpus size."""
+    b = _scaled_lsh_frame(spark, sf_dir)
+    q = b.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (
+                F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5))
+                / 10**4
+            ).alias("cos"),
+        )
+    )
+    return scored.where(F.col("cos") >= RANGE_TAU)
+
+
+@query(
+    "sim_knn_graph_scaled",
+    oracle=f"""
+    WITH {_scaled_bucket_oracle_cte()},
+    scored AS (
+      SELECT q.vec_id AS node_id, c.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY node_id ORDER BY cos DESC, neighbor_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT node_id, neighbor_id, cos, rk FROM ranked WHERE rk <= {KNN_GRAPH_K}
+    """,
+)
+def sim_knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_graph under the same occupancy dial: every node's
+    top-{KNN_GRAPH_K} among bucket-mates, with the bucket width derived
+    from the corpus count (constant expected occupancy ⇒ the per-node
+    WindowGroupLimit sees a bounded candidate set at any N — the
+    fixed-plane key's 2.9× 10× ratio collapses to ~linear). Same
+    integer-threshold derivation + substr-prefix oracle as
+    sim_range_search_scaled."""
+    b = _scaled_lsh_frame(spark, sf_dir)
+    q = b.select(
+        F.col("vec_id").alias("node_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("node_id") != F.col("neighbor_id"))
+        .select(
+            "node_id",
+            "neighbor_id",
+            (
+                F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5))
+                / 10**4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_GRAPH_K
     )
 
 
@@ -2018,4 +2160,122 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(rnd, vid, d) for (rnd, vid, _, d) in selected],
         schema="rnd int, vec_id long, coverage_dist double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched k-center (VERDICT r11 next #2): the production-scale variant
+# of sample_kcenter_coreset. Two changes, both standard (Sener &
+# Savarese 2018's practical variant):
+#   1. RUNNING min_dist state — each round scores the corpus against
+#      only the round's NEW centers (min_dist folds in via least()),
+#      so total work is O(K·N) instead of the anchor key's O(K²·N)
+#      crossJoin-to-the-full-selected-set re-scoring;
+#   2. BATCHED picks — the B farthest points per round (one TakeOrdered
+#      job), so the ROUND COUNT is K/B, decoupled from K.
+# The pick's embedding rides the same TakeOrdered row as its id and
+# distance (the r11 advice nit: the anchor key fetched it with a
+# second filter job per round).
+# ---------------------------------------------------------------------------
+
+KCB_B = 5        # picks per round
+KCB_ROUNDS = 3   # rounds → 1 seed + 15 picks = 16 centers from 3 passes
+
+
+def _kcenter_batched_oracle() -> str:
+    """Unrolled batched-greedy chain: round r's B picks are the top-B
+    by (min distance to sel{r-1}) DESC, vec_id — the same argmax chain
+    as the anchor key with LIMIT B instead of LIMIT 1. MATERIALIZED
+    per round (Lloyd-chain doctrine)."""
+    parts = [
+        "base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "sel0 AS MATERIALIZED (SELECT 0 AS rnd, vec_id, embedding FROM base "
+        "WHERE vec_id = (SELECT min(vec_id) FROM base))",
+    ]
+    for r in range(1, KCB_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT b.vec_id, b.embedding, "
+            f"min({_kcenter_cos_dist('b', 's')}) AS d "
+            f"FROM base b, sel{r - 1} s "
+            f"WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT {r} AS rnd, vec_id, embedding, d "
+            f"FROM d{r} ORDER BY d DESC, vec_id LIMIT {KCB_B})"
+        )
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT rnd, vec_id, embedding FROM sel{r - 1} "
+            f"UNION ALL SELECT rnd, vec_id, embedding FROM p{r})"
+        )
+    picks = " UNION ALL ".join(
+        ["SELECT rnd, vec_id, CAST(0.0 AS DOUBLE) AS coverage_dist FROM sel0"]
+        + [
+            f"SELECT rnd, vec_id, d AS coverage_dist FROM p{r}"
+            for r in range(1, KCB_ROUNDS + 1)
+        ]
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({picks}) ORDER BY rnd, vec_id"
+    )
+
+
+@query("sample_kcenter_batched", oracle=_kcenter_batched_oracle())
+def sample_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched greedy k-center with running min_dist state — the
+    O(K·N) scale path next to sample_kcenter_coreset's O(K²·N) oracle
+    anchor. Seed with the smallest vec_id, then {KCB_ROUNDS} rounds of
+    'take the {KCB_B} points farthest (r6-rounded cosine distance)
+    from everything selected so far'.
+
+    Scale shape, per round:
+    - the corpus state frame carries ONE persisted min_dist column;
+      the round folds in the previous round's B new centers as
+      broadcast array literals via least() — a pure codegen
+      PROJECTION, zero joins, zero shuffles;
+    - the B picks come from one TakeOrderedAndProject job carrying
+      (vec_id, min_d, embedding) in the same row — driver traffic is
+      exactly K rows total, one collect per round, no second
+      embedding-fetch job;
+    - the state localCheckpoints each round (lineage-truncation
+      doctrine), so round r never replays rounds 1..r-1.
+    Round count is K/B — decoupled from K — and per-round cost is one
+    corpus pass regardless of how many centers are already selected
+    (the probe evidence: docs/scale_probe_r12.json)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    seed_emb = [float(x) for x in seed["embedding"]]
+    rows = [(0, int(seed["vec_id"]), 0.0)]
+    picked_ids = {int(seed["vec_id"])}
+    state = e.withColumn(
+        "min_d", r6(F.lit(1.0) - cosine(F.col("embedding"), F.lit(seed_emb)))
+    ).localCheckpoint(eager=True)
+    for rnd in range(1, KCB_ROUNDS + 1):
+        picks = (
+            state.where(~F.col("vec_id").isin(*picked_ids))
+            .orderBy(F.col("min_d").desc(), "vec_id")
+            .limit(KCB_B)
+            .collect()  # bounded by construction: exactly B rows/round
+        )
+        rows += [(rnd, int(p["vec_id"]), float(p["min_d"])) for p in picks]
+        picked_ids |= {int(p["vec_id"]) for p in picks}
+        if rnd == KCB_ROUNDS:
+            break
+        new_dists = [
+            r6(
+                F.lit(1.0)
+                - cosine(
+                    F.col("embedding"),
+                    F.lit([float(x) for x in p["embedding"]]),
+                )
+            )
+            for p in picks
+        ]
+        state = state.withColumn(
+            "min_d", F.least(F.col("min_d"), *new_dists)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, schema="rnd int, vec_id long, coverage_dist double"
     )

@@ -1768,3 +1768,78 @@ def test_truncated_rerank_recall_beats_coarse_order(spark):
         rs.sort(key=lambda r: r["rk"])
         fulls = [r["cos_full"] for r in rs]
         assert fulls == sorted(fulls, reverse=True), q
+
+
+def test_scaled_n_planes_integer_thresholds():
+    """The occupancy dial (scaled_n_planes) is the smallest p in
+    [OCC_MIN_PLANES, OCC_MAX_PLANES] with OCC_TARGET·2^p ≥ N — checked
+    exhaustively around every threshold, plus monotonicity, so the
+    Python derivation can never drift from the oracle's CASE chain
+    (which is generated from the same constants)."""
+    from mercurygate_spark.operators.similarity import (
+        OCC_MAX_PLANES,
+        OCC_MIN_PLANES,
+        OCC_TARGET,
+        scaled_n_planes,
+    )
+
+    prev = OCC_MIN_PLANES
+    for p in range(OCC_MIN_PLANES, OCC_MAX_PLANES):
+        cap = OCC_TARGET * (1 << p)
+        assert scaled_n_planes(cap) == p
+        assert scaled_n_planes(cap + 1) == p + 1
+        assert scaled_n_planes(cap) >= prev
+        prev = scaled_n_planes(cap)
+    assert scaled_n_planes(1) == OCC_MIN_PLANES
+    assert scaled_n_planes(10**12) == OCC_MAX_PLANES
+    # the testdata corpus sizes the keys actually see
+    assert scaled_n_planes(500) == 4
+    assert scaled_n_planes(2000) == 6
+    assert scaled_n_planes(5000) == 8
+
+
+def test_signs_matrix_prefix_property():
+    """Plane p's md5-derived signs depend only on p, so the matrix for
+    a smaller plane count is an exact prefix of a larger one — the
+    property that lets the scaled keys' oracle bucket on a substr()
+    prefix of the OCC_MAX_PLANES-bit string."""
+    import numpy as np
+
+    from mercurygate_spark.operators.similarity import signs_matrix
+
+    full = signs_matrix(64, 16)
+    for np_ in (4, 6, 8, 12):
+        assert np.array_equal(signs_matrix(64, np_), full[:np_])
+
+
+def test_lsh_bucket_width_follows_n_planes(spark):
+    """lsh_bucket emits exactly n_planes sign characters."""
+    from mercurygate_spark.operators.similarity import lsh_bucket
+    from mercurygate_spark.queries.registry import load_tables
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"].limit(20)
+    for np_ in (4, 6):
+        got = lsh_bucket(e, "vec_id", "embedding", n_planes=np_).select("bucket")
+        assert {len(r["bucket"]) for r in got.collect()} == {np_}
+
+
+def test_kcenter_batched_greedy_invariants(spark):
+    """Batched greedy k-center invariants: the seed is round 0 with
+    coverage 0; within a round the B picks are the round's farthest
+    points; across rounds every later-round distance is ≤ every
+    earlier-round distance (adding centers only shrinks min-dists, and
+    a round takes the B largest); picks are distinct and count
+    1 + ROUNDS·B. Value-level parity with the full re-score chain is
+    the oracle test — this pins the greedy structure."""
+    from mercurygate_spark.queries.similarity import KCB_B, KCB_ROUNDS
+
+    rows = all_queries()["sample_kcenter_batched"](spark, SF).collect()
+    assert len(rows) == 1 + KCB_ROUNDS * KCB_B
+    by_rnd = {}
+    for r in rows:
+        by_rnd.setdefault(r["rnd"], []).append(r["coverage_dist"])
+    assert by_rnd[0] == [0.0]
+    for rnd in range(1, KCB_ROUNDS):
+        assert min(by_rnd[rnd]) >= max(by_rnd[rnd + 1]) - 1e-12
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)

@@ -1001,3 +1001,15 @@ def test_funnel_stages_share_one_gopher_frame_shape(spark):
     s = _plan(spark, "pipeline_filter_funnel")
     assert "windowspecdefinition(lang" in s.replace(" ", "").lower() or "partitionBy" not in s
     assert "CartesianProduct" not in s
+
+
+def test_scaled_lsh_keys_are_bucket_join_not_cross(spark):
+    """The occupancy-dialed twins keep the fixed-plane keys' plan
+    contract: candidates via the bucket equi-join, never a cartesian —
+    and the count-derived plane width changes only the KEY, not the
+    join strategy."""
+    for key in ("sim_range_search_scaled", "sim_knn_graph_scaled"):
+        s = _plan(spark, key)
+        assert "CartesianProduct" not in s, key
+        assert "BroadcastNestedLoopJoin" not in s, key
+        assert "bucket" in s, key
