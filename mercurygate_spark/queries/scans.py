@@ -927,3 +927,106 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("price")).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history sink (VERDICT r11 next #5): pipeline/silver.py's
+# merge_upsert_scd2 driven through three successive snapshot
+# generations, with the oracle stating the full valid_from/valid_to
+# history DECLARATIVELY (gap-aware version segmentation over the same
+# three generation definitions) — the multi-generation twin of
+# sink_merge_upsert's single-merge contract.
+# ---------------------------------------------------------------------------
+
+_SCD2_TS = {1: "2024-01-01", 2: "2024-02-01", 3: "2024-03-01"}
+
+
+def _scd2_oracle() -> str:
+    from mercurygate_spark.functions import sql_r2
+
+    bal = (
+        f"{sql_r2('c_acctbal')} + CASE WHEN c_custkey % 5 = 0 THEN g ELSE 0 END"
+    )
+    ts_case = " ".join(
+        f"WHEN {g} THEN '{ts}'" for g, ts in _SCD2_TS.items()
+    )
+    return f"""
+    WITH gens AS MATERIALIZED (
+      SELECT g, c_custkey, {bal} AS bal
+      FROM customer, (VALUES (1), (2), (3)) AS G(g)
+      WHERE (c_custkey + g) % 7 <> 0
+    ), w AS (
+      SELECT *,
+             lag(g) OVER (PARTITION BY c_custkey ORDER BY g) AS prev_g,
+             lag(bal) OVER (PARTITION BY c_custkey ORDER BY g) AS prev_bal
+      FROM gens
+    ), vers AS (
+      SELECT *, SUM(CASE WHEN prev_g IS NULL OR prev_g <> g - 1
+                              OR prev_bal IS DISTINCT FROM bal
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY c_custkey ORDER BY g) AS ver
+      FROM w
+    ), spans AS (
+      SELECT c_custkey, ver, min(bal) AS bal,
+             min(g) AS g_from, max(g) AS g_to
+      FROM vers GROUP BY 1, 2
+    )
+    SELECT c_custkey, bal,
+           CASE g_from {ts_case} END AS valid_from,
+           CASE WHEN g_to = 3 THEN NULL
+                ELSE CASE g_to + 1 {ts_case} END END AS valid_to,
+           (g_to = 3) AS is_current
+    FROM spans
+    """
+
+
+@query("sink_scd2_history", oracle=_scd2_oracle())
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history through three snapshot generations: customer
+    balances where keys ≡ -g (mod 7) are absent from generation g
+    (vanish/reappear churn) and keys ≡ 0 (mod 5) change balance every
+    generation. Each generation flows through
+    pipeline/silver.py:merge_upsert_scd2 — a real parquet
+    read-merge-write per load, NOT a batch recomputation — and the
+    final table carries every version with its [valid_from, valid_to)
+    span and is_current flag.
+
+    The oracle never sees the merge: it segments the same three
+    generation frames into maximal constant-value runs (gap-aware —
+    a key absent in g2 but back in g3 gets TWO versions) and derives
+    each span's timestamps declaratively. Hash-matching it proves the
+    incremental merge path equals the declarative history — the same
+    doctrine as sink_merge_upsert, extended over time.
+
+    Scale shape: per load, ONE pk-shuffle full-outer join between the
+    open rows and the incoming snapshot plus a closed-partition union
+    — closed history is never rewritten row-by-row (at 100 TB the
+    closed partition would be date-partitioned parquet appends; here
+    it rides the same overwrite as the staging swap)."""
+    import shutil as _shutil
+
+    from mercurygate_spark.pipeline.silver import merge_upsert_scd2
+
+    t = load_tables(spark, sf_dir, "customer")
+    cust = t["customer"]
+
+    def gen(g: int) -> DataFrame:
+        return cust.where((F.col("c_custkey") + g) % 7 != 0).select(
+            "c_custkey",
+            (
+                r2(F.col("c_acctbal"))
+                + F.when(F.col("c_custkey") % 5 == 0, F.lit(float(g))).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("bal"),
+        )
+
+    path = _tmp("scd2_history")
+    _shutil.rmtree(path, ignore_errors=True)
+    _shutil.rmtree(path + "__staging", ignore_errors=True)
+    hist = None
+    for g in sorted(_SCD2_TS):
+        hist = merge_upsert_scd2(
+            spark, gen(g), ["c_custkey"], ["bal"], path, _SCD2_TS[g]
+        )
+    return hist.select("c_custkey", "bal", "valid_from", "valid_to", "is_current")

@@ -184,3 +184,99 @@ def test_merge_randomized_against_model(spark, tmp_path):
             {r[0]: r for r in target_rows}, incoming, soft_delete_missing=sdm
         )
         assert _table(out) == expected, f"trial {trial} (soft_delete={sdm})"
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (merge_upsert_scd2): full-history contract
+# ---------------------------------------------------------------------------
+
+def _scd2_apply(spark, path, rows, ts):
+    from mercurygate_spark.pipeline.silver import merge_upsert_scd2
+
+    inc = spark.createDataFrame(rows, "k long, v string")
+    return merge_upsert_scd2(spark, inc, ["k"], ["v"], str(path), ts)
+
+
+def _hist_set(df):
+    return {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_new_change_vanish_reappear(spark, tmp_path):
+    """The four SCD2 transitions across three loads: key 1 unchanged
+    throughout (one open row), key 2 changes at t2 (closed + open),
+    key 3 vanishes at t2 and reappears at t3 with its old value (two
+    separate versions — a gap never reopens a closed row), key 4
+    arrives at t2 (open from t2)."""
+    p = tmp_path / "scd2"
+    _scd2_apply(spark, p, [(1, "a"), (2, "b"), (3, "c")], "t1")
+    _scd2_apply(spark, p, [(1, "a"), (2, "B"), (4, "d")], "t2")
+    got = _hist_set(_scd2_apply(spark, p, [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "t3"))
+    assert got == {
+        (1, "a", "t1", None, True),
+        (2, "b", "t1", "t2", False),
+        (2, "B", "t2", None, True),
+        (3, "c", "t1", "t2", False),
+        (3, "c", "t3", None, True),
+        (4, "d", "t2", None, True),
+    }
+
+
+def test_scd2_replay_is_idempotent(spark, tmp_path):
+    """Crash-window replay: re-applying the SAME snapshot (same
+    load_ts) must be a byte-identical no-op — unchanged rows are
+    untouched, and nothing closes or inserts. Mirrors the SCD1 merge
+    torture tests' replay doctrine."""
+    p = tmp_path / "scd2r"
+    _scd2_apply(spark, p, [(1, "a"), (2, "b")], "t1")
+    before = _hist_set(_scd2_apply(spark, p, [(1, "a"), (2, "x")], "t2"))
+    after = _hist_set(_scd2_apply(spark, p, [(1, "a"), (2, "x")], "t2"))
+    assert before == after
+    # and a third generation still behaves after the replay
+    final = _hist_set(_scd2_apply(spark, p, [(2, "x")], "t3"))
+    assert final == {
+        (1, "a", "t1", "t3", False),
+        (2, "b", "t1", "t2", False),
+        (2, "x", "t2", None, True),
+    }
+
+
+def test_scd2_structural_invariants_random(spark, tmp_path):
+    """Randomized generations vs structural invariants: ≤1 open row
+    per key; spans ordered and non-overlapping per key (valid_from <
+    valid_to for closed rows, each next version starts at or after the
+    previous close); every (key, load) value visible in exactly the
+    version covering that load."""
+    rng = random.Random(7)
+    p = tmp_path / "scd2x"
+    ts = [f"t{i}" for i in range(1, 6)]
+    gens = []
+    for i in range(5):
+        gens.append(
+            [(k, rng.choice("abc")) for k in range(8) if rng.random() < 0.7]
+        )
+        hist = _scd2_apply(spark, p, gens[-1], ts[i])
+    rows = hist.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    order = {t: i for i, t in enumerate(ts)}
+    for k, vs in by_key.items():
+        assert sum(1 for r in vs if r["is_current"]) <= 1, k
+        vs = sorted(vs, key=lambda r: order[r["valid_from"]])
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] is not None and not a["is_current"]
+            assert order[a["valid_to"]] <= order[b["valid_from"]], (k, a, b)
+    # point-in-time correctness: the version covering load i carries
+    # exactly the value loaded at i
+    for i, gen_rows in enumerate(gens):
+        for k, v in gen_rows:
+            cover = [
+                r
+                for r in by_key[k]
+                if order[r["valid_from"]] <= i
+                and (r["valid_to"] is None or order[r["valid_to"]] > i)
+            ]
+            assert len(cover) == 1 and cover[0]["v"] == v, (k, i, v, cover)

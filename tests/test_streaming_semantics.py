@@ -627,3 +627,25 @@ def test_stream_static_ivfpq_index_append_visible_next_microbatch(spark, tmp_pat
         assert b1[1] == [1000002] and b1[2] == 1, state["batches"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_stream_filter_funnel_is_genuinely_multi_batch(spark):
+    """The streaming funnel's contract: the availableNow run actually
+    splits into multiple micro-batches (4 part files ×
+    maxFilesPerTrigger=1 — not a single-batch formality), and the
+    cross-batch count/XOR merge reproduces the batch stage-0..2
+    attrition exactly (raw count = corpus size, stage counts
+    monotonically non-increasing)."""
+    from mercurygate_spark.queries import all_queries
+    from mercurygate_spark.queries import streaming_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["stage_idx"]: r
+        for r in all_queries()["stream_filter_funnel"](spark, sf).collect()
+    }
+    assert sq._LAST_FUNNEL_BATCHES >= 2, sq._LAST_FUNNEL_BATCHES
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert rows[0]["n_docs"] == n_docs
+    assert rows[0]["n_docs"] >= rows[1]["n_docs"] >= rows[2]["n_docs"]
+    assert rows[2]["n_docs"] > 0
