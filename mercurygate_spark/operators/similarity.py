@@ -1965,3 +1965,61 @@ def ivfpq_score_distributed(
     return joined.mapInPandas(adc_pass, adc_schema).where(
         F.col("query_id") != F.col("candidate_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-inverted-list neighbor graph (VERDICT r11 next #4 — the graph-ANN
+# refinement docs/SCALING.md:1203 names as the natural composition
+# with IVF, in place of a monolithic HNSW): build a small kNN graph
+# WITHIN each inverted list, then serve probes by deterministic beam
+# search over that graph instead of exhaustively scoring the whole
+# list. At 100 TB each list's graph builds independently inside its
+# partition (the per-list self-join is bounded by list occupancy, the
+# same contract as the LSH bucket join), and a probe touches
+# ~1 + G + hops·B·G candidates instead of the full list.
+# Public-knowledge basis: NN-descent (Dong et al. WWW'11) for in-list
+# graph construction; greedy best-first graph search (Malkov &
+# Yashunin HNSW, TPAMI'18) restricted to fixed rounds + fixed beam so
+# the walk is deterministic and oracle-replayable.
+# ---------------------------------------------------------------------------
+
+GRAPH_G = 4      # out-degree of the per-list neighbor graph
+GRAPH_B = 4      # beam width during search
+GRAPH_HOPS = 2   # fixed expansion rounds (deterministic, unrollable)
+
+
+def ivf_list_knn_graph(
+    lists: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "centroid_id",
+    g: int = GRAPH_G,
+) -> DataFrame:
+    """Each list member's top-``g`` in-list neighbors by (r4-rounded
+    cosine DESC, neighbor id) — a list-equi self-join + per-node
+    WindowGroupLimit, never a cross join. Returns
+    (list_col, node_id, neighbor_id)."""
+    a = lists.select(
+        F.col(list_col), F.col(id_col).alias("node_id"), F.col(vec_col).alias("nv")
+    )
+    b = lists.select(
+        F.col(list_col), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
+    )
+    scored = (
+        a.join(b, list_col)
+        .where(F.col("node_id") != F.col("neighbor_id"))
+        .select(
+            list_col,
+            "node_id",
+            "neighbor_id",
+            (F.floor(cosine(F.col("nv"), F.col("bv")) * 10**4 + F.lit(0.5)) / 10**4).alias(
+                "ncos"
+            ),
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(F.col("ncos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= g)
+        .select(list_col, "node_id", "neighbor_id")
+    )

@@ -2279,3 +2279,234 @@ def sample_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="rnd int, vec_id long, coverage_dist double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-IVF-list graph serving (VERDICT r11 next #4): the graph-ANN
+# refinement the HNSW design note (docs/SCALING.md) names as the
+# composition path — a small kNN graph per inverted list, probes
+# served by deterministic fixed-round beam search over the graph
+# instead of scanning the whole list. Recall-vs-scored-candidates vs
+# the flat in-list scan is measured by scripts/ivf_graph_recall.py
+# (docs/ivf_graph_recall_r12.json); this key pins the exact walk.
+# ---------------------------------------------------------------------------
+
+GRAPH_TOPK = 5  # final neighbors returned per query
+
+
+def _ivf_graph_oracle() -> str:
+    from mercurygate_spark.operators.similarity import (
+        GRAPH_B,
+        GRAPH_G,
+        GRAPH_HOPS,
+    )
+
+    def dcos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 4)"
+        )
+
+    dist = (
+        f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    parts = [
+        duck_ivf_kmeans_sql(),
+        f"""assign_final AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {dist}, c.cidx
+             ) AS probe_rank
+      FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+    )""",
+        """glists AS MATERIALIZED (
+      SELECT vec_id, embedding, cidx FROM assign_final WHERE probe_rank = 1
+    )""",
+        f"""c2c AS MATERIALIZED (
+      SELECT l.cidx, l.vec_id,
+             {dcos('l.embedding::DOUBLE[]', 'c.qc::DOUBLE[]')} AS cc
+      FROM glists l JOIN cent{KMEANS_ITERS} c ON l.cidx = c.cidx
+    )""",
+        """gentry AS MATERIALIZED (
+      SELECT cidx, vec_id AS cand_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY cidx ORDER BY cc DESC, vec_id) AS rn
+        FROM c2c) WHERE rn = 1
+    )""",
+        f"""gedges AS MATERIALIZED (
+      SELECT cidx, node_id, neighbor_id FROM (
+        SELECT a.cidx, a.vec_id AS node_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {dcos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} DESC,
+                          b.vec_id) AS rk
+        FROM glists a JOIN glists b
+          ON a.cidx = b.cidx AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {GRAPH_G}
+    )""",
+        f"""gq AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv, cidx
+      FROM glists WHERE vec_id < {N_QUERIES}
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT q.query_id, q.cidx, e.cand_id
+      FROM gq q JOIN gentry e ON q.cidx = e.cidx
+    )""",
+        "f0 AS MATERIALIZED (SELECT * FROM v0)",
+    ]
+    for h in range(1, GRAPH_HOPS + 1):
+        parts.append(
+            f"""n{h} AS (
+      SELECT DISTINCT f.query_id, f.cidx, g.neighbor_id AS cand_id
+      FROM f{h - 1} f JOIN gedges g
+        ON f.cidx = g.cidx AND f.cand_id = g.node_id
+    )"""
+        )
+        parts.append(
+            f"""v{h} AS MATERIALIZED (
+      SELECT DISTINCT query_id, cidx, cand_id FROM (
+        SELECT * FROM v{h - 1} UNION ALL SELECT * FROM n{h})
+    )"""
+        )
+        parts.append(
+            f"""s{h} AS MATERIALIZED (
+      SELECT v.query_id, v.cidx, v.cand_id,
+             {dcos('q.qv::DOUBLE[]', 'l.embedding::DOUBLE[]')} AS cos
+      FROM v{h} v JOIN gq q ON v.query_id = q.query_id
+      JOIN glists l ON v.cand_id = l.vec_id
+    )"""
+        )
+        parts.append(
+            f"""f{h} AS MATERIALIZED (
+      SELECT query_id, cidx, cand_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        FROM s{h}) WHERE rn <= {GRAPH_B}
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, cand_id AS candidate_id, cos, rk FROM (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+      FROM s{GRAPH_HOPS} WHERE cand_id <> query_id
+    ) WHERE rk <= {GRAPH_TOPK}
+    """
+    )
+
+
+@query("sim_ivf_graph_topk", oracle=_ivf_graph_oracle())
+def sim_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-refined IVF serving: train centroids (the deterministic
+    quantized-grid Lloyd's every IVF key shares), assign the corpus to
+    inverted lists, build a {GRAPH_G}-out-degree kNN graph WITHIN each
+    list (ivf_list_knn_graph — a list-equi self-join bounded by list
+    occupancy), then serve each designated query by deterministic beam
+    search: enter at the list's most-central member (top cosine to the
+    quantized centroid, vec_id tiebreak), expand graph neighbors for
+    {GRAPH_HOPS} fixed rounds keeping a beam of {GRAPH_B}, and return
+    the top-{GRAPH_TOPK} of everything scored. Every step — entry
+    choice, hop membership, beam cut, final rank — runs on the
+    r4-rounded cosine with id tiebreaks, so the oracle replays the
+    ENTIRE walk in unrolled CTEs (the BPE/k-center chain doctrine
+    applied to graph traversal).
+
+    Scale shape: graph build is per-list parallel (the occupancy-
+    bounded join, same contract as the LSH bucket join — at 100 TB
+    each list's graph lives with its bucket partition); the assigned
+    corpus and edge frames localCheckpoint once and every hop reuses
+    them; a probe scores ~1+{GRAPH_G}+{GRAPH_HOPS}·{GRAPH_B}·{GRAPH_G}
+    candidates instead of the whole list — the dial that matters when
+    lists hold millions of vectors. Driver traffic: the k×dims
+    centroid matrix only."""
+    from mercurygate_spark.operators.similarity import (
+        GRAPH_B,
+        GRAPH_HOPS,
+        ivf_assign,
+        ivf_list_knn_graph,
+        train_ivf_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cmat = train_ivf_centroids(e)
+    lists = (
+        ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=True)
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cmat[i]]) for i in range(cmat.shape[0])],
+        schema="cidx int, cvec array<double>",
+    )
+
+    def fcos(a, b):
+        return F.floor(cosine(a, b) * 10**4 + F.lit(0.5)) / 10**4
+
+    c2c = lists.join(
+        F.broadcast(cents), lists["centroid_id"] == cents["cidx"]
+    ).select(
+        "centroid_id", "vec_id", fcos(F.col("embedding"), F.col("cvec")).alias("cc")
+    )
+    w_e = Window.partitionBy("centroid_id").orderBy(F.col("cc").desc(), "vec_id")
+    entry = (
+        c2c.withColumn("rn", F.row_number().over(w_e))
+        .where(F.col("rn") == 1)
+        .select("centroid_id", F.col("vec_id").alias("cand_id"))
+    )
+    edges = ivf_list_knn_graph(lists).localCheckpoint(eager=True)
+    q = lists.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "centroid_id",
+    )
+    v = q.select("query_id", "centroid_id").join(entry, "centroid_id").select(
+        "query_id", "centroid_id", "cand_id"
+    )
+    cand_vecs = lists.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+
+    def score(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(q.select("query_id", "qv"), "query_id")
+            .join(cand_vecs, "cand_id")
+            .select(
+                "query_id",
+                "centroid_id",
+                "cand_id",
+                fcos(F.col("qv"), F.col("cv")).alias("cos"),
+            )
+        )
+
+    frontier = v
+    w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    for _ in range(GRAPH_HOPS):
+        g = edges.select(
+            F.col("centroid_id").alias("ecid"), "node_id", "neighbor_id"
+        )
+        nbrs = (
+            frontier.join(
+                g,
+                (frontier["centroid_id"] == g["ecid"])
+                & (frontier["cand_id"] == g["node_id"]),
+            )
+            .select("query_id", "centroid_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct()
+        )
+        v = v.unionByName(nbrs).distinct()
+        frontier = (
+            score(v)
+            .withColumn("rn", F.row_number().over(w_q))
+            .where(F.col("rn") <= GRAPH_B)
+            .select("query_id", "centroid_id", "cand_id")
+        )
+    final = score(v).where(F.col("cand_id") != F.col("query_id"))
+    return (
+        final.withColumn("rk", F.row_number().over(w_q))
+        .where(F.col("rk") <= GRAPH_TOPK)
+        .select("query_id", F.col("cand_id").alias("candidate_id"), "cos", "rk")
+    )

@@ -1,0 +1,205 @@
+"""Per-IVF-list graph serving quality artifact (VERDICT r11 next #4):
+recall@K and scored-candidates/query for beam-search-over-the-list-graph
+vs the flat full-list scan, at equal and smaller candidate budgets.
+
+Method: queries are the first N_Q corpus vec_ids, each probing its own
+rank-1 inverted list (the sim_ivf_graph_topk setting, generalized to
+N_Q queries and a (B, HOPS) grid). Ground truth is exact cosine top-K
+over the FULL corpus. For each configuration we measure
+  - recall@K vs the exact top-K;
+  - scored candidates/query (entry + all beam expansions for the
+    graph walk; the whole probed list for the flat scan) — the work
+    dial that matters when a list holds millions of vectors.
+The flat n_probe=1 scan is the recall CEILING for any in-list method
+(the graph walk can only lose candidates within the same list), so the
+table reads as: how much of the flat-scan recall does the graph keep
+while scoring far fewer candidates?
+
+Run: python scripts/ivf_graph_recall.py [sf_dir]
+Output: markdown table (paste into docs/SCALING.md) + one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from mercurygate_spark.operators.similarity import (  # noqa: E402
+    GRAPH_G,
+    cosine,
+    cosine_topk,
+    ivf_assign,
+    ivf_list_knn_graph,
+    train_ivf_centroids,
+)
+from mercurygate_spark.session import get_spark  # noqa: E402
+
+N_Q = 50
+K = 5
+
+
+def fcos(a, b):
+    return F.floor(cosine(a, b) * 10**4 + F.lit(0.5)) / 10**4
+
+
+def topk_sets(df, qcol="query_id", ccol="candidate_id"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[qcol], set()).add(r[ccol])
+    return out
+
+
+def recall(got: dict, truth: dict) -> float:
+    qs = sorted(truth)
+    return sum(len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in qs) / len(qs)
+
+
+def graph_walk(q, lists, entry, edges, beam: int, hops: int):
+    """The sim_ivf_graph_topk walk with parametric (beam, hops) and
+    N_Q queries; returns (final topk frame, visited frame)."""
+    v = q.select("query_id", "centroid_id").join(entry, "centroid_id").select(
+        "query_id", "centroid_id", "cand_id"
+    )
+    cand_vecs = lists.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+
+    def score(c):
+        return (
+            c.join(q.select("query_id", "qv"), "query_id")
+            .join(cand_vecs, "cand_id")
+            .select(
+                "query_id", "centroid_id", "cand_id",
+                fcos(F.col("qv"), F.col("cv")).alias("cos"),
+            )
+        )
+
+    w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    frontier = v
+    for _ in range(hops):
+        g = edges.select(F.col("centroid_id").alias("ecid"), "node_id", "neighbor_id")
+        nbrs = (
+            frontier.join(
+                g,
+                (frontier["centroid_id"] == g["ecid"])
+                & (frontier["cand_id"] == g["node_id"]),
+            )
+            .select("query_id", "centroid_id", F.col("neighbor_id").alias("cand_id"))
+            .distinct()
+        )
+        v = v.unionByName(nbrs).distinct()
+        frontier = (
+            score(v)
+            .withColumn("rn", F.row_number().over(w_q))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "centroid_id", "cand_id")
+        )
+    final = (
+        score(v)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .where(F.col("rk") <= K)
+    )
+    return final, v
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("ivf-graph-recall")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    q_src = e.where(F.col("vec_id") < N_Q)
+
+    truth = topk_sets(cosine_topk(q_src, e, k=K))
+
+    cmat = train_ivf_centroids(e)
+    lists = (
+        ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=True)
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cmat[i]]) for i in range(cmat.shape[0])],
+        schema="cidx int, cvec array<double>",
+    )
+    c2c = lists.join(F.broadcast(cents), lists["centroid_id"] == cents["cidx"]).select(
+        "centroid_id", "vec_id", fcos(F.col("embedding"), F.col("cvec")).alias("cc")
+    )
+    w_e = Window.partitionBy("centroid_id").orderBy(F.col("cc").desc(), "vec_id")
+    entry = (
+        c2c.withColumn("rn", F.row_number().over(w_e))
+        .where(F.col("rn") == 1)
+        .select("centroid_id", F.col("vec_id").alias("cand_id"))
+    )
+    edges = ivf_list_knn_graph(lists).localCheckpoint(eager=True)
+    q = lists.where(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "centroid_id",
+    )
+
+    # flat baseline: exact scan of the whole probed list
+    flat_scored = (
+        q.join(
+            lists.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("cv"),
+                F.col("centroid_id").alias("ccid"),
+            ),
+            q["centroid_id"] == F.col("ccid"),
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", fcos(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    flat_cands = flat_scored.count() / N_Q
+    flat = topk_sets(
+        flat_scored.withColumn("rk", F.row_number().over(w_q)).where(F.col("rk") <= K),
+        ccol="cand_id",
+    )
+
+    rows = [
+        {
+            "config": "flat full-list scan (ceiling)",
+            "recall": round(recall(flat, truth), 3),
+            "cands_per_q": round(flat_cands, 1),
+        }
+    ]
+    edges8 = ivf_list_knn_graph(lists, g=8).localCheckpoint(eager=True)
+    grid = (
+        (edges, GRAPH_G, 4, 2),
+        (edges, GRAPH_G, 8, 2),
+        (edges, GRAPH_G, 8, 3),
+        (edges, GRAPH_G, 16, 3),
+        (edges8, 8, 8, 3),
+        (edges8, 8, 16, 3),
+    )
+    for edge_frame, g_deg, beam, hops in grid:
+        final, visited = graph_walk(q, lists, entry, edge_frame, beam, hops)
+        got = topk_sets(final, ccol="cand_id")
+        cands = visited.count() / N_Q
+        rows.append(
+            {
+                "config": f"graph walk G={g_deg} B={beam} hops={hops}",
+                "recall": round(recall(got, truth), 3),
+                "cands_per_q": round(cands, 1),
+            }
+        )
+
+    print(f"\n| config | recall@{K} | scored cands/query (corpus n={n}) |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['config']} | {r['recall']} | {r['cands_per_q']} |")
+    print()
+    print(json.dumps({"sf_dir": sf_dir, "n": n, "k": K, "n_q": N_Q, "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
