@@ -941,6 +941,22 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_TS = {1: "2024-01-01", 2: "2024-02-01", 3: "2024-03-01"}
 
 
+def scd2_generation(cust: DataFrame, g: int) -> DataFrame:
+    """Snapshot generation g of the SCD2 torture schedule: keys
+    ≡ -g (mod 7) absent, keys ≡ 0 (mod 5) change balance each
+    generation. Shared by sink_scd2_history and stream_scd2_upsert so
+    the batch and streaming keys replay the SAME upstream."""
+    return cust.where((F.col("c_custkey") + g) % 7 != 0).select(
+        "c_custkey",
+        (
+            r2(F.col("c_acctbal"))
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(float(g))).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("bal"),
+    )
+
+
 def _scd2_oracle() -> str:
     from mercurygate_spark.functions import sql_r2
 
@@ -1011,15 +1027,7 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"]
 
     def gen(g: int) -> DataFrame:
-        return cust.where((F.col("c_custkey") + g) % 7 != 0).select(
-            "c_custkey",
-            (
-                r2(F.col("c_acctbal"))
-                + F.when(F.col("c_custkey") % 5 == 0, F.lit(float(g))).otherwise(
-                    F.lit(0.0)
-                )
-            ).alias("bal"),
-        )
+        return scd2_generation(cust, g)
 
     path = _tmp("scd2_history")
     _shutil.rmtree(path, ignore_errors=True)

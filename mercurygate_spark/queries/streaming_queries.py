@@ -668,3 +668,108 @@ def stream_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="stage_idx int, stage string, n_docs long, sig long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streamed SCD2 (round 12 frontier, composing the round's two new
+# pieces): the CDC-to-warehouse shape — snapshot generations ARRIVE as
+# a file stream (Debezium/ingest landing dir) and each micro-batch
+# merges into the type-2 history table via merge_upsert_scd2. Oracle:
+# sink_scd2_history's declarative gap-aware segmentation — the batch
+# and streaming paths must produce the IDENTICAL history (the
+# stream_ohlc_bars one-operator-two-modes doctrine applied to the
+# merge sink).
+# ---------------------------------------------------------------------------
+
+
+def _stream_scd2_oracle() -> str:
+    from mercurygate_spark.queries.scans import _scd2_oracle
+
+    return _scd2_oracle()
+
+
+@query("stream_scd2_upsert", oracle=_stream_scd2_oracle())
+def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous SCD2 ingest: the three snapshot generations land as
+    separate files (one per generation, mtime-ordered,
+    maxFilesPerTrigger=1 → one micro-batch each) carrying a `g`
+    column; foreachBatch splits each arriving batch by generation IN
+    ORDER (robust to trigger coalescing — if two generations land in
+    one batch they still merge sequentially) and applies
+    pipeline/silver.py:merge_upsert_scd2 per generation, exactly as
+    the batch sink key does. The returned history must hash-match the
+    same declarative oracle as sink_scd2_history: streaming arrival
+    cannot change the history a snapshot schedule produces.
+
+    Scale shape: per batch, the SCD2 merge's pinned shape (one
+    pk-shuffle full-outer against the open rows, closed partition
+    untouched); stream state is the checkpoint's file log only —
+    the merge state lives in the table, as it must for a restartable
+    ingest job."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.pipeline.silver import merge_upsert_scd2
+    from mercurygate_spark.queries.scans import _SCD2_TS, scd2_generation
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mercurygate_stream_scd2_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    src_dir, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    table = os.path.join(base, "history")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+    now = time.time()
+    for g in sorted(_SCD2_TS):
+        gen_dir = os.path.join(base, f"gen{g}")
+        scd2_generation(cust, g).withColumn("g", F.lit(g)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(gen_dir)
+        part = next(
+            p for p in sorted(os.listdir(gen_dir)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"gen{g}.parquet")
+        shutil.copy(os.path.join(gen_dir, part), dst)
+        # mtime encodes arrival order — the file source lists by
+        # modification time, so generations trigger in schedule order
+        os.utime(dst, (now + g, now + g))
+        shutil.rmtree(gen_dir, ignore_errors=True)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gens = sorted(
+            r["g"] for r in batch_df.select("g").distinct().collect()
+        )  # bounded: ≤3 generation tags
+        for g in gens:
+            inc = batch_df.where(F.col("g") == g).select("c_custkey", "bal")
+            merge_upsert_scd2(
+                spark, inc, ["c_custkey"], ["bal"], table, _SCD2_TS[g]
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = spark.read.parquet(table).select(
+        "c_custkey", "bal", "valid_from", "valid_to", "is_current"
+    )
+    out = hist.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out

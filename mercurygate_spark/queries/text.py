@@ -3092,3 +3092,230 @@ def repetition_frame(docs: DataFrame) -> DataFrame:
     for p in passes[1:]:
         verdict = verdict & p
     return out.withColumn("repetition_pass", verdict)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 12 frontier): the GPT-3/PaLM/Dolma
+# eval-overlap check — flag every training document sharing any
+# K-token gram with the held-out evaluation set, BEFORE training data
+# ships. Public-knowledge basis: Brown et al. 2020 (GPT-3 appendix C,
+# 13-gram decontamination), Dolma (Soldaini et al. 2024). The eval
+# set here is a deterministic md5 slice of the corpus (~3%) standing
+# in for a benchmark suite; at production scale the eval side is a
+# benchmark dump — tiny — which is why the gram-set join broadcasts.
+# ---------------------------------------------------------------------------
+
+DECON_K = 8      # gram width (tokens); GPT-3 used 13 on web-scale docs
+DECON_MOD = 37   # eval slice: md5_long(doc_id) % DECON_MOD == 0 (~3%)
+
+
+def _decon_oracle() -> str:
+    from mercurygate_spark.functions import sql_r6
+
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk, len({_DUCK_TK}) AS n,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {DECON_MOD} = 0) AS is_eval
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_eval,
+             md5(array_to_string(list_slice(tk, pos + 1, pos + {DECON_K}), ' ')) AS h
+      FROM (
+        SELECT doc_id, is_eval, tk, unnest(range(0, n - {DECON_K} + 1)) AS pos
+        FROM tk WHERE n >= {DECON_K}
+      )
+    ), eh AS (
+      SELECT DISTINCT h FROM g WHERE is_eval
+    ), tr AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(eh.h) AS BIGINT) AS n_contam
+      FROM g LEFT JOIN eh ON g.h = eh.h
+      WHERE NOT g.is_eval GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_contam,
+           {sql_r6('n_contam * 1.0 / n_grams')} AS contam_frac,
+           (n_contam > 0) AS contaminated
+    FROM tr
+    """
+
+
+@query("dedup_decontaminate", oracle=_decon_oracle())
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap decontamination: every training document's
+    {DECON_K}-token grams are checked against the DISTINCT gram-hash
+    set of the evaluation slice (deterministic md5 bucket — the same
+    doc split both engines derive); a single shared gram flags the doc
+    (the GPT-3 rule), and the overlap fraction is reported for
+    graded policies. Output is the per-doc audit frame a curation run
+    publishes next to its attrition table.
+
+    Scale shape: gram hashing is one map-side pass (48-byte hashes,
+    never text — the dedup_substring_exact contract); the eval gram
+    set (a benchmark suite — tiny in production) broadcasts into a
+    LEFT join, so the training corpus never shuffles at all for the
+    membership test; the per-doc reduce carries (doc_id, two longs).
+    Cites /root/reference semantics: none — this operator extends the
+    reference's dedup surface for LLM-corpus curation."""
+    from mercurygate_spark.functions import md5_long, r6
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = (
+        t["documents"]
+        .select("doc_id", tokens("text").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .where(F.col("n") >= DECON_K)
+        .withColumn(
+            "is_eval", md5_long(F.col("doc_id").cast("string")) % DECON_MOD == 0
+        )
+    )
+    grams = docs.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - DECON_K),
+                lambda i: F.md5(F.array_join(F.slice("tk", i + 1, DECON_K), " ")),
+            )
+        ).alias("h"),
+    )
+    eh = grams.where(F.col("is_eval")).select("h").distinct()
+    joined = grams.where(~F.col("is_eval")).join(
+        F.broadcast(eh.withColumn("__hit", F.lit(1))), "h", "left"
+    )
+    per = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.count("__hit").cast("long").alias("n_contam"),
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_contam",
+        r6(F.col("n_contam") / F.col("n_grams")).alias("contam_frac"),
+        (F.col("n_contam") > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 12 frontier): the redaction pass every public
+# corpus release runs (C4, Dolma, FineWeb all ship email/phone/IP
+# scrubbers). The synthetic testdata contains no organic PII, so the
+# key INJECTS deterministic PII spans (derived from doc_id, identical
+# on both engines) into a slice of the corpus, then redacts — which
+# turns the key into a round-trip proof: the audit counts say what was
+# found, the residual count proves removal, and the md5 fingerprint of
+# the redacted text pins the exact rewrite. Patterns are chosen to
+# parse identically under Java regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{2}-\d{3}-\d{4}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def _pii_oracle() -> str:
+    inject = (
+        "text || CASE doc_id % 4 "
+        "WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com .' "
+        "WHEN 1 THEN ' call +12-345-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' .' "
+        "WHEN 2 THEN ' host 10." + "' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up.' "
+        "ELSE '' END"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(aug, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_IP_RE}', '<IP>', 'g')"
+    )
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, {inject} AS aug FROM documents
+    ), red AS (
+      SELECT doc_id, aug, {red} AS clean FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(aug, '{PII_IP_RE}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(clean, '{PII_EMAIL_RE}'))
+              + len(regexp_extract_all(clean, '{PII_PHONE_RE}'))
+              + len(regexp_extract_all(clean, '{PII_IP_RE}')) AS BIGINT) AS n_residual,
+           md5(clean) AS clean_fp
+    FROM red
+    """
+
+
+@query("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction round-trip: inject deterministic
+    email/phone/IP spans into doc_id % 4 slices, count matches per
+    type, redact (email → phone → ip, fixed order — order is part of
+    the spec since patterns could in principle overlap), and emit the
+    residual match count (must be 0 — asserted by a unit test) plus
+    the md5 fingerprint of the redacted text (so both engines must
+    produce the IDENTICAL rewritten string, not just equal counts).
+
+    Scale shape: pure per-row projection — regexp count + triple
+    regexp_replace + md5 all inside one codegen stage, no shuffle, no
+    UDF, no driver traffic. At 100 TB this is a map-only pass, the
+    cheapest shape there is; the audit aggregate downstream reduces
+    (3 longs)/doc."""
+    t = load_tables(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call +12-345-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 up."),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    aug = t["documents"].select("doc_id", inject.alias("aug"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    red = aug.withColumn("clean", clean)
+
+    def n_matches(col: str, pat: str):
+        return F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+
+    return red.select(
+        "doc_id",
+        n_matches("aug", PII_EMAIL_RE).alias("n_email"),
+        n_matches("aug", PII_PHONE_RE).alias("n_phone"),
+        n_matches("aug", PII_IP_RE).alias("n_ip"),
+        (
+            n_matches("clean", PII_EMAIL_RE)
+            + n_matches("clean", PII_PHONE_RE)
+            + n_matches("clean", PII_IP_RE)
+        ).alias("n_residual"),
+        F.md5("clean").alias("clean_fp"),
+    )

@@ -1843,3 +1843,33 @@ def test_kcenter_batched_greedy_invariants(spark):
         assert min(by_rnd[rnd]) >= max(by_rnd[rnd + 1]) - 1e-12
     ids = [r["vec_id"] for r in rows]
     assert len(set(ids)) == len(ids)
+
+
+def test_pii_redact_roundtrip_complete(spark):
+    """The PII key's contract beyond oracle parity: injection actually
+    produced matches (each type present in its doc_id slice), and
+    redaction is COMPLETE — zero residual matches across all docs."""
+    rows = all_queries()["text_pii_redact"](spark, SF).collect()
+    assert sum(r["n_email"] for r in rows) > 0
+    assert sum(r["n_phone"] for r in rows) > 0
+    assert sum(r["n_ip"] for r in rows) > 0
+    assert all(r["n_residual"] == 0 for r in rows)
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """Decontamination sanity: the eval slice is excluded from the
+    output (train docs only), fractions are in [0, 1], and
+    contaminated ⟺ n_contam > 0."""
+    from mercurygate_spark.functions import md5_long
+    from pyspark.sql import functions as FF
+
+    rows = all_queries()["dedup_decontaminate"](spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (md5_long(FF.col("doc_id").cast("string")) % 37 == 0).alias("e")
+    )
+    eval_ids = {r["doc_id"] for r in docs.collect() if r["e"]}
+    for r in rows:
+        assert r["doc_id"] not in eval_ids
+        assert 0.0 <= r["contam_frac"] <= 1.0
+        assert r["contaminated"] == (r["n_contam"] > 0)
