@@ -84,6 +84,13 @@ HEADLINE = [
     "sample_dsir",                # hashed-bigram importance resampling
     "pipeline_filter_funnel",     # gopher -> perplexity -> dedup attrition
     "multimodal_phash_dedup",     # banded perceptual-hash image near-dup
+    # round-12 additions
+    "sim_range_search_scaled",    # occupancy-dialed radius search (n_planes ~ log2 N)
+    "sample_kcenter_batched",     # O(K*N) running-min-dist greedy coreset
+    "sim_ivf_graph_topk",         # per-list graph beam-search ANN serving
+    "text_tokenize_e2e",          # BPE train -> apply -> sequence pack
+    "dedup_decontaminate",        # eval-overlap gram decontamination
+    "sink_scd2_history",          # 3-generation type-2 SCD merge sink
 ]
 
 

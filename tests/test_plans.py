@@ -1013,3 +1013,25 @@ def test_scaled_lsh_keys_are_bucket_join_not_cross(spark):
         assert "CartesianProduct" not in s, key
         assert "BroadcastNestedLoopJoin" not in s, key
         assert "bucket" in s, key
+
+
+def test_decontaminate_membership_is_broadcast_no_cartesian(spark):
+    """dedup_decontaminate's contract: the eval gram-set membership
+    test is a BROADCAST left join (benchmark suites are tiny — the
+    training corpus must not shuffle for it), and nothing cartesian
+    hides anywhere."""
+    s = _plan(spark, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in s, s[:2000]
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+
+
+def test_pii_redact_is_shuffle_free_map_pass(spark):
+    """text_pii_redact must be a pure map-only projection — inject,
+    count, redact, fingerprint all in one codegen stage with ZERO
+    exchanges (the cheapest possible 100 TB shape)."""
+    s = _plan(spark, "text_pii_redact")
+    assert "Exchange" not in s, s[:2000]
+    # codegen stage marker: "WholeStageCodegen" in formatted mode,
+    # the "*(n)" prefix in simple mode — accept either
+    assert "WholeStageCodegen" in s or "*(" in s

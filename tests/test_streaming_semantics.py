@@ -649,3 +649,21 @@ def test_stream_filter_funnel_is_genuinely_multi_batch(spark):
     assert rows[0]["n_docs"] == n_docs
     assert rows[0]["n_docs"] >= rows[1]["n_docs"] >= rows[2]["n_docs"]
     assert rows[2]["n_docs"] > 0
+
+
+def test_new_stateful_keys_rerun_same_session(spark):
+    """Same-session re-run idempotence (the r11 doctrine extended to
+    the round-12 stateful keys): sink_scd2_history, stream_scd2_upsert
+    and stream_filter_funnel each own process-scoped tmp state (table
+    dirs, landing dirs, checkpoints); running a key twice in ONE
+    session must produce identical results — the driver's bench loop
+    runs every headline key 4x in one JVM."""
+    from mercurygate_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()
+    for key in ("sink_scd2_history", "stream_scd2_upsert", "stream_filter_funnel"):
+        a = sorted(map(tuple, q[key](spark, sf).collect()))
+        b = sorted(map(tuple, q[key](spark, sf).collect()))
+        assert a == b, key
+        assert len(a) > 0, key
