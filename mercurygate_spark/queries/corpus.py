@@ -892,3 +892,186 @@ def text_tokenize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - token_start div {SEQ_LEN} + 1"
         ).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG query-side capstone (round 12 frontier): the serving twin of
+# pipeline_rag_index — a retrieval request's full path from query
+# vector to assembled context window: IVF probe → exact re-score →
+# top-m docs → per-doc chunk cap (source diversity) → greedy context
+# assembly under a token budget. Everything after the probe is
+# windows + one running sum, all partitioned per query.
+# ---------------------------------------------------------------------------
+
+RAG_M = 8               # docs retrieved per query before chunk expansion
+RAG_CHUNKS_PER_DOC = 2  # per-doc chunk cap (context diversity policy)
+RAG_BUDGET = 256        # context window token budget
+
+
+def _rag_query_oracle() -> str:
+    from mercurygate_spark.operators.similarity import (
+        EMBED_DIMS,
+        KMEANS_ITERS,
+        N_PROBE,
+        duck_ivf_kmeans_sql,
+    )
+    from mercurygate_spark.queries.similarity import N_QUERIES
+    from mercurygate_spark.queries.text import _DUCK_TK, CHUNK_STRIDE, CHUNK_TOKENS
+
+    dist = (
+        f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
+        "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
+    )
+    cos = """
+    round(
+      list_dot_product(p.qv::DOUBLE[], c.cv::DOUBLE[]) /
+      (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+       sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))),
+      4)"""
+    order = "ORDER BY cos DESC, doc_id, chunk_idx"
+    return f"""
+    WITH {duck_ivf_kmeans_sql()},
+    assign_final AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {dist}, c.cidx
+             ) AS probe_rank
+      FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+    ),
+    corpus_lists AS (
+      SELECT vec_id AS candidate_id, embedding AS cv, cidx
+      FROM assign_final WHERE probe_rank = 1
+    ),
+    query_probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cidx
+      FROM assign_final WHERE vec_id < {N_QUERIES} AND probe_rank <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.candidate_id, {cos} AS cos
+      FROM query_probes p JOIN corpus_lists c
+        ON p.cidx = c.cidx AND p.query_id <> c.candidate_id
+    ),
+    topdocs AS (
+      SELECT query_id, candidate_id, cos FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, candidate_id) AS rk
+        FROM scored) WHERE rk <= {RAG_M}
+    ),
+    tk AS (SELECT doc_id, len({_DUCK_TK}) AS n FROM documents),
+    ch AS (
+      SELECT doc_id, n,
+             unnest(range(0, 1 + greatest(n - 1, 0) // {CHUNK_STRIDE})) AS chunk_idx
+      FROM tk WHERE n > 0
+    ),
+    ch2 AS (
+      SELECT doc_id, chunk_idx,
+             least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS chunk_len
+      FROM ch WHERE chunk_idx < {RAG_CHUNKS_PER_DOC}
+    ),
+    cand AS (
+      SELECT t.query_id, t.candidate_id AS doc_id, t.cos, c.chunk_idx, c.chunk_len
+      FROM topdocs t JOIN ch2 c ON t.candidate_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY query_id {order}) AS ctx_rank,
+             coalesce(SUM(chunk_len) OVER (
+               PARTITION BY query_id {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM cand
+    )
+    SELECT query_id, doc_id, cos,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_len AS BIGINT) AS chunk_len,
+           ctx_rank,
+           CAST(cum_before + chunk_len AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_before < {RAG_BUDGET}
+    """
+
+
+@query("pipeline_rag_query", oracle=_rag_query_oracle())
+def pipeline_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval serving: each designated query probes its nearest
+    IVF lists (the sim_cosine_ivf machinery, verbatim), the probed
+    candidates re-score exact r4 cosine, the top-{RAG_M} docs expand
+    into their first {RAG_CHUNKS_PER_DOC} token-window chunks
+    (text_chunk_split's arithmetic — the per-doc cap is the context
+    DIVERSITY policy every production RAG stack applies so one long
+    doc can't monopolize the window), and chunks pack greedily in
+    relevance order until the {RAG_BUDGET}-token context budget is
+    hit. Output: the assembled context manifest — (query, doc, chunk,
+    rank, running token total) — i.e. exactly what gets concatenated
+    into the prompt.
+
+    The budget cut keeps a PREFIX of the relevance order (chunk
+    lengths are strictly positive, so the running total is strictly
+    increasing), which is why ctx_rank computed before the cut equals
+    the rank within the kept context — pinned by the oracle replaying
+    the same windows.
+
+    Scale shape: probe + re-score is cosine_topk_ivf's pinned shape
+    (candidate work = nprobe/ncentroids of the corpus); chunk
+    expansion joins the tiny top-m frame against per-doc chunk counts
+    (broadcastable); the assembly windows partition by query_id —
+    bounded by m × cap rows per query, never corpus-sized."""
+    from mercurygate_spark.queries.similarity import N_QUERIES
+    from mercurygate_spark.queries.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    from mercurygate_spark.operators.similarity import cosine_topk_ivf
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    topdocs = cosine_topk_ivf(q, e, k=RAG_M).select(
+        "query_id", "candidate_id", "cos"
+    )
+    from mercurygate_spark.functions import tokens
+
+    tk = t["documents"].select(
+        "doc_id", F.size(tokens("text")).alias("n")
+    ).where(F.col("n") > 0)
+    ch = (
+        tk.select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.expr(f"greatest(n - 1, 0) div {CHUNK_STRIDE}"),
+                        F.lit(RAG_CHUNKS_PER_DOC - 1),
+                    ),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE
+            ).alias("chunk_len"),
+        )
+    )
+    cand = topdocs.join(ch, topdocs["candidate_id"] == ch["doc_id"]).select(
+        "query_id", "doc_id", "cos", "chunk_idx", "chunk_len"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "doc_id", "chunk_idx"
+    )
+    ranked = cand.select(
+        "*",
+        F.row_number().over(w).alias("ctx_rank"),
+        F.coalesce(
+            F.sum("chunk_len").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    return ranked.where(F.col("cum_before") < RAG_BUDGET).select(
+        "query_id",
+        "doc_id",
+        "cos",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        "ctx_rank",
+        (F.col("cum_before") + F.col("chunk_len")).cast("long").alias("cum_tokens"),
+    )

@@ -1873,3 +1873,31 @@ def test_decontaminate_flags_eval_overlap(spark):
         assert r["doc_id"] not in eval_ids
         assert 0.0 <= r["contam_frac"] <= 1.0
         assert r["contaminated"] == (r["n_contam"] > 0)
+
+
+def test_rag_query_context_budget_invariants(spark):
+    """pipeline_rag_query's assembly contract: per query, ctx_rank is
+    a contiguous 1..n prefix of the relevance order; cum_tokens is the
+    strictly increasing running total of chunk_len; every kept chunk
+    STARTS inside the budget (cum_tokens - chunk_len < RAG_BUDGET); at
+    most RAG_CHUNKS_PER_DOC chunks per (query, doc)."""
+    from collections import Counter
+
+    from mercurygate_spark.queries.corpus import RAG_BUDGET, RAG_CHUNKS_PER_DOC
+
+    rows = all_queries()["pipeline_rag_query"](spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["ctx_rank"])
+        assert [r["ctx_rank"] for r in rs] == list(range(1, len(rs) + 1)), qid
+        cum = 0
+        for r in rs:
+            assert r["chunk_len"] > 0
+            assert cum < RAG_BUDGET, (qid, cum)
+            cum += r["chunk_len"]
+            assert r["cum_tokens"] == cum, (qid, r)
+        per_doc = Counter(r["doc_id"] for r in rs)
+        assert max(per_doc.values()) <= RAG_CHUNKS_PER_DOC, (qid, per_doc)
