@@ -91,6 +91,7 @@ HEADLINE = [
     "text_tokenize_e2e",          # BPE train -> apply -> sequence pack
     "dedup_decontaminate",        # eval-overlap gram decontamination
     "sink_scd2_history",          # 3-generation type-2 SCD merge sink
+    "pipeline_rag_query",         # IVF probe -> chunk cap -> budgeted context
 ]
 
 

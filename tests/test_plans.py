@@ -612,6 +612,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "pipeline_corpus_mixture",
     # shard-offset prefix sum over the per-shard totals (≤ N_SHARDS)
     "pipeline_pack_sequences",
+    # same shard-offset prefix sum, over the POST-BPE token counts
+    "text_tokenize_e2e",
     # per-lang offsets over the per-language count frame
     "sample_mixture_rebalance",
     # language index over the per-language count frame
