@@ -1983,6 +1983,36 @@ def ivfpq_score_distributed(
 # the walk is deterministic and oracle-replayable.
 # ---------------------------------------------------------------------------
 
+LIST_OCC = 64        # target expected rows per inverted list under the dial
+IVF_MIN_LOG2K = 2    # floor: 4 lists
+IVF_MAX_LOG2K = 8    # ceiling: 256 lists
+
+
+def scaled_n_centroids(n_rows: int) -> int:
+    """The IVF twin of scaled_n_planes: smallest k = 2^p (p in
+    [IVF_MIN_LOG2K, IVF_MAX_LOG2K]) with LIST_OCC · k ≥ n_rows —
+    integer-exact, so expected list occupancy stays ≈LIST_OCC as the
+    corpus grows (the k ∝ √N-to-∝N family of rules the ANN literature
+    prescribes, in the threshold form an oracle can replay)."""
+    for p in range(IVF_MIN_LOG2K, IVF_MAX_LOG2K):
+        if n_rows <= LIST_OCC * (1 << p):
+            return 1 << p
+    return 1 << IVF_MAX_LOG2K
+
+
+def duck_scaled_k_sql(count_from: str = "embeddings") -> str:
+    """DuckDB twin of scaled_n_centroids: a scalar subquery deriving
+    the centroid count from count(*) via the SAME integer thresholds."""
+    cases = " ".join(
+        f"WHEN __n <= {LIST_OCC * (1 << p)} THEN {1 << p}"
+        for p in range(IVF_MIN_LOG2K, IVF_MAX_LOG2K)
+    )
+    return (
+        f"(SELECT CASE {cases} ELSE {1 << IVF_MAX_LOG2K} END "
+        f"FROM (SELECT count(*) AS __n FROM {count_from}))"
+    )
+
+
 GRAPH_G = 4      # out-degree of the per-list neighbor graph
 GRAPH_B = 4      # beam width during search
 GRAPH_HOPS = 2   # fixed expansion rounds (deterministic, unrollable)

@@ -2294,11 +2294,17 @@ def sample_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_TOPK = 5  # final neighbors returned per query
 
 
-def _ivf_graph_oracle() -> str:
+def _ivf_graph_oracle(k_expr: str | None = None) -> str:
+    """Unrolled beam-search oracle. With ``k_expr`` (a scalar-subquery
+    string), the k-means chain trains a COUNT-derived number of
+    centroids — the list-count dial (sim_ivf_graph_scaled); the seed
+    cut is a plain ``cidx < k`` comparison, so a subquery slots in
+    where the fixed key uses the N_CENTROIDS literal."""
     from mercurygate_spark.operators.similarity import (
         GRAPH_B,
         GRAPH_G,
         GRAPH_HOPS,
+        duck_scaled_k_sql,
     )
 
     def dcos(a: str, b: str) -> str:
@@ -2312,8 +2318,13 @@ def _ivf_graph_oracle() -> str:
         f"list_sum(list_transform(range(1, {EMBED_DIMS + 1}), "
         "j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j])))"
     )
-    parts = [
-        duck_ivf_kmeans_sql(),
+    parts = []
+    if k_expr is not None:
+        parts.append(
+            f"kpar AS MATERIALIZED (SELECT {duck_scaled_k_sql()} AS kk)"
+        )
+    parts += [
+        duck_ivf_kmeans_sql(k=k_expr if k_expr is not None else N_CENTROIDS),
         f"""assign_final AS (
       SELECT e.vec_id, e.embedding, c.cidx,
              row_number() OVER (
@@ -2423,16 +2434,25 @@ def sim_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates instead of the whole list — the dial that matters when
     lists hold millions of vectors. Driver traffic: the k×dims
     centroid matrix only."""
+    from mercurygate_spark.operators.similarity import train_ivf_centroids
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cmat = train_ivf_centroids(e)
+    return _ivf_graph_serve(spark, e, cmat)
+
+
+def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
+    """The shared beam-search serve path: assign to cmat's lists,
+    build the per-list graph, walk it. cmat decides the list count —
+    the fixed key trains N_CENTROIDS, the scaled key a count-derived
+    power of two."""
     from mercurygate_spark.operators.similarity import (
         GRAPH_B,
         GRAPH_HOPS,
         ivf_assign,
         ivf_list_knn_graph,
-        train_ivf_centroids,
     )
 
-    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cmat = train_ivf_centroids(e)
     lists = (
         ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1)
         .select("vec_id", "embedding", "centroid_id")
@@ -2510,3 +2530,31 @@ def sim_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= GRAPH_TOPK)
         .select("query_id", F.col("cand_id").alias("candidate_id"), "cos", "rk")
     )
+
+
+@query("sim_ivf_graph_scaled", oracle=_ivf_graph_oracle(k_expr="(SELECT kk FROM kpar)"))
+def sim_ivf_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_graph_topk under the LIST-COUNT dial — the IVF twin of
+    the round's LSH occupancy dial, closing the graph key's one
+    superlinear stage: at a FIXED centroid count, 10× corpus ⇒ 10×
+    list occupancy ⇒ 100× pairwise work in the per-list graph BUILD
+    (the serving walk is occupancy-immune by construction). Here
+    k = scaled_n_centroids(count) — the smallest power of two with
+    LIST_OCC·k ≥ N — so expected occupancy, and hence graph-build
+    pairs per row, stays constant as the corpus grows.
+
+    The oracle derives the same k from count(*) (integer CASE chain)
+    and feeds it into the unrolled k-means chain as a scalar subquery
+    — the seed cut is a plain `cidx < k` comparison, so the ENTIRE
+    training + assignment + graph + walk replay is count-parametric
+    with zero float derivations. One count job on the Spark side is
+    the only extra cost."""
+    from mercurygate_spark.operators.similarity import (
+        scaled_n_centroids,
+        train_ivf_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    k = scaled_n_centroids(e.count())
+    cmat = train_ivf_centroids(e, k=k)
+    return _ivf_graph_serve(spark, e, cmat)

@@ -1901,3 +1901,26 @@ def test_rag_query_context_budget_invariants(spark):
             assert r["cum_tokens"] == cum, (qid, r)
         per_doc = Counter(r["doc_id"] for r in rs)
         assert max(per_doc.values()) <= RAG_CHUNKS_PER_DOC, (qid, per_doc)
+
+
+def test_scaled_n_centroids_integer_thresholds():
+    """The IVF list-count dial: smallest k = 2^p with LIST_OCC·k ≥ N,
+    exhaustively checked at every threshold and pinned at the corpus
+    sizes the keys actually see — so the Python derivation can never
+    drift from the oracle's CASE chain."""
+    from mercurygate_spark.operators.similarity import (
+        IVF_MAX_LOG2K,
+        IVF_MIN_LOG2K,
+        LIST_OCC,
+        scaled_n_centroids,
+    )
+
+    for p in range(IVF_MIN_LOG2K, IVF_MAX_LOG2K):
+        cap = LIST_OCC * (1 << p)
+        assert scaled_n_centroids(cap) == 1 << p
+        assert scaled_n_centroids(cap + 1) == 1 << (p + 1)
+    assert scaled_n_centroids(1) == 1 << IVF_MIN_LOG2K
+    assert scaled_n_centroids(10**9) == 1 << IVF_MAX_LOG2K
+    assert scaled_n_centroids(500) == 8
+    assert scaled_n_centroids(2000) == 32
+    assert scaled_n_centroids(20000) == 256
