@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_decontaminate",        # eval-overlap gram decontamination
     "sink_scd2_history",          # 3-generation type-2 SCD merge sink
     "pipeline_rag_query",         # IVF probe -> chunk cap -> budgeted context
+    "sim_ivf_graph_scaled",       # list-count-dialed graph-ANN serving
 ]
 
 
