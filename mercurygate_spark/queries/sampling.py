@@ -760,3 +760,107 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DSIR_TOPN)
         .select("doc_id", "lang", "n_feats", "log_w", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch schedule materialization (round 12 frontier): sample_token_budget
+# computes the PLAN (per-domain epoch counts + fractional rate); this
+# key materializes it into the per-document training MANIFEST — the
+# (doc, epoch) list a data loader actually iterates, with small
+# domains repeated across epochs and large domains carrying only their
+# fractional-hash slice (the Llama/DoReMi data-recipe realization).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_epoch_schedule",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), counts AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM per_doc GROUP BY lang
+    ), plan AS (
+      SELECT lang, total_tokens,
+             (CAST(sum(total_tokens) OVER () AS BIGINT) // 2)
+               // CAST(count(*) OVER () AS BIGINT) AS target_tokens
+      FROM counts
+    ), rates AS (
+      SELECT lang,
+             target_tokens // total_tokens AS n_full_epochs,
+             ((target_tokens % total_tokens) * 1000000) // total_tokens
+               AS frac_ppm
+      FROM plan
+    ), reps AS (
+      SELECT d.doc_id, d.lang, d.n_tokens,
+             r.n_full_epochs
+               + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1000000 < r.frac_ppm
+                      THEN 1 ELSE 0 END AS n_rep
+      FROM per_doc d JOIN rates r USING (lang)
+    )
+    SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM reps, UNNEST(range(0, n_rep)) AS u(e)
+    WHERE n_rep > 0
+    """,
+)
+def sample_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the token-budget plan into the per-document epoch
+    manifest: every document appears once per full epoch of its domain
+    plus once more if its md5 lands inside the domain's fractional
+    parts-per-million rate — sample_token_budget's integer arithmetic,
+    replayed per document and EXPLODED into (doc, epoch) rows. This is
+    the frame a training loader shuffles and packs; upsampled domains
+    carry epoch_idx > 0 replicas, downsampled domains only their
+    deterministic hash slice.
+
+    Scale shape: one token-count scan, a domains-sized plan frame
+    broadcast back, and a map-side sequence-explode whose fan-out IS
+    the intended data recipe (total output rows = the token budget's
+    document realization — there is no way to materialize a manifest
+    smaller than itself). Nothing corpus-sized shuffles; the corpus is
+    scanned exactly once."""
+    from mercurygate_spark.functions import tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    per_doc = t["documents"].select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    counts = per_doc.groupBy("lang").agg(F.sum("n_tokens").alias("total_tokens"))
+    rates = (
+        counts.withColumn(
+            "target_tokens",
+            F.expr("(sum(total_tokens) over () div 2) div (count(*) over ())"),
+        )
+        .withColumn("n_full_epochs", F.expr("target_tokens div total_tokens"))
+        .withColumn(
+            "frac_ppm",
+            F.expr("((target_tokens % total_tokens) * 1000000) div total_tokens"),
+        )
+        .select("lang", "n_full_epochs", "frac_ppm")
+    )
+    reps = per_doc.join(F.broadcast(rates), "lang").withColumn(
+        "n_rep",
+        F.col("n_full_epochs")
+        + (
+            (md5_long(F.col("doc_id").cast("string")) % 1000000)
+            < F.col("frac_ppm")
+        ).cast("long"),
+    )
+    return (
+        reps.where(F.col("n_rep") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("n_rep") - 1)).alias("epoch_idx"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "lang", F.col("epoch_idx").cast("long").alias("epoch_idx"),
+            "n_tokens",
+        )
+    )

@@ -773,3 +773,153 @@ def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hist.localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination gate (round 12 frontier): the
+# dedup_decontaminate rule as a continuous-ingest admission check —
+# the shape a crawl pipeline actually needs, since benchmark overlap
+# must be enforced on every arriving shard, not in a one-shot batch.
+# The eval gram set is a STATIC frame (benchmark suites are fixed and
+# tiny) joined into every micro-batch; cross-batch state is one
+# (count, count, xor) triple.
+# ---------------------------------------------------------------------------
+
+
+def _stream_decon_oracle() -> str:
+    from mercurygate_spark.queries.text import DECON_K, DECON_MOD, _DUCK_TK
+
+    sig = (
+        "coalesce(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::BIGINT), 0)"
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TK} AS tk, len({_DUCK_TK}) AS n,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {DECON_MOD} = 0) AS is_eval
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_eval,
+             md5(array_to_string(list_slice(tk, pos + 1, pos + {DECON_K}), ' ')) AS h
+      FROM (
+        SELECT doc_id, is_eval, tk, unnest(range(0, n - {DECON_K} + 1)) AS pos
+        FROM tk WHERE n >= {DECON_K}
+      )
+    ), eh AS (
+      SELECT DISTINCT h FROM g WHERE is_eval
+    ), tr AS (
+      SELECT g.doc_id, count(eh.h) > 0 AS contaminated
+      FROM g LEFT JOIN eh ON g.h = eh.h
+      WHERE NOT g.is_eval GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count_if(contaminated) AS BIGINT) AS n_contaminated,
+           (SELECT {sig} FROM tr WHERE contaminated) AS contam_sig
+    FROM tr
+    """
+
+
+@query("stream_decontaminate", oracle=_stream_decon_oracle())
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap decontamination as a continuous admission gate:
+    the eval slice's DISTINCT gram hashes are computed once batch-side
+    (the benchmark suite — static and tiny) and broadcast into every
+    arriving micro-batch (4 part files, maxFilesPerTrigger=1); each
+    batch's train docs gram-hash and LEFT-join the set exactly as the
+    batch key pins, and the only cross-batch state is
+    (docs seen, docs flagged, XOR signature of flagged ids) — three
+    scalars, associative+commutative merges, constant regardless of
+    stream length. Oracle: the batch replay over the union of
+    micro-batches (per-doc verdicts can't see batch boundaries).
+
+    Scale shape per batch: map-side gram hashing (48-byte hashes,
+    never text), a broadcast membership join, one ≤2-row reduce to
+    the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.functions import md5_long, tokens
+    from mercurygate_spark.queries.text import DECON_K, DECON_MOD
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mercurygate_stream_decon_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    src_dir, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    def gram_frame(d: DataFrame) -> DataFrame:
+        base_f = (
+            d.select("doc_id", tokens("text").alias("tk"))
+            .withColumn("n", F.size("tk"))
+            .where(F.col("n") >= DECON_K)
+            .withColumn(
+                "is_eval",
+                md5_long(F.col("doc_id").cast("string")) % DECON_MOD == 0,
+            )
+        )
+        return base_f.select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - DECON_K),
+                    lambda i: F.md5(F.array_join(F.slice("tk", i + 1, DECON_K), " ")),
+                )
+            ).alias("h"),
+        )
+
+    eh = (
+        gram_frame(docs)
+        .where(F.col("is_eval"))
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+        .localCheckpoint(eager=True)  # the static benchmark gram set
+    )
+
+    acc = {"n": 0, "bad": 0, "sig": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        g = gram_frame(batch_df).where(~F.col("is_eval"))
+        per = (
+            g.join(F.broadcast(eh), "h", "left")
+            .groupBy("doc_id")
+            .agg((F.count("__hit") > 0).alias("contaminated"))
+            .withColumn("hh", md5_long(F.col("doc_id").cast("string")))
+            .groupBy("contaminated")
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(hh)").alias("sig"))
+            .collect()  # bounded by construction: ≤2 rows/batch
+        )
+        for r in per:
+            acc["n"] += r["n"]
+            if r["contaminated"]:
+                acc["bad"] += r["n"]
+                acc["sig"] ^= r["sig"]
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(acc["n"], acc["bad"], acc["sig"])],
+        schema="n_train_docs long, n_contaminated long, contam_sig long",
+    )

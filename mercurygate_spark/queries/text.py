@@ -3319,3 +3319,85 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_residual"),
         F.md5("clean").alias("clean_fp"),
     )
+
+
+def _keep_best_oracle() -> str:
+    from mercurygate_spark.operators.dedup import (
+        duck_connected_components_sql,
+        duck_minhash_pairs_sql,
+    )
+
+    cc = duck_connected_components_sql(
+        "SELECT id_a, id_b FROM ("
+        + duck_minhash_pairs_sql()
+        + ") WHERE n_shared_bands >= 2"
+    ).replace(
+        "SELECT node, least(node, min(r)) AS component",
+        "SELECT node AS doc_id, least(node, min(r)) AS component_id",
+    )
+    return f"""
+    WITH comps AS MATERIALIZED ({cc}),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), scored AS (
+      SELECT c.doc_id, c.component_id, t.n_tokens
+      FROM comps c JOIN toks t USING (doc_id)
+    ), ranked AS (
+      SELECT *, first_value(doc_id) OVER (
+               PARTITION BY component_id
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS kept_doc
+      FROM scored
+    )
+    SELECT doc_id, component_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           kept_doc, (doc_id <> kept_doc) AS removed
+    FROM ranked
+    """
+
+
+@query("dedup_keep_best_quality", oracle=_keep_best_oracle())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical pick — the Dolma rule next to
+    dedup_keep_canonical's min-id rule: within each transitive
+    near-dup cluster (MinHash-LSH ≥2 shared bands → connected
+    components), KEEP the member with the most tokens (ties → min
+    doc_id) and remove the rest. Min-id is arbitrary; keeping the
+    longest member preserves the most training signal per cluster,
+    which is why Dolma/RefinedWeb pick a quality representative
+    rather than an id. Output: every clustered doc with its cluster,
+    the cluster's kept representative, and its removal verdict — the
+    auditable decision frame.
+
+    Scale shape: candidates are band-bucketed (never all-pairs), CC is
+    the O(log² n) star-contraction over candidate edges only, the
+    token counts ride a doc_id join of cluster members (a tiny
+    fraction of the corpus), and the representative pick is a
+    per-cluster window — bounded by cluster size."""
+    from mercurygate_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    pairs = minhash_candidate_pairs(docs, "doc_id").where(
+        F.col("n_shared_bands") >= 2
+    )
+    comps = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+    toks = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    scored = comps.join(toks, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        "component_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.first("doc_id").over(w).alias("kept_doc"),
+    ).withColumn("removed", F.col("doc_id") != F.col("kept_doc"))
