@@ -855,7 +855,10 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     docs.repartition(4).write.mode("overwrite").parquet(src_dir)
 
-    def gram_frame(d: DataFrame) -> DataFrame:
+    def gram_frame(d: DataFrame, eval_side: bool) -> DataFrame:
+        # the eval/train split happens BEFORE the gram explode (it only
+        # needs doc_id), so the eval-set build hashes grams for the 3%
+        # slice instead of exploding the whole corpus and filtering after
         base_f = (
             d.select("doc_id", tokens("text").alias("tk"))
             .withColumn("n", F.size("tk"))
@@ -864,10 +867,10 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_eval",
                 md5_long(F.col("doc_id").cast("string")) % DECON_MOD == 0,
             )
+            .where(F.col("is_eval") if eval_side else ~F.col("is_eval"))
         )
         return base_f.select(
             "doc_id",
-            "is_eval",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("n") - DECON_K),
@@ -877,8 +880,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     eh = (
-        gram_frame(docs)
-        .where(F.col("is_eval"))
+        gram_frame(docs, eval_side=True)
         .select("h")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -888,7 +890,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = {"n": 0, "bad": 0, "sig": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        g = gram_frame(batch_df).where(~F.col("is_eval"))
+        g = gram_frame(batch_df, eval_side=False)
         per = (
             g.join(F.broadcast(eh), "h", "left")
             .groupBy("doc_id")
