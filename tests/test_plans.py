@@ -622,6 +622,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_temperature_mixture",
     # running token budget over the per-language totals frame
     "sample_token_budget",
+    # the same per-language plan windows, feeding the epoch explode
+    "sample_epoch_schedule",
     # 7-day rolling median over the per-day agg (≤ calendar days)
     "window_moving_median",
     # final-vocab ranking over the piece-usage agg (≤ Σ 36^l pieces)
