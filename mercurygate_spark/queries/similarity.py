@@ -2558,3 +2558,96 @@ def sim_ivf_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_n_centroids(e.count())
     cmat = train_ivf_centroids(e, k=k)
     return _ivf_graph_serve(spark, e, cmat)
+
+
+def _multi_scaled_oracle() -> str:
+    """Union-of-tables radius search with count-derived plane width:
+    per table t, the bucket is the np-char prefix of table t's seeded
+    16-bit string (seeded_signs prefix property, per-table namespaces)
+    with np derived from count(*) by the shared integer CASE chain."""
+    from mercurygate_spark.operators.similarity import (
+        N_TABLES,
+        OCC_MAX_PLANES,
+        duck_bucket_sql_seeded,
+        duck_scaled_np_sql,
+    )
+
+    table_cases = " ".join(
+        f"WHEN {t} THEN substr({duck_bucket_sql_seeded('embedding', f't{t}', OCC_MAX_PLANES)}, 1, (SELECT np FROM par))"
+        for t in range(N_TABLES)
+    )
+    vals = ", ".join(f"({t})" for t in range(N_TABLES))
+    return f"""
+    WITH par AS MATERIALIZED (SELECT {duck_scaled_np_sql('embeddings')} AS np),
+    b AS MATERIALIZED (
+      SELECT vec_id, embedding, t.t AS lsh_table,
+             CASE t.t {table_cases} END AS bucket
+      FROM embeddings, (VALUES {vals}) AS t(t)
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS vec_id_a, c.vec_id AS vec_id_b
+      FROM b q JOIN b c
+        ON q.lsh_table = c.lsh_table AND q.bucket = c.bucket
+       AND q.vec_id < c.vec_id
+    ), scored AS (
+      SELECT cand.vec_id_a, cand.vec_id_b,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               4) AS cos
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.vec_id_a
+      JOIN embeddings c ON c.vec_id = cand.vec_id_b
+    )
+    SELECT vec_id_a, vec_id_b, cos FROM scored WHERE cos >= {RANGE_TAU}
+    """
+
+
+@query("sim_range_search_multi_scaled", oracle=_multi_scaled_oracle())
+def sim_range_search_multi_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION radius search: both measured dials composed.
+    Plane count per table = scaled_n_planes(count) — constant expected
+    occupancy, so per-row candidate work is bounded at any corpus size
+    (the COST dial, docs/scale_probe_r12.json) — and candidates are
+    the UNION of 4 independent seeded tables, the RECALL dial the
+    r9/r12 evidence quantifies (a true pair is missed only if ALL
+    tables split it; docs/range_recall_r12.json measures the
+    single-table recall the union amplifies). Unique pairs dedupe
+    BEFORE the cosine, so each pays one dot product however many
+    tables matched it.
+
+    Scale shape: one Arrow pass emits 4× bucket rows, the self-join
+    is (table, bucket)-equi — never all-pairs — and the dedupe +
+    radius filter reduce on 16-byte id pairs. At a 1000-executor
+    cluster (table, bucket) is the shuffle key and each table's
+    partitions are independent."""
+    from mercurygate_spark.operators.similarity import (
+        N_TABLES,
+        lsh_bucket_multi,
+        scaled_n_planes,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    np_ = scaled_n_planes(e.count())
+    b = lsh_bucket_multi(e, "vec_id", "embedding", N_TABLES, np_)
+    q = b.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"),
+        "lsh_table", "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"),
+        "lsh_table", "bucket",
+    )
+    pairs = (
+        q.join(c, ["lsh_table", "bucket"])
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    scored = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        (
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
+        ).alias("cos"),
+    )
+    return scored.where(F.col("cos") >= RANGE_TAU)
