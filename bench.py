@@ -93,6 +93,8 @@ HEADLINE = [
     "sink_scd2_history",          # 3-generation type-2 SCD merge sink
     "pipeline_rag_query",         # IVF probe -> chunk cap -> budgeted context
     "sim_ivf_graph_scaled",       # list-count-dialed graph-ANN serving
+    # round-13 additions
+    "sim_range_search_recall_held",  # recall-held radius search (T from recall target)
 ]
 
 

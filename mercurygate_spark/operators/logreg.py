@@ -191,3 +191,90 @@ def duck_trace_sql(iters: int = ITERS) -> str:
         for i in range(1, iters + 1)
     )
     return f"WITH {duck_logreg_cte(iters)}\n    {rows}"
+
+
+# ---------------------------------------------------------------------------
+# Generalized (dim-parametric) trainer — VERDICT r12 next #5: the
+# fastText-style quality classifier trains on HASHED token features
+# (the text_feature_hashing trick at a small width) with curated-vs-raw
+# weak labels, so the feature count is a parameter, not the fixed 4 of
+# the distillation keys above. Same exactness contract: integer-
+# quantized gradient sums, left-associated update chain, float math
+# identical in Python and the generated CTE text.
+# ---------------------------------------------------------------------------
+
+
+def _z_dim(w: list[float]) -> Column:
+    z = F.lit(w[0])
+    for j in range(1, len(w)):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    return z
+
+
+def train_dim(feat: DataFrame, dim: int, iters: int, lr: float = LR) -> list[list[float]]:
+    """train() for an arbitrary feature width: ``feat`` carries
+    (y, x1..x{dim}); returns the weight trajectory. One d+1-scalar
+    aggregation per iteration — the bounded-collect doctrine."""
+    xs = [F.lit(1.0)] + [F.col(f"x{j}") for j in range(1, dim + 1)]
+    w = [0.0] * (dim + 1)
+    trace: list[list[float]] = []
+    for _ in range(iters):
+        err = sigmoid(_z_dim(w)) - F.col("y")
+        gq = [
+            F.floor((err * x) * F.lit(float(GQ)) + F.lit(0.5)).alias(f"g{j}")
+            for j, x in enumerate(xs)
+        ]
+        row = feat.agg(
+            *[F.sum(g).alias(f"g{j}") for j, g in enumerate(gq)],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = row["n"]
+        for j in range(dim + 1):
+            assert abs(row[f"g{j}"]) < GRAD_SUM_EXACT_BOUND, (
+                f"gradient sum g{j} exceeds the 2^53 double-exact range"
+            )
+        w = [w[j] - lr * ((row[f"g{j}"] / n) / float(GQ)) for j in range(dim + 1)]
+        trace.append(list(w))
+    return trace
+
+
+def duck_z_dim_sql(dim: int, wtab: str = "w", ftab: str = "f") -> str:
+    """Left-associated logit chain matching _z_dim exactly."""
+    z = f"{wtab}.w0"
+    for j in range(1, dim + 1):
+        z = f"{z} + {wtab}.w{j} * {ftab}.x{j}"
+    return f"({z})"
+
+
+def duck_logreg_cte_dim(
+    feat_sql: str, dim: int, iters: int, lr: float = LR, prefix: str = "q"
+) -> str:
+    """duck_logreg_cte for an arbitrary width: ``feat_sql`` must yield
+    (y, x1..x{dim}, ...). Ends with {prefix}it{iters}. The caller owns
+    the surrounding WITH clause (feat_sql may reference earlier CTEs)."""
+    p = prefix
+    zero = ", ".join(f"CAST(0 AS DOUBLE) AS w{j}" for j in range(dim + 1))
+    parts = [
+        f"{p}feat AS MATERIALIZED (SELECT * FROM ({feat_sql}))",
+        f"{p}it0 AS (SELECT {zero})",
+    ]
+    xs = ["1"] + [f"f.x{j}" for j in range(1, dim + 1)]
+    for i in range(1, iters + 1):
+        sig = f"(1 / (1 + exp(-{duck_z_dim_sql(dim)})))"
+        gcols = [
+            f"CAST(sum(CAST(floor((({sig} - f.y) * {x}) * {GQ} + 0.5) AS BIGINT))"
+            f" AS DOUBLE) AS g{j}"
+            for j, x in enumerate(xs)
+        ]
+        gsums = ", ".join(gcols + ["count(*) AS n0"])
+        upd = ", ".join(
+            f"w.w{j} - {lr} * ((g.g{j} / g.n0) / {GQ}) AS w{j}"
+            for j in range(dim + 1)
+        )
+        parts.append(
+            f"{p}g{i} AS (SELECT {gsums} FROM {p}feat f CROSS JOIN {p}it{i - 1} w)"
+        )
+        parts.append(
+            f"{p}it{i} AS (SELECT {upd} FROM {p}g{i} g CROSS JOIN {p}it{i - 1} w)"
+        )
+    return ",\n    ".join(parts)

@@ -348,6 +348,56 @@ def duck_scaled_np_sql(count_from: str = "embeddings") -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Recall-HELD composition (VERDICT r12 next #2): the occupancy dial
+# holds COST constant but each added sign bit halves a true pair's
+# collision odds, so recall decays as the corpus grows (measured:
+# docs/range_recall_r12.json, 0.054 → 0.007 at 10× for τ=0.3). The
+# validated collision model (SCALING.md r12: p_pair = (1−acos(c)/π)^np,
+# union recall 1−(1−p)^T) is INVERTED here: given the count-derived
+# plane width, derive the table count that meets a recall TARGET at
+# the design cosine. LSH theory prices this honestly — holding recall
+# costs T ∝ p_bit^−np ≈ N^ρ with ρ = −ln(p_bit)/ln 2; at the
+# near-duplicate design point (c*=0.95, ρ≈0.154) the 10× probe pays
+# ~10^0.15 ≈ 1.4× over linear, vs ρ≈0.66 (≈4.6×) if one sized for the
+# weak-similarity band — which is why the design point is the regime a
+# production radius search actually serves (dedup at cosine ≈0.95),
+# not the τ=0.3 reporting radius. Derived T by corpus size: 200→2,
+# 2k→3, 20k→4, 200k→6, 2M→9 — every 10× decade costs ≤1.5× in tables.
+# ---------------------------------------------------------------------------
+
+RH_C_STAR = 0.95  # design cosine: near-duplicate pairs the table count protects
+RH_TARGET = 0.8   # union recall target for a pair at cosine RH_C_STAR
+RH_T_MAX = 16     # table ceiling — binds past ~2M rows, same horizon as OCC_MAX_PLANES
+
+
+def tables_for_recall(n_planes: int) -> int:
+    """Smallest T with 1−(1−p)^T ≥ RH_TARGET where
+    p = (1−acos(RH_C_STAR)/π)^n_planes — i.e.
+    ceil(ln(1−RH_TARGET)/ln(1−p)), clamped to [1, RH_T_MAX]. The float
+    math runs ONCE, here, in Python: the Spark key calls this at
+    runtime and the oracle embeds the resulting integers as a CASE
+    chain over the plane count (duck_tables_for_recall_sql), so the
+    two engines can never disagree on the derived table count."""
+    import math
+
+    p_bit = 1.0 - math.acos(RH_C_STAR) / math.pi
+    p = p_bit**n_planes
+    t = math.ceil(math.log(1.0 - RH_TARGET) / math.log(1.0 - p))
+    return max(1, min(t, RH_T_MAX))
+
+
+def duck_tables_for_recall_sql(np_sql: str) -> str:
+    """DuckDB twin of tables_for_recall: an integer CASE over the
+    (already count-derived) plane count, values precomputed by the
+    Python model above — zero float derivations in SQL."""
+    cases = " ".join(
+        f"WHEN {p} THEN {tables_for_recall(p)}"
+        for p in range(OCC_MIN_PLANES, OCC_MAX_PLANES + 1)
+    )
+    return f"(SELECT CASE ({np_sql}) {cases} END)"
+
+
 N_CENTROIDS = 16
 N_PROBE = 2
 KMEANS_ITERS = 3       # fixed Lloyd iterations — part of the deterministic spec

@@ -111,6 +111,7 @@ def merge_upsert_scd2(
     tracked: list[str],
     path: str,
     load_ts: str,
+    order_by: list[str] | None = None,
 ) -> DataFrame:
     """Full type-2 slowly-changing-dimension merge — the reference's
     active='Y' intent (mm_bronze_silver.py:222) taken to its
@@ -128,14 +129,21 @@ def merge_upsert_scd2(
     - VANISHED key       → close the open row, no successor.
     Closed history rows are never rewritten.
 
-    Plan: ONE full-outer join between the open rows and the
-    latest-per-pk incoming on the pk (both sides shuffle once; AQE
-    handles skew), a null-safe struct comparison over the tracked
-    columns (null-safe so a NULL→value transition counts as a
-    change), then a union with the untouched closed partition.
-    Timestamps are caller-supplied strings so replay/backfill is
-    deterministic — no wall-clock reads inside the merge."""
+    Plan: reduce incoming to ONE row per pk first (order_by DESC when
+    supplied, else a deterministic md5 pick — same contract as
+    merge_upsert_scd; a duplicate-pk incoming would otherwise fan out
+    the full-outer join and insert multiple open rows per key,
+    breaking the ≤1-open-row invariant), then ONE full-outer join
+    between the open rows and that latest-per-pk incoming on the pk
+    (both sides shuffle once; AQE handles skew), a null-safe struct
+    comparison over the tracked columns (null-safe so a NULL→value
+    transition counts as a change), then a union with the untouched
+    closed partition. Timestamps are caller-supplied strings so
+    replay/backfill is deterministic — no wall-clock reads inside the
+    merge."""
     from mercurygate_spark.io.fs import delete_path, path_exists
+
+    incoming = dedupe_latest(incoming, pk, order_by or []).select(*pk, *tracked)
 
     def open_row(df: DataFrame) -> DataFrame:
         return df.select(

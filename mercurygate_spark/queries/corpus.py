@@ -658,6 +658,38 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_stage_ids(d: DataFrame) -> dict[str, DataFrame]:
+    """The funnel's per-stage survivor id frames (shared by
+    pipeline_filter_funnel and pipeline_quality_classifier — the
+    classifier is the funnel's next stage, so it must score EXACTLY
+    the stage-4 survivors the funnel key pins)."""
+    from mercurygate_spark.queries.text import (
+        gopher_frame,
+        ppl_cross_entropy,
+        repetition_frame,
+    )
+
+    s1 = gopher_frame(d).where(F.col("gopher_pass")).select("doc_id")
+    s1_docs = d.join(s1, "doc_id")
+    s1b = (
+        repetition_frame(s1_docs)
+        .where(F.col("repetition_pass"))
+        .select("doc_id")
+    )
+    s1b_docs = d.join(s1b, "doc_id")
+    ce = ppl_cross_entropy(d, s1b_docs)
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    s2 = (
+        ce.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") < 2.0 / 3)
+        .select("doc_id")
+    )
+    s2_docs = d.join(s2, "doc_id")
+    fp = s2_docs.select("doc_id", fingerprint("text").alias("fp"))
+    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return {"s1": s1, "s1b": s1b, "s2": s2, "s3": s3}
+
+
 def _funnel_oracle() -> str:
     from mercurygate_spark.queries.text import (
         _DUCK_GOPHER_PASS_CTES,
@@ -743,11 +775,6 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a partially-aggregable 2-column reduce. Nothing corpus-sized
     ever reaches the driver."""
     from mercurygate_spark.functions import md5_long
-    from mercurygate_spark.queries.text import (
-        gopher_frame,
-        ppl_cross_entropy,
-        repetition_frame,
-    )
 
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"]
@@ -763,24 +790,8 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sig",
         )
 
-    s1 = gopher_frame(d).where(F.col("gopher_pass")).select("doc_id")
-    s1_docs = d.join(s1, "doc_id")
-    s1b = (
-        repetition_frame(s1_docs)
-        .where(F.col("repetition_pass"))
-        .select("doc_id")
-    )
-    s1b_docs = d.join(s1b, "doc_id")
-    ce = ppl_cross_entropy(d, s1b_docs)
-    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
-    s2 = (
-        ce.withColumn("pr", F.percent_rank().over(w))
-        .where(F.col("pr") < 2.0 / 3)
-        .select("doc_id")
-    )
-    s2_docs = d.join(s2, "doc_id")
-    fp = s2_docs.select("doc_id", fingerprint("text").alias("fp"))
-    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    stages = funnel_stage_ids(d)
+    s1, s1b, s2, s3 = stages["s1"], stages["s1b"], stages["s2"], stages["s3"]
     return (
         stage(d.select("doc_id"), 0, "raw")
         .unionByName(stage(s1, 1, "gopher_rules"))
@@ -788,6 +799,203 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s2, 3, "perplexity_head_middle"))
         .unionByName(stage(s3, 4, "exact_dedup"))
         .orderBy("stage_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter (VERDICT r12 next #5): the FineWeb-edu /
+# CCNet-fastText stage the funnel lacked — TRAIN a classifier on weak
+# curated-vs-raw labels (curated = Gopher-rule survivors, the standard
+# silver-label trick), features = the text_feature_hashing trick at a
+# small width, then SCORE the funnel's stage-4 survivors and keep the
+# top QC_KEEP fraction by classifier score. The whole chain —
+# features, every GD iteration, scoring, percentile threshold — is
+# replayed in one generated oracle, so a drift anywhere (a gradient
+# sum, a weight update, a rank tie) flips the hash.
+# ---------------------------------------------------------------------------
+
+QC_DIM = 8     # hashed feature buckets (feature-hashing trick, small width)
+QC_ITERS = 6   # full-batch GD iterations
+QC_KEEP = 0.5  # survivor fraction kept by classifier percentile
+
+
+def _qc_feature_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, x1..x{QC_DIM}) — per-doc hashed-bucket token-count
+    ratios: x_{j+1} = count(tokens hashing to bucket j) / n_tokens.
+    Exact int counts, one exact double division per feature — the two
+    engines can't disagree. Docs with zero tokens have no rows (the
+    explode yields nothing), matching the oracle's unnest."""
+    from mercurygate_spark.functions import md5_long, tokens
+
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    b = tok.select(
+        "doc_id", (md5_long(F.col("token")) % QC_DIM).cast("int").alias("bucket")
+    )
+    cn = b.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col("bucket") == j).cast("long")).alias(f"c{j}")
+            for j in range(QC_DIM)
+        ],
+    )
+    return cn.select(
+        "doc_id",
+        *[
+            (F.col(f"c{j}").cast("double") / F.col("n").cast("double")).alias(
+                f"x{j + 1}"
+            )
+            for j in range(QC_DIM)
+        ],
+    )
+
+
+def _qc_oracle() -> str:
+    from mercurygate_spark.operators.logreg import (
+        duck_logreg_cte_dim,
+        duck_z_dim_sql,
+    )
+    from mercurygate_spark.queries.text import (
+        _DUCK_GOPHER_PASS_CTES,
+        _DUCK_LM_CTES,
+        LM_ADD_K,
+        _duck_repetition_ctes,
+    )
+
+    bucket_sums = ", ".join(
+        f"sum(CASE WHEN bucket = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(QC_DIM)
+    )
+    xs = ", ".join(
+        f"CAST(c.c{j} AS DOUBLE) / CAST(c.n AS DOUBLE) AS x{j + 1}"
+        for j in range(QC_DIM)
+    )
+    feat_sql = (
+        "SELECT c.doc_id, CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y, "
+        + xs
+        + " FROM qcnt c LEFT JOIN gpass g USING (doc_id)"
+    )
+    xlist = ", ".join(f"x{j + 1}" for j in range(QC_DIM))
+    # the funnel's survivor chain, verbatim (same CTE text as
+    # _funnel_oracle) — the classifier scores EXACTLY those docs
+    return f"""
+    WITH {_DUCK_GOPHER_PASS_CTES},
+    rsrc AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN gpass USING (doc_id)
+    ),
+    {_duck_repetition_ctes("rsrc", "r_")},
+    rpass AS (SELECT doc_id FROM r_sum WHERE repetition_pass),
+    {_DUCK_LM_CTES},
+    f_scored AS (
+      SELECT pa.doc_id, pa.lang,
+             ln((COALESCE(c12.c12, 0) + {LM_ADD_K})
+                / (COALESCE(c1.c1, 0) + {LM_ADD_K} * v.v)) AS lp
+      FROM p_all pa
+      JOIN rpass USING (doc_id)
+      LEFT JOIN c12 ON pa.w1 = c12.w1 AND pa.w2 = c12.w2
+      LEFT JOIN c1 ON pa.w1 = c1.w1
+      CROSS JOIN v
+    ),
+    f_ce AS (
+      SELECT doc_id, lang, round(-avg(lp), 6) AS cross_entropy
+      FROM f_scored GROUP BY 1, 2
+    ),
+    f_ranked AS (
+      SELECT *, percent_rank() OVER (
+               PARTITION BY lang ORDER BY cross_entropy, doc_id
+             ) AS pr
+      FROM f_ce
+    ),
+    s2 AS (SELECT doc_id FROM f_ranked WHERE pr < 2.0/3),
+    f_fp AS (
+      SELECT d.doc_id,
+             md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents d JOIN s2 USING (doc_id)
+    ),
+    s3 AS (SELECT min(doc_id) AS doc_id FROM f_fp GROUP BY fp),
+    qtok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    qb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % {QC_DIM} AS bucket
+      FROM qtok
+    ),
+    qcnt AS (SELECT doc_id, count(*) AS n, {bucket_sums} FROM qb GROUP BY doc_id),
+    {duck_logreg_cte_dim(feat_sql, QC_DIM, QC_ITERS)},
+    qsurv AS (
+      SELECT f.doc_id, {xlist} FROM qfeat f JOIN s3 USING (doc_id)
+    ),
+    qscored AS (
+      SELECT f.doc_id,
+             floor({duck_z_dim_sql(QC_DIM)} * 1000000 + 0.5) / 1000000 AS score
+      FROM qsurv f CROSS JOIN qit{QC_ITERS} w
+    ),
+    qranked AS (
+      SELECT doc_id, score,
+             percent_rank() OVER (ORDER BY score DESC, doc_id) AS pr
+      FROM qscored
+    )
+    SELECT doc_id, score,
+           CASE WHEN pr < {QC_KEEP} THEN 1 ELSE 0 END AS kept
+    FROM qranked
+    """
+
+
+@query("pipeline_quality_classifier", oracle=_qc_oracle())
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as the funnel's NEXT stage (the
+    FineWeb-edu pattern): train a logistic-regression quality
+    classifier on weak curated-vs-raw labels (curated = Gopher-rule
+    pass — the silver-label trick CCNet/fastText pipelines use),
+    features = {QC_DIM} hashed token buckets (the text_feature_hashing
+    trick: no vocabulary build, the feature id is a pure function of
+    the token), then score the funnel's stage-4 survivors and keep the
+    top {QC_KEEP:.0%} by score percentile. Output: one row per
+    survivor with the r6 score and the keep flag.
+
+    Scale shape: feature build is explode → map-side hash → one
+    partially-aggregable groupBy; training reduces the corpus to
+    {QC_DIM}+2 scalars per iteration (integer-quantized gradient sums
+    — the ml_logreg_train doctrine); scoring is a pure projection with
+    the weights as literals (broadcast-free inference); the percentile
+    is one global window over survivor-count rows (bounded: survivors
+    ≪ corpus; at production scale use an approx-quantile cut instead
+    of rank — documented trade, same contract as the funnel's tercile
+    window). The oracle replays features, every GD iteration, scoring
+    and the threshold in one generated CTE chain."""
+    from mercurygate_spark.operators.logreg import train_dim
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    from mercurygate_spark.queries.text import gopher_frame
+
+    labels = gopher_frame(d).select(
+        "doc_id", F.col("gopher_pass").cast("int").alias("y")
+    )
+    feats = _qc_feature_frame(d)
+    train_feat = feats.join(labels, "doc_id").cache()
+    try:
+        w = train_dim(train_feat, QC_DIM, QC_ITERS)[-1]
+    finally:
+        train_feat.unpersist()
+    surv = funnel_stage_ids(d)["s3"]
+    z = F.lit(w[0])
+    for j in range(1, QC_DIM + 1):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    scored = feats.join(surv, "doc_id").select(
+        "doc_id",
+        (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("score"),
+    )
+    pr = F.percent_rank().over(
+        Window.orderBy(F.col("score").desc(), "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "score",
+        F.when(pr < QC_KEEP, 1).otherwise(0).alias("kept"),
     )
 
 

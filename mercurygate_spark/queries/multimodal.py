@@ -681,6 +681,45 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_HAM_MAX = 3
 
 
+def phash_halves(docs: DataFrame) -> DataFrame:
+    """(doc_id, hi, lo) — the synthetic-PNG build → decode → aHash64
+    round trip as one Arrow pass, hash split into two 32-bit longs for
+    popcount Hamming. Eagerly checkpointed: the decode+hash pass must
+    run once, not once per downstream branch (the dedup_winnowing
+    doctrine); 24 bytes/doc. Shared by multimodal_phash_dedup and
+    multimodal_pair_dedup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mercurygate_spark.operators.multimodal import (
+        ahash64,
+        build_png,
+        decode_png_gray,
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payload = build_png(8 + d % 16, 8 + d % 12, d % 251)
+                decoded = decode_png_gray(payload)
+                assert decoded is not None
+                w, h, pix = decoded
+                rows.append((d, ahash64(w, h, pix)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = docs.select("doc_id").mapInPandas(
+        roundtrip, schema="doc_id long, phash string"
+    )
+    return hashed.select(
+        "doc_id",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("lo"),
+    ).localCheckpoint(eager=True)
+
+
 @query(
     "multimodal_phash_dedup",
     oracle=f"""
@@ -766,40 +805,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode+hash Arrow pass runs exactly once (checkpointed
     24-byte/doc halves frame); every shuffle carries ids + 8-byte
     hash halves, never pixels."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from mercurygate_spark.operators.multimodal import (
-        ahash64,
-        build_png,
-        decode_png_gray,
-    )
-
     t = load_tables(spark, sf_dir, "documents")
-
-    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                payload = build_png(8 + d % 16, 8 + d % 12, d % 251)
-                decoded = decode_png_gray(payload)
-                assert decoded is not None
-                w, h, pix = decoded
-                rows.append((d, ahash64(w, h, pix)))
-            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
-
-    hashed = t["documents"].select("doc_id").mapInPandas(
-        roundtrip, schema="doc_id long, phash string"
-    )
-    # checkpoint: the decode+hash pass must run once, not once per
-    # downstream branch (the dedup_winnowing doctrine); 24 bytes/doc
-    halves = hashed.select(
-        "doc_id",
-        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("lo"),
-    ).localCheckpoint(eager=True)
+    halves = phash_halves(t["documents"])
 
     dh = halves.groupBy("hi", "lo").agg(
         F.count("*").alias("mult"), F.min("doc_id").alias("min_doc")
@@ -873,4 +880,96 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("near_min", "same_min"),
         ).alias("nearest_partner"),
         (F.col("n_near_dups") > 0).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-text pair dedup (VERDICT r12 next #6): the LAION-style
+# cross-modal rule — a (caption, image) pair is a duplicate of an
+# earlier pair only when BOTH modalities match: caption MinHash-LSH
+# near-dup AND image phash Hamming ≤ PHASH_HAM_MAX. Composition is the
+# load-bearing design: text LSH generates the candidate pairs (bucket
+# joins only), the image check is a per-pair popcount VERIFICATION
+# (two equi-joins to the 24-byte/doc halves frame) — there is no phash
+# self-join at all, so the saturated-identical-phash quadratic the
+# phash-dedup key had to engineer around never exists here. Recall is
+# the text-LSH band recall (the accepted dedup_minhash_lsh contract).
+# ---------------------------------------------------------------------------
+
+
+def _pair_dedup_oracle() -> str:
+    from mercurygate_spark.operators.dedup import duck_minhash_pairs_sql
+
+    return f"""
+    WITH {_DUCK_PHASH_CTES},
+    tp AS MATERIALIZED (SELECT * FROM ({duck_minhash_pairs_sql()})),
+    cross_dup AS (
+      SELECT tp.id_a, tp.id_b
+      FROM tp
+      JOIN halves a ON a.doc_id = tp.id_a
+      JOIN halves b ON b.doc_id = tp.id_b
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              <= {PHASH_HAM_MAX}
+    ),
+    dupinfo AS (
+      SELECT id_b AS doc_id, CAST(count(*) AS BIGINT) AS n_cross_dups,
+             min(id_a) AS dup_of
+      FROM cross_dup GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(i.n_cross_dups, 0) AS BIGINT) AS n_cross_dups,
+           i.dup_of,
+           (i.dup_of IS NULL) AS kept
+    FROM documents d LEFT JOIN dupinfo i USING (doc_id)
+    """
+
+
+@query("multimodal_pair_dedup", oracle=_pair_dedup_oracle())
+def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired image-text manifest dedup (LAION-style): each document
+    is a (caption=text, image=doc-derived PNG) pair; a pair is dropped
+    when an EARLIER (smaller doc_id) pair matches on BOTH modalities —
+    caption near-dup by the MinHash-LSH banding (the exact
+    dedup_minhash_lsh pipeline) AND image near-dup by popcount Hamming
+    ≤ {PHASH_HAM_MAX} over the aHash64 halves. Output: the full
+    manifest — every doc with its cross-modal duplicate degree, the
+    earliest pair it duplicates (NULL if none) and the keep flag.
+
+    Scale shape: the ONLY joins are the MinHash band-bucket equi join
+    (never all-pairs; pinned) and two id-equi joins hanging the
+    24-byte hash halves onto each candidate pair for a codegen
+    popcount filter — the image side never self-joins, so identical-
+    image saturation (the phash-dedup key's measured 17× quadratic)
+    cannot occur here by construction. Everything shuffles ids +
+    8-byte halves, never pixels or text."""
+    from mercurygate_spark.operators.dedup import minhash_candidate_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    pairs = minhash_candidate_pairs(d, "doc_id").select("id_a", "id_b")
+    halves = phash_halves(d)
+    ha = halves.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = halves.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    cross_dup = (
+        pairs.join(ha, "id_a").join(hb, "id_b").where(ham <= PHASH_HAM_MAX)
+    )
+    dupinfo = cross_dup.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count("*").alias("n_cross_dups"), F.min("id_a").alias("dup_of")
+    )
+    return d.select("doc_id").join(dupinfo, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_cross_dups", F.lit(0)).cast("long").alias("n_cross_dups"),
+        "dup_of",
+        F.col("dup_of").isNull().alias("kept"),
     )

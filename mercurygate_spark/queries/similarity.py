@@ -2242,26 +2242,51 @@ def sample_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
       doctrine), so round r never replays rounds 1..r-1.
     Round count is K/B — decoupled from K — and per-round cost is one
     corpus pass regardless of how many centers are already selected
-    (the probe evidence: docs/scale_probe_r12.json)."""
+    (the probe evidence: docs/scale_probe_r12.json). Exclusion of
+    already-picked points is STATE-CARRIED (VERDICT r12 next #4):
+    picked rows get a min_d = -1 sentinel inside the same least()
+    projection and the pick filter is ``min_d >= 0`` — the logical
+    plan never grows a K-length IN-list (at production K in the
+    thousands the old ``~isin(*picked_ids)`` bloated the plan itself;
+    now each round's plan mentions at most B id literals, pinned flat
+    by tests/test_kcenter_plan_flat.py)."""
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"].select("vec_id", "embedding")
+    rows = _kcenter_batched_rows(spark, e, KCB_B, KCB_ROUNDS)
+    return spark.createDataFrame(
+        rows, schema="rnd int, vec_id long, coverage_dist double"
+    )
+
+
+def _kcenter_batched_rows(
+    spark: SparkSession,
+    e: DataFrame,
+    b: int,
+    rounds: int,
+    plan_sizes: list | None = None,
+) -> list:
+    """Core batched-greedy loop (shared by the key and the plan-flat
+    probe). Cosine distance is ≥ 0, so the -1 sentinel survives every
+    subsequent least() fold automatically — one when() per round over
+    exactly this round's B ids keeps exclusion out of the plan."""
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     seed_emb = [float(x) for x in seed["embedding"]]
     rows = [(0, int(seed["vec_id"]), 0.0)]
-    picked_ids = {int(seed["vec_id"])}
     state = e.withColumn(
-        "min_d", r6(F.lit(1.0) - cosine(F.col("embedding"), F.lit(seed_emb)))
+        "min_d",
+        F.when(F.col("vec_id") == int(seed["vec_id"]), F.lit(-1.0)).otherwise(
+            r6(F.lit(1.0) - cosine(F.col("embedding"), F.lit(seed_emb)))
+        ),
     ).localCheckpoint(eager=True)
-    for rnd in range(1, KCB_ROUNDS + 1):
-        picks = (
-            state.where(~F.col("vec_id").isin(*picked_ids))
-            .orderBy(F.col("min_d").desc(), "vec_id")
-            .limit(KCB_B)
-            .collect()  # bounded by construction: exactly B rows/round
-        )
+    for rnd in range(1, rounds + 1):
+        pick_df = state.where(F.col("min_d") >= 0).orderBy(
+            F.col("min_d").desc(), "vec_id"
+        ).limit(b)
+        if plan_sizes is not None:
+            plan_sizes.append(pick_df._jdf.queryExecution().toString())
+        picks = pick_df.collect()  # bounded by construction: B rows/round
         rows += [(rnd, int(p["vec_id"]), float(p["min_d"])) for p in picks]
-        picked_ids |= {int(p["vec_id"]) for p in picks}
-        if rnd == KCB_ROUNDS:
+        if rnd == rounds or not picks:
             break
         new_dists = [
             r6(
@@ -2273,12 +2298,14 @@ def sample_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for p in picks
         ]
+        round_ids = [int(p["vec_id"]) for p in picks]  # B literals, not K
         state = state.withColumn(
-            "min_d", F.least(F.col("min_d"), *new_dists)
+            "min_d",
+            F.when(F.col("vec_id").isin(round_ids), F.lit(-1.0)).otherwise(
+                F.least(F.col("min_d"), *new_dists)
+            ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        rows, schema="rnd int, vec_id long, coverage_dist double"
-    )
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -2441,11 +2468,30 @@ def sim_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_graph_serve(spark, e, cmat)
 
 
+# test hook (tests/test_plans.py::test_ivf_graph_scores_delta_only):
+# when a list, _ivf_graph_serve's score() appends the analyzed plan of
+# every frame it is asked to score — the pin that hops score only the
+# anti-joined delta, never the full visited set
+_GRAPH_SCORE_TRACE: list | None = None
+
+
 def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
     """The shared beam-search serve path: assign to cmat's lists,
     build the per-list graph, walk it. cmat decides the list count —
     the fixed key trains N_CENTROIDS, the scaled key a count-derived
-    power of two."""
+    power of two.
+
+    Frontier-DELTA scoring (VERDICT r12 next #3): the visited frame
+    carries its cosine, so each hop scores ONLY the newly discovered
+    neighbors (anti-join against the visited set) and unions them in —
+    the old shape re-scored the entire visited set every hop (3×
+    redundant cosine work at hops·beam·degree). The visited frame
+    localCheckpoints per hop: it is referenced three times per hop
+    (seen-check, union, frontier cut), so without materialization the
+    single final job re-evaluates hop i's subtree 3^(H-i) times.
+    Scores are bit-identical to the oracle's unrolled replay — only
+    WHEN each (query, candidate) pair is scored changes, never the
+    value (pinned by tests/test_plans.py::test_ivf_graph_scores_delta_only)."""
     from mercurygate_spark.operators.similarity import (
         GRAPH_B,
         GRAPH_HOPS,
@@ -2491,6 +2537,10 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
     )
 
     def score(cands: DataFrame) -> DataFrame:
+        if _GRAPH_SCORE_TRACE is not None:  # test hook: what gets scored
+            _GRAPH_SCORE_TRACE.append(
+                cands._jdf.queryExecution().analyzed().toString()
+            )
         return (
             cands.join(q.select("query_id", "qv"), "query_id")
             .join(cand_vecs, "cand_id")
@@ -2503,6 +2553,7 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
         )
 
     frontier = v
+    vs = score(v).localCheckpoint(eager=True)  # visited WITH carried cos
     w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
     for _ in range(GRAPH_HOPS):
         g = edges.select(
@@ -2517,14 +2568,17 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
             .select("query_id", "centroid_id", F.col("neighbor_id").alias("cand_id"))
             .distinct()
         )
-        v = v.unionByName(nbrs).distinct()
+        # score ONLY the unseen delta; seen rows keep their carried cos
+        new = nbrs.join(
+            vs.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        vs = vs.unionByName(score(new)).localCheckpoint(eager=True)
         frontier = (
-            score(v)
-            .withColumn("rn", F.row_number().over(w_q))
+            vs.withColumn("rn", F.row_number().over(w_q))
             .where(F.col("rn") <= GRAPH_B)
             .select("query_id", "centroid_id", "cand_id")
         )
-    final = score(v).where(F.col("cand_id") != F.col("query_id"))
+    final = vs.where(F.col("cand_id") != F.col("query_id"))
     return (
         final.withColumn("rk", F.row_number().over(w_q))
         .where(F.col("rk") <= GRAPH_TOPK)
@@ -2601,6 +2655,106 @@ def _multi_scaled_oracle() -> str:
     )
     SELECT vec_id_a, vec_id_b, cos FROM scored WHERE cos >= {RANGE_TAU}
     """
+
+
+def _recall_held_oracle() -> str:
+    """Both derivations replayed: np from count(*) (integer CASE), T
+    from np (integer CASE with Python-precomputed values), buckets as
+    np-char prefixes of each table's seeded 16-bit string, tables cut
+    by t < T. Identical pair/score/radius chain to the multi key."""
+    from mercurygate_spark.operators.similarity import (
+        OCC_MAX_PLANES,
+        RH_T_MAX,
+        duck_bucket_sql_seeded,
+        duck_scaled_np_sql,
+        duck_tables_for_recall_sql,
+    )
+
+    table_cases = " ".join(
+        f"WHEN {t} THEN substr({duck_bucket_sql_seeded('embedding', f't{t}', OCC_MAX_PLANES)}, 1, (SELECT np FROM par))"
+        for t in range(RH_T_MAX)
+    )
+    vals = ", ".join(f"({t})" for t in range(RH_T_MAX))
+    return f"""
+    WITH par AS MATERIALIZED (SELECT {duck_scaled_np_sql('embeddings')} AS np),
+    tpar AS MATERIALIZED (SELECT {duck_tables_for_recall_sql('SELECT np FROM par')} AS tt),
+    b AS MATERIALIZED (
+      SELECT vec_id, embedding, t.t AS lsh_table,
+             CASE t.t {table_cases} END AS bucket
+      FROM embeddings, (VALUES {vals}) AS t(t)
+      WHERE t.t < (SELECT tt FROM tpar)
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS vec_id_a, c.vec_id AS vec_id_b
+      FROM b q JOIN b c
+        ON q.lsh_table = c.lsh_table AND q.bucket = c.bucket
+       AND q.vec_id < c.vec_id
+    ), scored AS (
+      SELECT cand.vec_id_a, cand.vec_id_b,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               4) AS cos
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.vec_id_a
+      JOIN embeddings c ON c.vec_id = cand.vec_id_b
+    )
+    SELECT vec_id_a, vec_id_b, cos FROM scored WHERE cos >= {RANGE_TAU}
+    """
+
+
+@query("sim_range_search_recall_held", oracle=_recall_held_oracle())
+def sim_range_search_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search with recall HELD as the corpus grows — the
+    composition VERDICT r12 next #2 asked for, completing the dial
+    story: n_planes = scaled_n_planes(count) keeps expected bucket
+    occupancy (per-row COST) constant, and n_tables =
+    tables_for_recall(n_planes) inverts the validated collision model
+    so a near-duplicate pair (cosine ≥ RH_C_STAR) keeps ≥ RH_TARGET
+    union recall at ANY corpus size — instead of the decay the
+    occupancy dial alone measured (docs/range_recall_r12.json).
+
+    The price is the theory's, stated not hidden: T grows ≈ N^0.15 at
+    the c*=0.95 design point, so the 10× probe pays ~1.4× over linear
+    (scripts/range_recall_held_probe.py measures BOTH the held recall
+    on planted near-dup pairs and that cost exponent). Both
+    derivations are integer CASE chains in the oracle — the float
+    model runs once, in Python, shared by both engines.
+
+    Scale shape: identical to sim_range_search_multi_scaled — one
+    Arrow pass emits T× bucket rows, (table, bucket)-equi self-join,
+    pair-dedupe before the cosine, pushed radius filter."""
+    from mercurygate_spark.operators.similarity import (
+        lsh_bucket_multi,
+        scaled_n_planes,
+        tables_for_recall,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    np_ = scaled_n_planes(e.count())
+    n_tables = tables_for_recall(np_)
+    b = lsh_bucket_multi(e, "vec_id", "embedding", n_tables, np_)
+    q = b.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"),
+        "lsh_table", "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"),
+        "lsh_table", "bucket",
+    )
+    pairs = (
+        q.join(c, ["lsh_table", "bucket"])
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    scored = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        (
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
+        ).alias("cos"),
+    )
+    return scored.where(F.col("cos") >= RANGE_TAU)
 
 
 @query("sim_range_search_multi_scaled", oracle=_multi_scaled_oracle())

@@ -688,18 +688,30 @@ def _stream_scd2_oracle() -> str:
     return _scd2_oracle()
 
 
+# test knob: explicit arrival permutation for the SCD2 generations
+# (None = schedule order); tests/test_streaming_scd2_ordering.py sets
+# it to a reversed/shuffled order to pin arrival-order independence
+_SCD2_ARRIVAL_ORDER: list | None = None
+
+
 @query("stream_scd2_upsert", oracle=_stream_scd2_oracle())
 def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous SCD2 ingest: the three snapshot generations land as
     separate files (one per generation, mtime-ordered,
     maxFilesPerTrigger=1 → one micro-batch each) carrying a `g`
-    column; foreachBatch splits each arriving batch by generation IN
-    ORDER (robust to trigger coalescing — if two generations land in
-    one batch they still merge sequentially) and applies
-    pipeline/silver.py:merge_upsert_scd2 per generation, exactly as
-    the batch sink key does. The returned history must hash-match the
-    same declarative oracle as sink_scd2_history: streaming arrival
-    cannot change the history a snapshot schedule produces.
+    column; foreachBatch STAGES each arriving generation to its own
+    parquet dir (a distributed write — no rows cross the driver) and
+    then drains merges in EXPLICIT ascending-g schedule order: a
+    generation merges only once every earlier generation in the known
+    schedule has arrived and merged (ADVICE r12 — cross-batch
+    ordering must not hang off file mtimes, which a source may list
+    tied or at truncated granularity; mtime here only shapes the
+    micro-batching, never correctness). Out-of-order or coalesced
+    arrival therefore produces the identical history, pinned by
+    tests/test_streaming_scd2_ordering.py. The returned history must
+    hash-match the same declarative oracle as sink_scd2_history:
+    streaming arrival cannot change the history a snapshot schedule
+    produces.
 
     Scale shape: per batch, the SCD2 merge's pinned shape (one
     pk-shuffle full-outer against the open rows, closed partition
@@ -727,7 +739,12 @@ def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
     now = time.time()
-    for g in sorted(_SCD2_TS):
+    # arrival permutation: schedule order by default; tests override
+    # the module knob to pin that OUT-OF-ORDER arrival yields the
+    # identical history (ordering is drained explicitly below, never
+    # inferred from mtime)
+    arrival = _SCD2_ARRIVAL_ORDER or sorted(_SCD2_TS)
+    for pos, g in enumerate(arrival):
         gen_dir = os.path.join(base, f"gen{g}")
         scd2_generation(cust, g).withColumn("g", F.lit(g)).coalesce(1).write.mode(
             "overwrite"
@@ -737,9 +754,9 @@ def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dst = os.path.join(src_dir, f"gen{g}.parquet")
         shutil.copy(os.path.join(gen_dir, part), dst)
-        # mtime encodes arrival order — the file source lists by
-        # modification time, so generations trigger in schedule order
-        os.utime(dst, (now + g, now + g))
+        # mtime shapes micro-batching only (arrival realism); merge
+        # order is drained from the explicit schedule regardless
+        os.utime(dst, (now + pos, now + pos))
         shutil.rmtree(gen_dir, ignore_errors=True)
 
     schema = spark.read.parquet(src_dir).schema
@@ -750,12 +767,24 @@ def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src_dir)
     )
 
+    schedule = sorted(_SCD2_TS)  # the known snapshot schedule, ascending
+    staged: set = set()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        gens = sorted(
+        arrived = sorted(
             r["g"] for r in batch_df.select("g").distinct().collect()
         )  # bounded: ≤3 generation tags
-        for g in gens:
-            inc = batch_df.where(F.col("g") == g).select("c_custkey", "bal")
+        for g in arrived:
+            batch_df.where(F.col("g") == g).select(
+                "c_custkey", "bal"
+            ).write.mode("overwrite").parquet(
+                os.path.join(base, f"staged_g{g}")
+            )
+            staged.add(g)
+        # drain: merge every schedule-prefix generation that has arrived
+        while schedule and schedule[0] in staged:
+            g = schedule.pop(0)
+            inc = spark.read.parquet(os.path.join(base, f"staged_g{g}"))
             merge_upsert_scd2(
                 spark, inc, ["c_custkey"], ["bal"], table, _SCD2_TS[g]
             )
@@ -767,6 +796,7 @@ def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    assert not schedule, f"generations never arrived: {schedule}"
     hist = spark.read.parquet(table).select(
         "c_custkey", "bal", "valid_from", "valid_to", "is_current"
     )

@@ -243,6 +243,49 @@ def test_scd2_replay_is_idempotent(spark, tmp_path):
     }
 
 
+def test_scd2_duplicate_pk_incoming_keeps_one_open_row(spark, tmp_path):
+    """ADVICE r12: a duplicate-pk incoming batch must NOT fan out the
+    full-outer join — it is reduced to one row per key BEFORE the
+    merge, so the ≤1-open-row invariant holds. With order_by the
+    winner is the order_by-max row; replaying the deduped equivalent
+    snapshot yields the identical history."""
+    from mercurygate_spark.pipeline.silver import merge_upsert_scd2
+
+    p = tmp_path / "scd2dup"
+    inc = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1), (2, "c", 1)],
+        "k long, v string, seq long",
+    )
+    hist = merge_upsert_scd2(
+        spark, inc, ["k"], ["v"], str(p), "t1", order_by=["seq"]
+    )
+    got = _hist_set(hist.drop("seq")) if "seq" in hist.columns else _hist_set(hist)
+    assert got == {(1, "b", "t1", None, True), (2, "c", "t1", None, True)}
+    # second generation with dupes again: key 1 flips back to "a"
+    inc2 = spark.createDataFrame(
+        [(1, "a", 3), (1, "a", 4), (2, "c", 3)], "k long, v string, seq long"
+    )
+    hist2 = merge_upsert_scd2(
+        spark, inc2, ["k"], ["v"], str(p), "t2", order_by=["seq"]
+    )
+    assert _hist_set(hist2) == {
+        (1, "b", "t1", "t2", False),
+        (1, "a", "t2", None, True),
+        (2, "c", "t1", None, True),
+    }
+    # ≤1 open row per key even without order_by (deterministic md5 pick)
+    p2 = tmp_path / "scd2dup2"
+    inc3 = spark.createDataFrame([(7, "x"), (7, "y")], "k long, v string")
+    h = _hist_set(merge_upsert_scd2(spark, inc3, ["k"], ["v"], str(p2), "t1"))
+    open_rows = [r for r in h if r[4]]
+    assert len(open_rows) == 1 and open_rows[0][0] == 7
+    # and the pick is stable across replays (an md5 winner flip at t2
+    # would close the t1 row and open a new one)
+    h2 = _hist_set(merge_upsert_scd2(spark, inc3, ["k"], ["v"], str(p2), "t2"))
+    assert sum(1 for r in h2 if r[4]) == 1
+    assert h2 == h
+
+
 def test_scd2_structural_invariants_random(spark, tmp_path):
     """Randomized generations vs structural invariants: ≤1 open row
     per key; spans ordered and non-overlapping per key (valid_from <

@@ -628,6 +628,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "window_moving_median",
     # final-vocab ranking over the piece-usage agg (≤ Σ 36^l pieces)
     "text_unigram_train",
+    # score percentile over the funnel's stage-4 survivors (≪ corpus;
+    # production swaps the rank window for an approx-quantile cut —
+    # documented in the key's docstring)
+    "pipeline_quality_classifier",
 }
 
 _GLOBAL_WINDOW_PASS_THROUGH = {
@@ -1039,3 +1043,23 @@ def test_pii_redact_is_shuffle_free_map_pass(spark):
     # codegen stage marker: "WholeStageCodegen" in formatted mode,
     # the "*(n)" prefix in simple mode — accept either
     assert "WholeStageCodegen" in s or "*(" in s
+
+
+def test_ivf_graph_scores_delta_only(spark):
+    """VERDICT r12 next #3: the graph-ANN serve must score only the
+    frontier DELTA each hop. The trace hook records the analyzed plan
+    of every frame score() receives: exactly 1 + GRAPH_HOPS calls
+    (entries once, then one per hop), and every hop call's input is
+    the anti-join of new neighbors against the visited set — never the
+    raw visited union the old shape re-scored."""
+    from mercurygate_spark.operators.similarity import GRAPH_HOPS
+    from mercurygate_spark.queries import similarity as sim
+
+    sim._GRAPH_SCORE_TRACE = trace = []
+    try:
+        all_queries()["sim_ivf_graph_topk"](spark, SF).collect()
+    finally:
+        sim._GRAPH_SCORE_TRACE = None
+    assert len(trace) == 1 + GRAPH_HOPS, len(trace)
+    for hop_plan in trace[1:]:
+        assert "LeftAnti" in hop_plan, hop_plan[:1500]
