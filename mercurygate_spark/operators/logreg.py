@@ -256,7 +256,7 @@ def duck_logreg_cte_dim(
     zero = ", ".join(f"CAST(0 AS DOUBLE) AS w{j}" for j in range(dim + 1))
     parts = [
         f"{p}feat AS MATERIALIZED (SELECT * FROM ({feat_sql}))",
-        f"{p}it0 AS (SELECT {zero})",
+        f"{p}it0 AS MATERIALIZED (SELECT {zero})",
     ]
     xs = ["1"] + [f"f.x{j}" for j in range(1, dim + 1)]
     for i in range(1, iters + 1):
@@ -271,10 +271,16 @@ def duck_logreg_cte_dim(
             f"w.w{j} - {lr} * ((g.g{j} / g.n0) / {GQ}) AS w{j}"
             for j in range(dim + 1)
         )
+        # MATERIALIZED per iteration (the Lloyd-chain doctrine):
+        # it{i-1} is referenced twice per step (gradient + update), so
+        # an inlining planner would otherwise expand the chain 2^iters
+        # times — measured as a 900 s+ hang at iters=16
         parts.append(
-            f"{p}g{i} AS (SELECT {gsums} FROM {p}feat f CROSS JOIN {p}it{i - 1} w)"
+            f"{p}g{i} AS MATERIALIZED "
+            f"(SELECT {gsums} FROM {p}feat f CROSS JOIN {p}it{i - 1} w)"
         )
         parts.append(
-            f"{p}it{i} AS (SELECT {upd} FROM {p}g{i} g CROSS JOIN {p}it{i - 1} w)"
+            f"{p}it{i} AS MATERIALIZED "
+            f"(SELECT {upd} FROM {p}g{i} g CROSS JOIN {p}it{i - 1} w)"
         )
     return ",\n    ".join(parts)

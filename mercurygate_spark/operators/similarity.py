@@ -182,6 +182,7 @@ def lsh_bucket_multi(
     n_tables: int = N_TABLES,
     n_planes: int = N_PLANES_MULTI,
     out: str = "bucket",
+    sig_width: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH buckets: one output row per (input row, table)
     with the table's seeded bucket id. One Arrow pass computes all
@@ -197,13 +198,24 @@ def lsh_bucket_multi(
     the measure of that set is ~0, and the synthetic embeddings here
     never hit it; with n_tables×n_planes bits the exposure multiplies,
     so if bucket hashes ever diverge between engines, check for
-    near-zero projections before anything else."""
+    near-zero projections before anything else.
+
+    ``sig_width``: compute the signature at this FIXED width and emit
+    the n_planes-char prefix as the bucket (the prefix property: plane
+    p's signs depend only on p). The count-dialed radius keys pass
+    OCC_MAX_PLANES — the production pattern: the stored signature is
+    the dial ceiling's, so it survives every count-driven width change
+    without recompute, and per-row signature cost is independent of
+    the dial (otherwise a 10× probe measures the np growth itself —
+    2.2× at toy scale where the Arrow pass dominates)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+    width = sig_width or n_planes
+    assert width >= n_planes, (width, n_planes)
     in_schema = df.select(id_col, vec_col).schema
     schema = StructType(
         list(in_schema.fields)
@@ -218,7 +230,7 @@ def lsh_bucket_multi(
             vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if signs is None:
                 signs = [
-                    seeded_signs(f"t{t}", n_planes, vecs.shape[1])
+                    seeded_signs(f"t{t}", width, vecs.shape[1])
                     for t in range(n_tables)
                 ]
             frames = []
@@ -227,7 +239,8 @@ def lsh_bucket_multi(
                 part = pdf[[id_col, vec_col]].copy()
                 part["lsh_table"] = t
                 part[out] = [
-                    "".join("1" if b else "0" for b in row) for row in bits
+                    "".join("1" if b else "0" for b in row[:n_planes])
+                    for row in bits
                 ]
                 frames.append(part)
             yield pd.concat(frames, ignore_index=True)

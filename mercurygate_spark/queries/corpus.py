@@ -814,18 +814,28 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum, a weight update, a rank tie) flips the hash.
 # ---------------------------------------------------------------------------
 
-QC_DIM = 8     # hashed feature buckets (feature-hashing trick, small width)
-QC_ITERS = 6   # full-batch GD iterations
-QC_KEEP = 0.5  # survivor fraction kept by classifier percentile
+QC_DIM = 8      # hashed feature buckets (feature-hashing trick, small width)
+QC_NFEAT = QC_DIM + 3  # + the 3 structural quality stats (len/tokens/stop)
+QC_ITERS = 16   # full-batch GD iterations
+QC_LR = 1.0     # power of two: scaling by it is exact
+QC_KEEP = 0.5   # survivor fraction kept by classifier percentile
 
 
 def _qc_feature_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, x1..x{QC_DIM}) — per-doc hashed-bucket token-count
-    ratios: x_{j+1} = count(tokens hashing to bucket j) / n_tokens.
-    Exact int counts, one exact double division per feature — the two
-    engines can't disagree. Docs with zero tokens have no rows (the
-    explode yields nothing), matching the oracle's unnest."""
+    """(doc_id, x1..x{QC_NFEAT}) — per-doc hashed-bucket token-count
+    ratios (x_{j+1} = count(tokens hashing to bucket j) / n_tokens)
+    plus the three structural quality stats the distillation keys use
+    (char_len/1000, n_tokens/100, stopword ratio — logreg.feature_frame).
+    Both halves matter: the structural stats carry the curated-vs-raw
+    signal (measured: buckets alone sit AT the majority baseline,
+    hybrid reaches 0.86-0.91 accuracy), the hashed buckets give the
+    classifier lexical correction — the fastText + handcrafted-stats
+    hybrid real quality pipelines ship. Exact int counts, one exact
+    double division per feature — the two engines can't disagree.
+    Docs with zero tokens have no rows (the explode yields nothing),
+    matching the oracle's unnest."""
     from mercurygate_spark.functions import md5_long, tokens
+    from mercurygate_spark.operators.logreg import feature_frame
 
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     b = tok.select(
@@ -838,7 +848,7 @@ def _qc_feature_frame(d: DataFrame) -> DataFrame:
             for j in range(QC_DIM)
         ],
     )
-    return cn.select(
+    hashed = cn.select(
         "doc_id",
         *[
             (F.col(f"c{j}").cast("double") / F.col("n").cast("double")).alias(
@@ -847,10 +857,18 @@ def _qc_feature_frame(d: DataFrame) -> DataFrame:
             for j in range(QC_DIM)
         ],
     )
+    struct = feature_frame(d).select(
+        "doc_id",
+        F.col("x1").alias(f"x{QC_DIM + 1}"),
+        F.col("x2").alias(f"x{QC_DIM + 2}"),
+        F.col("x3").alias(f"x{QC_DIM + 3}"),
+    )
+    return hashed.join(struct, "doc_id")
 
 
 def _qc_oracle() -> str:
     from mercurygate_spark.operators.logreg import (
+        DUCK_FEAT_SQL,
         duck_logreg_cte_dim,
         duck_z_dim_sql,
     )
@@ -872,9 +890,11 @@ def _qc_oracle() -> str:
     feat_sql = (
         "SELECT c.doc_id, CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y, "
         + xs
+        + f", s.x1 AS x{QC_DIM + 1}, s.x2 AS x{QC_DIM + 2}, s.x3 AS x{QC_DIM + 3}"
         + " FROM qcnt c LEFT JOIN gpass g USING (doc_id)"
+        + f" JOIN ({DUCK_FEAT_SQL}) s USING (doc_id)"
     )
-    xlist = ", ".join(f"x{j + 1}" for j in range(QC_DIM))
+    xlist = ", ".join(f"x{j + 1}" for j in range(QC_NFEAT))
     # the funnel's survivor chain, verbatim (same CTE text as
     # _funnel_oracle) — the classifier scores EXACTLY those docs
     return f"""
@@ -924,13 +944,13 @@ def _qc_oracle() -> str:
       FROM qtok
     ),
     qcnt AS (SELECT doc_id, count(*) AS n, {bucket_sums} FROM qb GROUP BY doc_id),
-    {duck_logreg_cte_dim(feat_sql, QC_DIM, QC_ITERS)},
+    {duck_logreg_cte_dim(feat_sql, QC_NFEAT, QC_ITERS, QC_LR)},
     qsurv AS (
       SELECT f.doc_id, {xlist} FROM qfeat f JOIN s3 USING (doc_id)
     ),
     qscored AS (
       SELECT f.doc_id,
-             floor({duck_z_dim_sql(QC_DIM)} * 1000000 + 0.5) / 1000000 AS score
+             floor({duck_z_dim_sql(QC_NFEAT)} * 1000000 + 0.5) / 1000000 AS score
       FROM qsurv f CROSS JOIN qit{QC_ITERS} w
     ),
     qranked AS (
@@ -978,12 +998,12 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _qc_feature_frame(d)
     train_feat = feats.join(labels, "doc_id").cache()
     try:
-        w = train_dim(train_feat, QC_DIM, QC_ITERS)[-1]
+        w = train_dim(train_feat, QC_NFEAT, QC_ITERS, QC_LR)[-1]
     finally:
         train_feat.unpersist()
     surv = funnel_stage_ids(d)["s3"]
     z = F.lit(w[0])
-    for j in range(1, QC_DIM + 1):
+    for j in range(1, QC_NFEAT + 1):
         z = z + F.lit(w[j]) * F.col(f"x{j}")
     scored = feats.join(surv, "doc_id").select(
         "doc_id",

@@ -2730,10 +2730,14 @@ def sim_range_search_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables_for_recall,
     )
 
+    from mercurygate_spark.operators.similarity import OCC_MAX_PLANES
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     np_ = scaled_n_planes(e.count())
     n_tables = tables_for_recall(np_)
-    b = lsh_bucket_multi(e, "vec_id", "embedding", n_tables, np_)
+    b = lsh_bucket_multi(
+        e, "vec_id", "embedding", n_tables, np_, sig_width=OCC_MAX_PLANES
+    )
     q = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"),
         "lsh_table", "bucket",
@@ -2781,9 +2785,13 @@ def sim_range_search_multi_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
         scaled_n_planes,
     )
 
+    from mercurygate_spark.operators.similarity import OCC_MAX_PLANES
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     np_ = scaled_n_planes(e.count())
-    b = lsh_bucket_multi(e, "vec_id", "embedding", N_TABLES, np_)
+    b = lsh_bucket_multi(
+        e, "vec_id", "embedding", N_TABLES, np_, sig_width=OCC_MAX_PLANES
+    )
     q = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"),
         "lsh_table", "bucket",

@@ -132,11 +132,16 @@ def main() -> None:
         "centroid_id", "vec_id", fcos(F.col("embedding"), F.col("cvec")).alias("cc")
     )
     w_e = Window.partitionBy("centroid_id").orderBy(F.col("cc").desc(), "vec_id")
-    entry = (
-        c2c.withColumn("rn", F.row_number().over(w_e))
-        .where(F.col("rn") == 1)
-        .select("centroid_id", F.col("vec_id").alias("cand_id"))
-    )
+    ranked_entries = c2c.withColumn("rn", F.row_number().over(w_e))
+
+    def entries(e_count: int):
+        """Top-E most-central members per list as walk entries — the
+        multi-entry recall dial (VERDICT r12 next #3): E seeds give the
+        beam E independent basins to escape a bad entry's neighborhood."""
+        return ranked_entries.where(F.col("rn") <= e_count).select(
+            "centroid_id", F.col("vec_id").alias("cand_id")
+        )
+
     edges = ivf_list_knn_graph(lists).localCheckpoint(eager=True)
     q = lists.where(F.col("vec_id") < N_Q).select(
         F.col("vec_id").alias("query_id"),
@@ -173,20 +178,28 @@ def main() -> None:
     ]
     edges8 = ivf_list_knn_graph(lists, g=8).localCheckpoint(eager=True)
     grid = (
-        (edges, GRAPH_G, 4, 2),
-        (edges, GRAPH_G, 8, 2),
-        (edges, GRAPH_G, 8, 3),
-        (edges, GRAPH_G, 16, 3),
-        (edges8, 8, 8, 3),
-        (edges8, 8, 16, 3),
+        (edges, GRAPH_G, 4, 2, 1),
+        (edges, GRAPH_G, 8, 2, 1),
+        (edges, GRAPH_G, 8, 3, 1),
+        (edges, GRAPH_G, 16, 3, 1),
+        (edges8, 8, 8, 3, 1),
+        (edges8, 8, 16, 3, 1),
+        # multi-entry dial (VERDICT r12 next #3): E central seeds per
+        # list — measures whether extra seeds buy recall the beam alone
+        # tops out on (r12 frontier: 0.22 vs flat 0.244)
+        (edges8, 8, 8, 3, 2),
+        (edges8, 8, 8, 3, 4),
+        (edges8, 8, 16, 3, 4),
     )
-    for edge_frame, g_deg, beam, hops in grid:
-        final, visited = graph_walk(q, lists, entry, edge_frame, beam, hops)
+    for edge_frame, g_deg, beam, hops, e_count in grid:
+        final, visited = graph_walk(
+            q, lists, entries(e_count), edge_frame, beam, hops
+        )
         got = topk_sets(final, ccol="cand_id")
         cands = visited.count() / N_Q
         rows.append(
             {
-                "config": f"graph walk G={g_deg} B={beam} hops={hops}",
+                "config": f"graph walk G={g_deg} B={beam} hops={hops} E={e_count}",
                 "recall": round(recall(got, truth), 3),
                 "cands_per_q": round(cands, 1),
             }

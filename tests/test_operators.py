@@ -1924,3 +1924,64 @@ def test_scaled_n_centroids_integer_thresholds():
     assert scaled_n_centroids(500) == 8
     assert scaled_n_centroids(2000) == 32
     assert scaled_n_centroids(20000) == 256
+
+
+def test_quality_classifier_is_the_funnels_next_stage(spark):
+    """pipeline_quality_classifier integration (VERDICT r12 next #5):
+    its scored population is EXACTLY the funnel's stage-4 survivors,
+    the kept fraction honors the QC_KEEP percentile (rank granularity
+    aside), and the classifier actually separates the curated-vs-raw
+    weak labels better than the majority baseline on its own training
+    population."""
+    from mercurygate_spark.queries.corpus import QC_KEEP, funnel_stage_ids
+
+    out = all_queries()["pipeline_quality_classifier"](spark, SF).collect()
+    assert out
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    survivors = {r["doc_id"] for r in funnel_stage_ids(docs)["s3"].collect()}
+    assert {r["doc_id"] for r in out} == survivors
+    kept = [r for r in out if r["kept"] == 1]
+    n = len(out)
+    # percent_rank < QC_KEEP keeps ceil((n-1)*QC_KEEP) rows (+the rank-0 row)
+    assert abs(len(kept) / n - QC_KEEP) <= 2 / n, (len(kept), n)
+    # kept docs are exactly the head of the (score DESC, doc_id) order
+    ordered = sorted(out, key=lambda r: (-r["score"], r["doc_id"]))
+    flags = [r["kept"] for r in ordered]
+    assert flags == sorted(flags, reverse=True), "kept set is not a rank prefix"
+
+
+def test_quality_classifier_learns_the_weak_label(spark):
+    """The trained classifier must beat the majority baseline on its
+    curated-vs-raw training labels — a quality filter that learned
+    nothing would silently pass the oracle (the oracle replays
+    whatever the weights are)."""
+    from mercurygate_spark.operators.logreg import train_dim
+    from mercurygate_spark.queries.corpus import (
+        QC_ITERS,
+        QC_LR,
+        QC_NFEAT,
+        _qc_feature_frame,
+    )
+    from mercurygate_spark.queries.text import gopher_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = gopher_frame(docs).select(
+        "doc_id", F.col("gopher_pass").cast("int").alias("y")
+    )
+    feat = _qc_feature_frame(docs).join(labels, "doc_id").cache()
+    try:
+        w = train_dim(feat, QC_NFEAT, QC_ITERS, QC_LR)[-1]
+        z = F.lit(w[0])
+        for j in range(1, QC_NFEAT + 1):
+            z = z + F.lit(w[j]) * F.col(f"x{j}")
+        scored = feat.select(
+            "y", F.when(z >= 0, 1).otherwise(0).alias("pred")
+        ).collect()
+    finally:
+        feat.unpersist()
+    n = len(scored)
+    acc = sum(1 for r in scored if r["pred"] == r["y"]) / n
+    majority = max(
+        sum(1 for r in scored if r["y"] == 1), sum(1 for r in scored if r["y"] == 0)
+    ) / n
+    assert acc > majority + 0.02, (acc, majority)
