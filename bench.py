@@ -95,6 +95,7 @@ HEADLINE = [
     "sim_ivf_graph_scaled",       # list-count-dialed graph-ANN serving
     # round-13 additions
     "sim_range_search_recall_held",  # recall-held radius search (T from recall target)
+    "sim_ivf_graph_multi_entry",     # multi-entry graph walk at the measured sweet spot
 ]
 
 

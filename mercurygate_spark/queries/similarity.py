@@ -2321,18 +2321,32 @@ def _kcenter_batched_rows(
 GRAPH_TOPK = 5  # final neighbors returned per query
 
 
-def _ivf_graph_oracle(k_expr: str | None = None) -> str:
+def _ivf_graph_oracle(
+    k_expr: str | None = None,
+    e_count: int | None = None,
+    beam: int | None = None,
+    g: int | None = None,
+    hops: int | None = None,
+) -> str:
     """Unrolled beam-search oracle. With ``k_expr`` (a scalar-subquery
     string), the k-means chain trains a COUNT-derived number of
     centroids — the list-count dial (sim_ivf_graph_scaled); the seed
     cut is a plain ``cidx < k`` comparison, so a subquery slots in
-    where the fixed key uses the N_CENTROIDS literal."""
+    where the fixed key uses the N_CENTROIDS literal. ``e_count``/
+    ``beam``/``g``/``hops`` override the walk geometry (defaults =
+    the fixed key's constants) — the multi-entry key passes the
+    measured sweet spot."""
     from mercurygate_spark.operators.similarity import (
         GRAPH_B,
         GRAPH_G,
         GRAPH_HOPS,
         duck_scaled_k_sql,
     )
+
+    e_count = 1 if e_count is None else e_count
+    beam = GRAPH_B if beam is None else beam
+    g = GRAPH_G if g is None else g
+    hops = GRAPH_HOPS if hops is None else hops
 
     def dcos(a: str, b: str) -> str:
         return (
@@ -2371,8 +2385,8 @@ def _ivf_graph_oracle(k_expr: str | None = None) -> str:
       SELECT cidx, vec_id AS cand_id FROM (
         SELECT *, row_number() OVER (
                  PARTITION BY cidx ORDER BY cc DESC, vec_id) AS rn
-        FROM c2c) WHERE rn = 1
-    )""",
+        FROM c2c) WHERE rn <= {e_count}
+    )""".format(e_count=e_count),
         f"""gedges AS MATERIALIZED (
       SELECT cidx, node_id, neighbor_id FROM (
         SELECT a.cidx, a.vec_id AS node_id, b.vec_id AS neighbor_id,
@@ -2382,7 +2396,7 @@ def _ivf_graph_oracle(k_expr: str | None = None) -> str:
                           b.vec_id) AS rk
         FROM glists a JOIN glists b
           ON a.cidx = b.cidx AND a.vec_id <> b.vec_id
-      ) WHERE rk <= {GRAPH_G}
+      ) WHERE rk <= {g}
     )""",
         f"""gq AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS qv, cidx
@@ -2394,7 +2408,7 @@ def _ivf_graph_oracle(k_expr: str | None = None) -> str:
     )""",
         "f0 AS MATERIALIZED (SELECT * FROM v0)",
     ]
-    for h in range(1, GRAPH_HOPS + 1):
+    for h in range(1, hops + 1):
         parts.append(
             f"""n{h} AS (
       SELECT DISTINCT f.query_id, f.cidx, g.neighbor_id AS cand_id
@@ -2421,7 +2435,7 @@ def _ivf_graph_oracle(k_expr: str | None = None) -> str:
       SELECT query_id, cidx, cand_id FROM (
         SELECT *, row_number() OVER (
                  PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
-        FROM s{h}) WHERE rn <= {GRAPH_B}
+        FROM s{h}) WHERE rn <= {beam}
     )"""
         )
     return (
@@ -2431,7 +2445,7 @@ def _ivf_graph_oracle(k_expr: str | None = None) -> str:
       SELECT query_id, cand_id, cos,
              row_number() OVER (
                PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
-      FROM s{GRAPH_HOPS} WHERE cand_id <> query_id
+      FROM s{hops} WHERE cand_id <> query_id
     ) WHERE rk <= {GRAPH_TOPK}
     """
     )
@@ -2475,7 +2489,15 @@ def sim_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAPH_SCORE_TRACE: list | None = None
 
 
-def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
+def _ivf_graph_serve(
+    spark: SparkSession,
+    e: DataFrame,
+    cmat,
+    e_count: int = 1,
+    beam: int | None = None,
+    g: int | None = None,
+    hops: int | None = None,
+) -> DataFrame:
     """The shared beam-search serve path: assign to cmat's lists,
     build the per-list graph, walk it. cmat decides the list count —
     the fixed key trains N_CENTROIDS, the scaled key a count-derived
@@ -2494,10 +2516,15 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
     value (pinned by tests/test_plans.py::test_ivf_graph_scores_delta_only)."""
     from mercurygate_spark.operators.similarity import (
         GRAPH_B,
+        GRAPH_G,
         GRAPH_HOPS,
         ivf_assign,
         ivf_list_knn_graph,
     )
+
+    beam = GRAPH_B if beam is None else beam
+    g = GRAPH_G if g is None else g
+    hops = GRAPH_HOPS if hops is None else hops
 
     lists = (
         ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1)
@@ -2520,10 +2547,10 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
     w_e = Window.partitionBy("centroid_id").orderBy(F.col("cc").desc(), "vec_id")
     entry = (
         c2c.withColumn("rn", F.row_number().over(w_e))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= e_count)
         .select("centroid_id", F.col("vec_id").alias("cand_id"))
     )
-    edges = ivf_list_knn_graph(lists).localCheckpoint(eager=True)
+    edges = ivf_list_knn_graph(lists, g=g).localCheckpoint(eager=True)
     q = lists.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -2555,15 +2582,15 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
     frontier = v
     vs = score(v).localCheckpoint(eager=True)  # visited WITH carried cos
     w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
-    for _ in range(GRAPH_HOPS):
-        g = edges.select(
+    for _ in range(hops):
+        ge = edges.select(
             F.col("centroid_id").alias("ecid"), "node_id", "neighbor_id"
         )
         nbrs = (
             frontier.join(
-                g,
-                (frontier["centroid_id"] == g["ecid"])
-                & (frontier["cand_id"] == g["node_id"]),
+                ge,
+                (frontier["centroid_id"] == ge["ecid"])
+                & (frontier["cand_id"] == ge["node_id"]),
             )
             .select("query_id", "centroid_id", F.col("neighbor_id").alias("cand_id"))
             .distinct()
@@ -2575,7 +2602,7 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
         vs = vs.unionByName(score(new)).localCheckpoint(eager=True)
         frontier = (
             vs.withColumn("rn", F.row_number().over(w_q))
-            .where(F.col("rn") <= GRAPH_B)
+            .where(F.col("rn") <= beam)
             .select("query_id", "centroid_id", "cand_id")
         )
     final = vs.where(F.col("cand_id") != F.col("query_id"))
@@ -2583,6 +2610,42 @@ def _ivf_graph_serve(spark: SparkSession, e: DataFrame, cmat) -> DataFrame:
         final.withColumn("rk", F.row_number().over(w_q))
         .where(F.col("rk") <= GRAPH_TOPK)
         .select("query_id", F.col("cand_id").alias("candidate_id"), "cos", "rk")
+    )
+
+
+GRAPH_E_ME = 4     # entries per list (multi-entry walk)
+GRAPH_B_ME = 8     # beam width at the measured sweet spot
+GRAPH_G_ME = 8     # out-degree at the measured sweet spot
+GRAPH_HOPS_ME = 3  # expansion rounds at the measured sweet spot
+
+
+@query(
+    "sim_ivf_graph_multi_entry",
+    oracle=_ivf_graph_oracle(
+        e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME, hops=GRAPH_HOPS_ME
+    ),
+)
+def sim_ivf_graph_multi_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph walk at the MEASURED recall sweet spot
+    (docs/ivf_graph_recall_r13.json): {GRAPH_E_ME} most-central
+    entries per list, out-degree {GRAPH_G_ME}, beam {GRAPH_B_ME},
+    {GRAPH_HOPS_ME} hops — recall 0.236 vs the flat full-list scan's
+    0.244 ceiling at 54%% of its scored candidates (66.9 vs 124.6 per
+    query), and strictly better than every single-entry config at
+    equal-or-less work (E=1 B=16 recalls 0.22 at 85.5 cands). Extra
+    seeds give the beam independent basins: a query whose single
+    most-central entry sits in the wrong neighborhood of the list
+    graph is unrecoverable at E=1 — the dial the r12 frontier was
+    missing. Same fully-replayed oracle (entry cut rn <= E), same
+    delta-scored walk, same occupancy-bounded shapes as
+    sim_ivf_graph_topk."""
+    from mercurygate_spark.operators.similarity import train_ivf_centroids
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cmat = train_ivf_centroids(e)
+    return _ivf_graph_serve(
+        spark, e, cmat,
+        e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME, hops=GRAPH_HOPS_ME,
     )
 
 
@@ -2612,6 +2675,36 @@ def sim_ivf_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = scaled_n_centroids(e.count())
     cmat = train_ivf_centroids(e, k=k)
     return _ivf_graph_serve(spark, e, cmat)
+
+
+@query(
+    "sim_ivf_graph_me_scaled",
+    oracle=_ivf_graph_oracle(
+        k_expr="(SELECT kk FROM kpar)",
+        e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME, hops=GRAPH_HOPS_ME,
+    ),
+)
+def sim_ivf_graph_me_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_graph_multi_entry under the LIST-COUNT dial — the
+    anchor+dial pair completed for the multi-entry geometry: the
+    fixed-k anchor measures 6.1× at 10× (quadratic per-list graph
+    BUILD, same as the single-entry anchor's 6.4×), and this twin
+    derives k = scaled_n_centroids(count) so expected list occupancy
+    — and hence graph-build pairs per row — stays constant as the
+    corpus grows. The oracle derives the same k from count(*) and
+    replays the identical multi-entry walk (entry cut rn <= E)."""
+    from mercurygate_spark.operators.similarity import (
+        scaled_n_centroids,
+        train_ivf_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    k = scaled_n_centroids(e.count())
+    cmat = train_ivf_centroids(e, k=k)
+    return _ivf_graph_serve(
+        spark, e, cmat,
+        e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME, hops=GRAPH_HOPS_ME,
+    )
 
 
 def _multi_scaled_oracle() -> str:
