@@ -953,14 +953,22 @@ def _qc_oracle() -> str:
              floor({duck_z_dim_sql(QC_NFEAT)} * 1000000 + 0.5) / 1000000 AS score
       FROM qsurv f CROSS JOIN qit{QC_ITERS} w
     ),
-    qranked AS (
-      SELECT doc_id, score,
-             percent_rank() OVER (ORDER BY score DESC, doc_id) AS pr
-      FROM qscored
+    qdist AS MATERIALIZED (
+      SELECT score, count(*) AS cnt FROM qscored GROUP BY score
+    ),
+    qthr AS MATERIALIZED (
+      SELECT score AS s_star FROM (
+        SELECT score, sum(cnt) OVER (
+                 ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM qdist)
+      WHERE cum >= greatest(1, CAST(floor(
+              (SELECT count(*) FROM qscored) * {QC_KEEP}) AS BIGINT))
+      ORDER BY score DESC LIMIT 1
     )
     SELECT doc_id, score,
-           CASE WHEN pr < {QC_KEEP} THEN 1 ELSE 0 END AS kept
-    FROM qranked
+           CASE WHEN score >= (SELECT s_star FROM qthr) THEN 1 ELSE 0 END AS kept
+    FROM qscored
     """
 
 
@@ -973,19 +981,22 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     features = {QC_DIM} hashed token buckets (the text_feature_hashing
     trick: no vocabulary build, the feature id is a pure function of
     the token), then score the funnel's stage-4 survivors and keep the
-    top {QC_KEEP:.0%} by score percentile. Output: one row per
-    survivor with the r6 score and the keep flag.
+    top ~{QC_KEEP:.0%} by an exact tie-inclusive score THRESHOLD
+    (s* = the highest score whose descending cumulative count reaches
+    max(1, floor(n·{QC_KEEP}))). Output: one row per survivor with
+    the r6 score and the keep flag.
 
     Scale shape: feature build is explode → map-side hash → one
     partially-aggregable groupBy; training reduces the corpus to
     {QC_DIM}+2 scalars per iteration (integer-quantized gradient sums
     — the ml_logreg_train doctrine); scoring is a pure projection with
     the weights as literals (broadcast-free inference); the percentile
-    is one global window over survivor-count rows (bounded: survivors
-    ≪ corpus; at production scale use an approx-quantile cut instead
-    of rank — documented trade, same contract as the funnel's tercile
-    window). The oracle replays features, every GD iteration, scoring
-    and the threshold in one generated CTE chain."""
+    cut is a THRESHOLD derived from the distinct-score aggregate (one
+    partially-aggregable groupBy + a cumulative window over the score
+    DOMAIN, never a rank over survivor rows — a partition-less rank
+    would serialize the survivor frame through one task at 100 TB).
+    The oracle replays features, every GD iteration, scoring and the
+    threshold derivation in one generated CTE chain."""
     from mercurygate_spark.operators.logreg import train_dim
 
     t = load_tables(spark, sf_dir, "documents")
@@ -1008,14 +1019,37 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feats.join(surv, "doc_id").select(
         "doc_id",
         (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("score"),
+    ).localCheckpoint(eager=True)
+    # percentile THRESHOLD, not a global rank (the plan-pin lesson: a
+    # partition-less rank window serializes the survivor frame through
+    # one task at 100 TB). The cut is exact and tie-INCLUSIVE: s* =
+    # the highest score whose descending cumulative count reaches
+    # K = max(1, floor(n·QC_KEEP)); kept ⇔ score ≥ s*. The cumulative
+    # window runs over the DISTINCT-SCORE aggregate (bounded by the r6
+    # score grid, not the corpus), and the two driver scalars (n, s*)
+    # are bounded by construction — the same contract as the trained
+    # weights.
+    n = scored.count()
+    if n == 0:
+        return scored.select(
+            "doc_id", "score", F.lit(0).alias("kept")
+        )
+    k_target = max(1, int(n * QC_KEEP))
+    dist = scored.groupBy("score").agg(F.count("*").alias("cnt"))
+    w_c = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    pr = F.percent_rank().over(
-        Window.orderBy(F.col("score").desc(), "doc_id")
+    s_star = (
+        dist.withColumn("cum", F.sum("cnt").over(w_c))
+        .where(F.col("cum") >= k_target)
+        .orderBy(F.col("score").desc())
+        .limit(1)
+        .collect()[0]["score"]
     )
     return scored.select(
         "doc_id",
         "score",
-        F.when(pr < QC_KEEP, 1).otherwise(0).alias("kept"),
+        F.when(F.col("score") >= F.lit(s_star), 1).otherwise(0).alias("kept"),
     )
 
 

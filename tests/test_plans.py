@@ -129,6 +129,9 @@ _BOUNDED_BNLJ_OK = {
     "sample_kcenter_coreset",
     # three 1-row u-probability frames crossed into the pair scorer
     "er_fellegi_sunter",
+    # inherits pipeline_filter_funnel's 1-row vocab cross through
+    # funnel_stage_ids (the survivor frame it scores)
+    "pipeline_quality_classifier",
 }
 
 # Keys whose BUILDER performs an eager side effect (sink write or a
@@ -628,9 +631,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "window_moving_median",
     # final-vocab ranking over the piece-usage agg (≤ Σ 36^l pieces)
     "text_unigram_train",
-    # score percentile over the funnel's stage-4 survivors (≪ corpus;
-    # production swaps the rank window for an approx-quantile cut —
-    # documented in the key's docstring)
+    # cumulative count over the DISTINCT-SCORE aggregate (bounded by
+    # the r6 score grid, never survivor rows) feeding the threshold cut
     "pipeline_quality_classifier",
 }
 
