@@ -866,6 +866,73 @@ def _qc_feature_frame(d: DataFrame) -> DataFrame:
     return hashed.join(struct, "doc_id")
 
 
+def qc_gate_oracle() -> str:
+    """Oracle for the STREAMING admission gate: the same training +
+    scoring + threshold chain as the batch key, but scored over the
+    WHOLE (tokenized) corpus and calibrated on the training population
+    itself — no funnel stages (a stream can't run the funnel's global
+    stages; the gate is the per-arrival check that runs before them)."""
+    from mercurygate_spark.operators.logreg import (
+        DUCK_FEAT_SQL,
+        duck_logreg_cte_dim,
+        duck_z_dim_sql,
+    )
+    from mercurygate_spark.queries.text import _DUCK_GOPHER_PASS_CTES
+
+    bucket_sums = ", ".join(
+        f"sum(CASE WHEN bucket = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(QC_DIM)
+    )
+    xs = ", ".join(
+        f"CAST(c.c{j} AS DOUBLE) / CAST(c.n AS DOUBLE) AS x{j + 1}"
+        for j in range(QC_DIM)
+    )
+    feat_sql = (
+        "SELECT c.doc_id, CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y, "
+        + xs
+        + f", s.x1 AS x{QC_DIM + 1}, s.x2 AS x{QC_DIM + 2}, s.x3 AS x{QC_DIM + 3}"
+        + " FROM qcnt c LEFT JOIN gpass g USING (doc_id)"
+        + f" JOIN ({DUCK_FEAT_SQL}) s USING (doc_id)"
+    )
+    return f"""
+    WITH {_DUCK_GOPHER_PASS_CTES},
+    qtok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    qb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % {QC_DIM} AS bucket
+      FROM qtok
+    ),
+    qcnt AS (SELECT doc_id, count(*) AS n, {bucket_sums} FROM qb GROUP BY doc_id),
+    {duck_logreg_cte_dim(feat_sql, QC_NFEAT, QC_ITERS, QC_LR)},
+    qscored AS MATERIALIZED (
+      SELECT f.doc_id,
+             floor({duck_z_dim_sql(QC_NFEAT)} * 1000000 + 0.5) / 1000000 AS score
+      FROM qfeat f CROSS JOIN qit{QC_ITERS} w
+    ),
+    qdist AS MATERIALIZED (
+      SELECT score, count(*) AS cnt FROM qscored GROUP BY score
+    ),
+    qthr AS MATERIALIZED (
+      SELECT score AS s_star FROM (
+        SELECT score, sum(cnt) OVER (
+                 ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM qdist)
+      WHERE cum >= greatest(1, CAST(floor(
+              (SELECT count(*) FROM qscored) * {QC_KEEP}) AS BIGINT))
+      ORDER BY score DESC LIMIT 1
+    )
+    SELECT doc_id, score,
+           CASE WHEN score >= (SELECT s_star FROM qthr) THEN 1 ELSE 0 END AS kept
+    FROM qscored
+    """
+
+
 def _qc_oracle() -> str:
     from mercurygate_spark.operators.logreg import (
         DUCK_FEAT_SQL,
@@ -1029,28 +1096,64 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score grid, not the corpus), and the two driver scalars (n, s*)
     # are bounded by construction — the same contract as the trained
     # weights.
+    s_star = qc_score_threshold(scored)
+    if s_star is None:
+        return scored.select("doc_id", "score", F.lit(0).alias("kept"))
+    return scored.select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= F.lit(s_star), 1).otherwise(0).alias("kept"),
+    )
+
+
+def qc_score_threshold(scored: DataFrame) -> float | None:
+    """s* = the highest score whose descending cumulative count reaches
+    K = max(1, floor(n·QC_KEEP)) — from the distinct-score aggregate
+    (bounded by the r6 score grid), two bounded driver scalars total.
+    None on an empty frame. Shared by the batch key and the streaming
+    admission gate (stream_quality_gate calibrates offline with this)."""
     n = scored.count()
     if n == 0:
-        return scored.select(
-            "doc_id", "score", F.lit(0).alias("kept")
-        )
+        return None
     k_target = max(1, int(n * QC_KEEP))
     dist = scored.groupBy("score").agg(F.count("*").alias("cnt"))
     w_c = Window.orderBy(F.col("score").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    s_star = (
+    return (
         dist.withColumn("cum", F.sum("cnt").over(w_c))
         .where(F.col("cum") >= k_target)
         .orderBy(F.col("score").desc())
         .limit(1)
         .collect()[0]["score"]
     )
-    return scored.select(
-        "doc_id",
-        "score",
-        F.when(F.col("score") >= F.lit(s_star), 1).otherwise(0).alias("kept"),
+
+
+def qc_trained_scorer(d: DataFrame):
+    """(weights, score Column factory) — train the quality classifier
+    on curated-vs-raw weak labels over ``d`` and return the literal-
+    weight scoring expression builder (the broadcast-free inference
+    path both the batch key and the streaming gate apply)."""
+    from mercurygate_spark.operators.logreg import train_dim
+    from mercurygate_spark.queries.text import gopher_frame
+
+    labels = gopher_frame(d).select(
+        "doc_id", F.col("gopher_pass").cast("int").alias("y")
     )
+    feats = _qc_feature_frame(d)
+    train_feat = feats.join(labels, "doc_id").cache()
+    try:
+        w = train_dim(train_feat, QC_NFEAT, QC_ITERS, QC_LR)[-1]
+    finally:
+        train_feat.unpersist()
+
+    def score_col():
+        z = F.lit(w[0])
+        for j in range(1, QC_NFEAT + 1):
+            z = z + F.lit(w[j]) * F.col(f"x{j}")
+        return (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("score")
+
+    return w, score_col
 
 
 # ---------------------------------------------------------------------------

@@ -955,3 +955,112 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(acc["n"], acc["bad"], acc["sig"])],
         schema="n_train_docs long, n_contaminated long, contam_sig long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality-classifier admission gate (round 13): the
+# pipeline_quality_classifier model applied the way production serves
+# it — TRAIN + CALIBRATE offline (weights and the tie-inclusive score
+# threshold are batch artifacts), then score every ARRIVING document
+# with the weights as literals and flag admission per micro-batch. No
+# cross-batch state at all: the gate is a pure per-doc map, which is
+# exactly why it can front the funnel's global stages at any arrival
+# rate. Oracle: the same training + scoring + threshold chain replayed
+# over the whole corpus — streaming arrival cannot change a per-doc
+# decision made with fixed (w, s*).
+# ---------------------------------------------------------------------------
+
+
+def _stream_qc_oracle() -> str:
+    from mercurygate_spark.queries.corpus import qc_gate_oracle
+
+    return qc_gate_oracle()
+
+
+@query("stream_classifier_gate", oracle=_stream_qc_oracle())
+def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quality gating: documents land as a 3-file stream
+    (maxFilesPerTrigger=1 → 3 micro-batches); each batch computes the
+    hashed+structural feature vector and applies the OFFLINE-trained
+    classifier (literal weights — broadcast-free inference) plus the
+    offline-calibrated threshold s* (qc_score_threshold over the
+    training population — a stream cannot rank globally, so the cut is
+    a fixed artifact, the production calibration pattern). Emits
+    (doc_id, score, kept) per arriving doc; the union across batches
+    must hash-match the batch oracle exactly.
+
+    Scale shape: per batch one Arrow-free codegen pass — explode →
+    hash → per-doc aggregate → literal-weight projection; zero
+    streaming state (no watermark, no store) because the decision is
+    per-doc; training cost is paid once, offline, never per batch."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.queries.corpus import (
+        _qc_feature_frame,
+        qc_score_threshold,
+        qc_trained_scorer,
+    )
+
+    d_full = load_tables(spark, sf_dir, "documents")["documents"]
+    d = d_full.select("doc_id", "text")  # the arriving payload columns
+    # offline: train (labels need lang for the gopher frame) + calibrate
+    _, score_col = qc_trained_scorer(d_full)
+    scored_all = _qc_feature_frame(d).select("doc_id", score_col())
+    s_star = qc_score_threshold(scored_all)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mercurygate_stream_clf_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    src_dir, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+    # land the corpus as 3 part files (arrival shards)
+    stage = os.path.join(base, "stage")
+    d.repartition(3).write.mode("overwrite").parquet(stage)
+    now = time.time()
+    parts = sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    for i, p in enumerate(parts):
+        dst = os.path.join(src_dir, f"shard{i}.parquet")
+        shutil.copy(os.path.join(stage, p), dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        feats = _qc_feature_frame(batch_df)
+        gated = feats.select("doc_id", score_col()).select(
+            "doc_id",
+            "score",
+            (
+                F.when(F.col("score") >= F.lit(s_star), 1).otherwise(0)
+                if s_star is not None
+                else F.lit(0)
+            ).alias("kept"),
+        )
+        gated.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out

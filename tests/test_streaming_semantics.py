@@ -663,7 +663,7 @@ def test_new_stateful_keys_rerun_same_session(spark):
     sf = "/root/testdata/sf0.001"
     q = all_queries()
     for key in ("sink_scd2_history", "stream_scd2_upsert", "stream_filter_funnel",
-                "stream_decontaminate"):
+                "stream_decontaminate", "stream_classifier_gate"):
         a = sorted(map(tuple, q[key](spark, sf).collect()))
         b = sorted(map(tuple, q[key](spark, sf).collect()))
         assert a == b, key
