@@ -131,12 +131,14 @@ def train(feat: DataFrame, iters: int = ITERS) -> list[list[float]]:
         n = row["n"]
         for j in range(N_FEATURES):
             # cross-engine exactness contract (see GRAD_SUM_EXACT_BOUND)
-            assert abs(row[f"g{j}"]) < GRAD_SUM_EXACT_BOUND, (
-                f"gradient sum g{j}={row[f'g{j}']} exceeds the 2^53 "
-                "double-exact range: the DuckDB oracle's CAST(sum AS "
-                "DOUBLE) would no longer match Python's exact int "
-                "division — shrink GQ or shard the corpus"
-            )
+            # — a real error, not an assert, so python -O can't strip it
+            if abs(row[f"g{j}"]) >= GRAD_SUM_EXACT_BOUND:
+                raise ValueError(
+                    f"gradient sum g{j}={row[f'g{j}']} exceeds the 2^53 "
+                    "double-exact range: the DuckDB oracle's CAST(sum AS "
+                    "DOUBLE) would no longer match Python's exact int "
+                    "division — shrink GQ or shard the corpus"
+                )
         w = [w[j] - LR * ((row[f"g{j}"] / n) / float(GQ)) for j in range(N_FEATURES)]
         trace.append(list(w))
     return trace
@@ -230,9 +232,11 @@ def train_dim(feat: DataFrame, dim: int, iters: int, lr: float = LR) -> list[lis
         ).first()
         n = row["n"]
         for j in range(dim + 1):
-            assert abs(row[f"g{j}"]) < GRAD_SUM_EXACT_BOUND, (
-                f"gradient sum g{j} exceeds the 2^53 double-exact range"
-            )
+            if abs(row[f"g{j}"]) >= GRAD_SUM_EXACT_BOUND:
+                raise ValueError(
+                    f"gradient sum g{j}={row[f'g{j}']} exceeds the 2^53 "
+                    "double-exact range (see GRAD_SUM_EXACT_BOUND)"
+                )
         w = [w[j] - lr * ((row[f"g{j}"] / n) / float(GQ)) for j in range(dim + 1)]
         trace.append(list(w))
     return trace

@@ -215,7 +215,14 @@ def lsh_bucket_multi(
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     width = sig_width or n_planes
-    assert width >= n_planes, (width, n_planes)
+    if width < n_planes:
+        # correctness-critical (the signature-prefix property keeps
+        # Spark buckets equal to the unchanged oracle) — a real error,
+        # not an assert, so python -O cannot strip it
+        raise ValueError(
+            f"sig_width {width} < n_planes {n_planes}: the n_planes-char "
+            "bucket prefix would not exist"
+        )
     in_schema = df.select(id_col, vec_col).schema
     schema = StructType(
         list(in_schema.fields)
@@ -408,7 +415,13 @@ def duck_tables_for_recall_sql(np_sql: str) -> str:
         f"WHEN {p} THEN {tables_for_recall(p)}"
         for p in range(OCC_MIN_PLANES, OCC_MAX_PLANES + 1)
     )
-    return f"(SELECT CASE ({np_sql}) {cases} END)"
+    # ELSE must fail LOUDLY: without it a plane count outside
+    # [OCC_MIN_PLANES, OCC_MAX_PLANES] would yield NULL and the oracle
+    # would silently return zero rows instead of erroring
+    return (
+        f"(SELECT CASE ({np_sql}) {cases} "
+        "ELSE CAST('np out of range' AS INT) END)"
+    )
 
 
 N_CENTROIDS = 16

@@ -1064,28 +1064,16 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     would serialize the survivor frame through one task at 100 TB).
     The oracle replays features, every GD iteration, scoring and the
     threshold derivation in one generated CTE chain."""
-    from mercurygate_spark.operators.logreg import train_dim
-
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"]
-    from mercurygate_spark.queries.text import gopher_frame
-
-    labels = gopher_frame(d).select(
-        "doc_id", F.col("gopher_pass").cast("int").alias("y")
-    )
+    # ONE train+score contract, shared with the streaming gate
+    # (qc_trained_scorer): two copies of the labels/feats/train/z
+    # block could silently drift apart
+    _, score_col = qc_trained_scorer(d)
     feats = _qc_feature_frame(d)
-    train_feat = feats.join(labels, "doc_id").cache()
-    try:
-        w = train_dim(train_feat, QC_NFEAT, QC_ITERS, QC_LR)[-1]
-    finally:
-        train_feat.unpersist()
     surv = funnel_stage_ids(d)["s3"]
-    z = F.lit(w[0])
-    for j in range(1, QC_NFEAT + 1):
-        z = z + F.lit(w[j]) * F.col(f"x{j}")
     scored = feats.join(surv, "doc_id").select(
-        "doc_id",
-        (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("score"),
+        "doc_id", score_col()
     ).localCheckpoint(eager=True)
     # percentile THRESHOLD, not a global rank (the plan-pin lesson: a
     # partition-less rank window serializes the survivor frame through

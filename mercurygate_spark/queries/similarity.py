@@ -2818,12 +2818,11 @@ def sim_range_search_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass emits T× bucket rows, (table, bucket)-equi self-join,
     pair-dedupe before the cosine, pushed radius filter."""
     from mercurygate_spark.operators.similarity import (
+        OCC_MAX_PLANES,
         lsh_bucket_multi,
         scaled_n_planes,
         tables_for_recall,
     )
-
-    from mercurygate_spark.operators.similarity import OCC_MAX_PLANES
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     np_ = scaled_n_planes(e.count())
@@ -2874,11 +2873,10 @@ def sim_range_search_multi_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     partitions are independent."""
     from mercurygate_spark.operators.similarity import (
         N_TABLES,
+        OCC_MAX_PLANES,
         lsh_bucket_multi,
         scaled_n_planes,
     )
-
-    from mercurygate_spark.operators.similarity import OCC_MAX_PLANES
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     np_ = scaled_n_planes(e.count())

@@ -8,7 +8,7 @@ Committed per round as SWEEP_r{N}.json so the full-coverage claim is
 auditable without re-running anything.
 
 Usage:
-    python scripts/sweep.py --out SWEEP_r07.json              # sf0.01, driver SF
+    python scripts/sweep.py --out docs/sweeps/SWEEP_r14.json  # sf0.01, driver SF
     python scripts/sweep.py --sf-dir /root/testdata/sf0.001   # fast probe
 """
 
