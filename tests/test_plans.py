@@ -631,9 +631,6 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "window_moving_median",
     # final-vocab ranking over the piece-usage agg (≤ Σ 36^l pieces)
     "text_unigram_train",
-    # cumulative count over the DISTINCT-SCORE aggregate (bounded by
-    # the r6 score grid, never survivor rows) feeding the threshold cut
-    "pipeline_quality_classifier",
 }
 
 _GLOBAL_WINDOW_PASS_THROUGH = {
