@@ -558,12 +558,21 @@ def connected_components(
 
 
 def duck_connected_components_sql(
-    pairs_sql: str, a_col: str = "id_a", b_col: str = "id_b"
+    pairs_sql: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    final_select: str | None = None,
 ) -> str:
     """DuckDB oracle twin of connected_components(): recursive
     reachability closure, component = min reachable node (fine at
     oracle scale; the Spark side exists because this closure is
-    quadratic in component size)."""
+    quadratic in component size). ``final_select`` optionally replaces
+    the default tail — it may open with further CTE definitions
+    (", sizes AS (...) SELECT ...") that build on __cc_reach."""
+    tail = final_select or (
+        "SELECT node, least(node, min(r)) AS component\n"
+        "    FROM __cc_reach GROUP BY node"
+    )
     return f"""
     WITH RECURSIVE __cc_pairs AS (
       {pairs_sql}
@@ -576,8 +585,7 @@ def duck_connected_components_sql(
       UNION
       SELECT w.node, e.v FROM __cc_reach w JOIN __cc_edges e ON e.u = w.r
     )
-    SELECT node, least(node, min(r)) AS component
-    FROM __cc_reach GROUP BY node
+    {tail}
     """
 
 

@@ -933,7 +933,13 @@ def qc_gate_oracle() -> str:
     """
 
 
-def _qc_oracle() -> str:
+def _qc_chain_ctes() -> str:
+    """The WITH-body CTE chain shared by _qc_oracle and the corpus
+    capstone oracle: the funnel's survivor chain (verbatim the same
+    CTE text as _funnel_oracle — the classifier scores EXACTLY those
+    docs) + features + every GD iteration + scoring (qscored) + the
+    tie-inclusive threshold (qthr). One copy of the SQL so the two
+    keys can't drift."""
     from mercurygate_spark.operators.logreg import (
         DUCK_FEAT_SQL,
         duck_logreg_cte_dim,
@@ -962,10 +968,8 @@ def _qc_oracle() -> str:
         + f" JOIN ({DUCK_FEAT_SQL}) s USING (doc_id)"
     )
     xlist = ", ".join(f"x{j + 1}" for j in range(QC_NFEAT))
-    # the funnel's survivor chain, verbatim (same CTE text as
-    # _funnel_oracle) — the classifier scores EXACTLY those docs
     return f"""
-    WITH {_DUCK_GOPHER_PASS_CTES},
+    {_DUCK_GOPHER_PASS_CTES},
     rsrc AS (
       SELECT d.doc_id, d.text FROM documents d JOIN gpass USING (doc_id)
     ),
@@ -1015,7 +1019,7 @@ def _qc_oracle() -> str:
     qsurv AS (
       SELECT f.doc_id, {xlist} FROM qfeat f JOIN s3 USING (doc_id)
     ),
-    qscored AS (
+    qscored AS MATERIALIZED (
       SELECT f.doc_id,
              floor({duck_z_dim_sql(QC_NFEAT)} * 1000000 + 0.5) / 1000000 AS score
       FROM qsurv f CROSS JOIN qit{QC_ITERS} w
@@ -1032,7 +1036,12 @@ def _qc_oracle() -> str:
       WHERE cum >= greatest(1, CAST(floor(
               (SELECT count(*) FROM qscored) * {QC_KEEP}) AS BIGINT))
       ORDER BY score DESC LIMIT 1
-    )
+    )"""
+
+
+def _qc_oracle() -> str:
+    return f"""
+    WITH {_qc_chain_ctes()}
     SELECT doc_id, score,
            CASE WHEN score >= (SELECT s_star FROM qthr) THEN 1 ELSE 0 END AS kept
     FROM qscored
@@ -1058,10 +1067,10 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     {QC_DIM}+2 scalars per iteration (integer-quantized gradient sums
     — the ml_logreg_train doctrine); scoring is a pure projection with
     the weights as literals (broadcast-free inference); the percentile
-    cut is a THRESHOLD derived from the distinct-score aggregate (one
-    partially-aggregable groupBy + a cumulative window over the score
-    DOMAIN, never a rank over survivor rows — a partition-less rank
-    would serialize the survivor frame through one task at 100 TB).
+    cut is a THRESHOLD derived by percentile_approx bracketing + exact
+    boundary refinement (qc_score_threshold — two bounded jobs, never
+    a rank or cumulative window over survivor rows: a partition-less
+    window would serialize the frame through one task at 100 TB).
     The oracle replays features, every GD iteration, scoring and the
     threshold derivation in one generated CTE chain."""
     t = load_tables(spark, sf_dir, "documents")
@@ -1217,6 +1226,48 @@ def qc_trained_scorer(d: DataFrame):
 # ---------------------------------------------------------------------------
 
 
+def post_bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, n_tokens) of the BPE-merged corpus frame ``docs``
+    (column ``s`` — _bpe_train_loop's output): the post-merge token
+    counts plus the md5 stream-order key, empty docs dropped. Shared
+    by text_tokenize_e2e and the corpus capstone."""
+    tk = F.split(F.trim(F.col("s")), " ")
+    return docs.where(F.trim(F.col("s")) != "").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(tk).alias("n_tokens"),
+    )
+
+
+def pack_token_stream(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, token_start): each document's global offset
+    in the packed training token stream, ordered by (md5(doc_id),
+    doc_id), via the two-phase sharded prefix sum — a 16-way
+    within-shard cumulative window plus a broadcast shard-offset
+    frame, never a single-partition window over the corpus. Input
+    needs (doc_id, h, n_tokens). Shared by text_tokenize_e2e and the
+    corpus capstone (one copy of the pack contract)."""
+    toks = toks.withColumn("shard", F.substring("h", 1, 1))
+    w_shard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    within = toks.withColumn(
+        "shard_cum", F.sum("n_tokens").over(w_shard) - F.col("n_tokens")
+    )
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn(
+            "shard_offset", F.coalesce(F.sum("shard_total").over(w_off), F.lit(0))
+        )
+        .select("shard", "shard_offset")
+    )
+    return within.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("shard_offset") + F.col("shard_cum")).alias("token_start"),
+    )
+
+
 def _tokenize_e2e_oracle() -> str:
     from mercurygate_spark.queries.text import BPE_TRAIN_MERGES, _bpe_chain_sql
 
@@ -1264,34 +1315,7 @@ def text_tokenize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mercurygate_spark.queries.text import _bpe_train_loop
 
     docs, _ = _bpe_train_loop(spark, sf_dir)
-    tk = F.split(F.trim(F.col("s")), " ")
-    toks = (
-        docs.where(F.trim(F.col("s")) != "")
-        .select(
-            "doc_id",
-            F.md5(F.col("doc_id").cast("string")).alias("h"),
-            F.size(tk).alias("n_tokens"),
-        )
-        .withColumn("shard", F.substring("h", 1, 1))
-    )
-    w_shard = Window.partitionBy("shard").orderBy("h", "doc_id")
-    within = toks.withColumn(
-        "shard_cum", F.sum("n_tokens").over(w_shard) - F.col("n_tokens")
-    )
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        toks.groupBy("shard")
-        .agg(F.sum("n_tokens").alias("shard_total"))
-        .withColumn(
-            "shard_offset", F.coalesce(F.sum("shard_total").over(w_off), F.lit(0))
-        )
-        .select("shard", "shard_offset")
-    )
-    packed = within.join(F.broadcast(offsets), "shard").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("shard_offset") + F.col("shard_cum")).alias("token_start"),
-    )
+    packed = pack_token_stream(post_bpe_token_counts(docs))
     return packed.select(
         "doc_id",
         "n_tokens",
@@ -1485,4 +1509,331 @@ def pipeline_rag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_len").cast("long").alias("chunk_len"),
         "ctx_rank",
         (F.col("cum_before") + F.col("chunk_len")).cast("long").alias("cum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus capstone (VERDICT r13 next #1): every curation stage the
+# repo ships, composed into the ONE chain a pretraining-data run
+# executes — heuristic filter funnel → model-based quality classifier
+# → benchmark decontamination → tokenizer train+apply → sequence pack
+# → epoch manifest — under a single oracle hash, the way
+# pipeline_medallion_e2e certifies the claims pipeline. Composition is
+# where stage-boundary bugs hide: each stage here consumes EXACTLY the
+# previous stage's survivors (the funnel/classifier contract was
+# previously pinned only pairwise), the tokenizer trains on the
+# curated corpus (so the learned merges are a function of curation),
+# and the epoch manifest repeats post-BPE token mass, not raw mass.
+# ---------------------------------------------------------------------------
+
+
+def _llm_corpus_stage_sql(idx: int, name: str, ids: str) -> str:
+    sig = "bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    return (
+        f"SELECT {idx} AS stage_idx, '{name}' AS stage, count(*) AS n_docs, "
+        f"{sig} AS sig, CAST(coalesce(sum(wn), 0) AS BIGINT) AS token_mass "
+        f"FROM {ids} JOIN wt USING (doc_id)"
+    )
+
+
+def _llm_corpus_oracle() -> str:
+    from mercurygate_spark.queries.text import (
+        _DUCK_TK,
+        BPE_TRAIN_MERGES,
+        DECON_K,
+        DECON_MOD,
+        _bpe_chain_sql,
+    )
+
+    ml = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    ml_id = ml.format(x="CAST(doc_id AS VARCHAR)")
+    sig4 = "bit_xor(" + ml.format(
+        x="CAST(doc_id AS VARCHAR) || ':' || CAST(token_start AS VARCHAR)"
+    ) + ")"
+    sig5 = "bit_xor(" + ml.format(
+        x="CAST(doc_id AS VARCHAR) || '#' || CAST(epoch_idx AS VARCHAR)"
+    ) + ")"
+    return f"""
+    WITH {_qc_chain_ctes()},
+    wt AS MATERIALIZED (
+      SELECT doc_id, len({_DUCK_TK}) AS wn FROM documents
+    ),
+    kept AS MATERIALIZED (
+      SELECT doc_id FROM qscored WHERE score >= (SELECT s_star FROM qthr)
+    ),
+    dk AS MATERIALIZED (
+      SELECT doc_id, is_eval,
+             md5(array_to_string(list_slice(dtk, pos + 1, pos + {DECON_K}), ' ')) AS h
+      FROM (
+        SELECT doc_id, is_eval, dtk, unnest(range(0, dn - {DECON_K} + 1)) AS pos
+        FROM (
+          SELECT doc_id, {_DUCK_TK} AS dtk, len({_DUCK_TK}) AS dn,
+                 ({ml_id} % {DECON_MOD} = 0) AS is_eval
+          FROM documents
+        ) WHERE dn >= {DECON_K}
+      )
+    ),
+    deh AS MATERIALIZED (SELECT DISTINCT h FROM dk WHERE is_eval),
+    dcont AS MATERIALIZED (
+      SELECT DISTINCT dk.doc_id FROM dk JOIN kept USING (doc_id) JOIN deh USING (h)
+    ),
+    sdec AS MATERIALIZED (
+      SELECT k.doc_id FROM kept k
+      LEFT JOIN dcont c ON k.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL AND ({ml.format(x="CAST(k.doc_id AS VARCHAR)")} % {DECON_MOD} <> 0)
+    ),
+    cdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d JOIN sdec USING (doc_id)
+    ),
+    {_bpe_chain_sql(source="cdocs")},
+    ptoks AS MATERIALIZED (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             len(string_split(trim(s), ' ')) AS n_tokens
+      FROM docs{BPE_TRAIN_MERGES} WHERE trim(s) <> ''
+    ),
+    ppacked AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS token_start
+      FROM ptoks
+    ),
+    pd AS MATERIALIZED (
+      SELECT p.doc_id, d.lang, p.n_tokens
+      FROM ptoks p JOIN documents d USING (doc_id)
+    ),
+    lcnt AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM pd GROUP BY lang
+    ),
+    lplan AS (
+      SELECT lang, total_tokens,
+             (CAST(sum(total_tokens) OVER () AS BIGINT) // 2)
+               // CAST(count(*) OVER () AS BIGINT) AS target_tokens
+      FROM lcnt
+    ),
+    lrates AS (
+      SELECT lang,
+             target_tokens // total_tokens AS n_full_epochs,
+             ((target_tokens % total_tokens) * 1000000) // total_tokens
+               AS frac_ppm
+      FROM lplan
+    ),
+    lreps AS (
+      SELECT p.doc_id, p.n_tokens,
+             r.n_full_epochs
+               + CASE WHEN {ml.format(x="CAST(p.doc_id AS VARCHAR)")} % 1000000
+                           < r.frac_ppm
+                      THEN 1 ELSE 0 END AS n_rep
+      FROM pd p JOIN lrates r USING (lang)
+    ),
+    lman AS MATERIALIZED (
+      SELECT doc_id, n_tokens, CAST(e AS BIGINT) AS epoch_idx
+      FROM lreps, UNNEST(range(0, n_rep)) AS u(e)
+      WHERE n_rep > 0
+    )
+    SELECT * FROM (
+      {_llm_corpus_stage_sql(0, "raw", "(SELECT doc_id FROM documents)")}
+      UNION ALL
+      {_llm_corpus_stage_sql(1, "funnel_survivors", "s3")}
+      UNION ALL
+      {_llm_corpus_stage_sql(2, "classifier_kept", "kept")}
+      UNION ALL
+      {_llm_corpus_stage_sql(3, "decontaminated", "sdec")}
+      UNION ALL
+      SELECT 4 AS stage_idx, 'tokenized_packed' AS stage, count(*) AS n_docs,
+             {sig4} AS sig,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS token_mass
+      FROM ppacked
+      UNION ALL
+      SELECT 5 AS stage_idx, 'epoch_manifest' AS stage, count(*) AS n_docs,
+             {sig5} AS sig,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS token_mass
+      FROM lman
+    ) ORDER BY stage_idx
+    """
+
+
+@query("pipeline_llm_corpus_e2e", oracle=_llm_corpus_oracle())
+def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus curation chain end to end, hashed per stage:
+
+    raw → funnel survivors (Gopher rules → repetition battery → CCNet
+    perplexity terciles → exact dedup; funnel_stage_ids — EXACTLY the
+    frames pipeline_filter_funnel pins) → classifier keep (the
+    qc_trained_scorer weights + the qc_score_threshold tie-inclusive
+    cut over exactly those survivors) → decontamination (eval-slice
+    docs leave the training set, any surviving doc sharing a
+    {DECON_K}-gram with the eval slice drops — decon_gram_frame, the
+    dedup_decontaminate contract; short docs with no grams keep) →
+    BPE tokenizer TRAINED ON THE CURATED SURVIVORS (so the learned
+    merges are a function of curation) + sequence pack (the
+    text_tokenize_e2e two-phase prefix sum) → epoch-schedule manifest
+    (sample_epoch_schedule's integer recipe over POST-BPE token mass).
+
+    Output: one row per stage — (stage_idx, stage, n_docs, sig,
+    token_mass). The sig is the order-independent bit_xor of
+    md5(doc_id) (stages 0-3), of md5(doc_id:token_start) (stage 4 —
+    pins every document's global offset in the packed stream), and of
+    md5(doc_id#epoch_idx) (stage 5 — pins every manifest replica);
+    token_mass is whitespace-token mass for curation stages and
+    post-BPE mass for the packed/manifest stages. A single wrong
+    survivor, shifted pack offset, or extra epoch replica anywhere in
+    the chain flips a hash.
+
+    Scale shape: every stage keeps its standalone key's pinned plan —
+    the funnel scans, the classifier reduces to {QC_NFEAT}+1 scalars
+    per GD iteration, the threshold brackets with percentile_approx,
+    the eval gram set broadcasts (the corpus never shuffles for the
+    membership test), the BPE loop collects one winner row per round
+    and localCheckpoints each generation, the pack prefix sum is
+    16-way sharded, and the manifest explode IS the output. Stage
+    hand-offs are id-frames (doc_id only), each localCheckpoint-ed so
+    no stage re-materializes an earlier stage's lineage."""
+    from mercurygate_spark.functions import md5_long, tokens
+    from mercurygate_spark.queries.text import (
+        DECON_MOD,
+        _bpe_train_loop,
+        decon_gram_frame,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    wt = d.select("doc_id", F.size(tokens("text")).alias("wn"))
+
+    def stage_row(ids: DataFrame, idx: int, name: str) -> DataFrame:
+        j = ids.join(wt, "doc_id").select(
+            md5_long(F.col("doc_id").cast("string")).alias("hh"), "wn"
+        )
+        return j.agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(hh)").alias("sig"),
+            F.coalesce(F.sum("wn"), F.lit(0)).cast("long").alias("token_mass"),
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "sig",
+            "token_mass",
+        )
+
+    # stage 1: the funnel's survivor chain (checkpointed: the sig row
+    # and the classifier join both read it without re-deriving the
+    # funnel lineage)
+    s3 = funnel_stage_ids(d)["s3"].localCheckpoint(eager=True)
+
+    # stage 2: classifier keep over exactly those survivors
+    _, score_col = qc_trained_scorer(d)
+    feats = _qc_feature_frame(d)
+    scored = feats.join(s3, "doc_id").select(
+        "doc_id", score_col()
+    ).localCheckpoint(eager=True)
+    s_star = qc_score_threshold(scored)
+    kept = (
+        scored.where(F.col("score") >= F.lit(s_star))
+        if s_star is not None
+        else scored.where(F.lit(False))
+    ).select("doc_id")
+
+    # stage 3: decontamination — eval docs leave the training set,
+    # gram-contaminated survivors drop (short no-gram docs keep: the
+    # anti join has nothing to match)
+    grams = decon_gram_frame(d)
+    eh = grams.where(F.col("is_eval")).select("h").distinct()
+    contam = (
+        grams.join(kept, "doc_id")
+        .join(F.broadcast(eh), "h", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    not_eval = md5_long(F.col("doc_id").cast("string")) % DECON_MOD != 0
+    sdec = (
+        kept.where(not_eval)
+        .join(contam, "doc_id", "anti")
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 4: BPE trained on the curated survivors, then pack
+    merged, _ = _bpe_train_loop(spark, sf_dir, docs_src=d.join(sdec, "doc_id"))
+    ptoks = post_bpe_token_counts(merged).localCheckpoint(eager=True)
+    packed = pack_token_stream(ptoks)
+    stage4 = packed.select(
+        md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("token_start").cast("string"),
+            )
+        ).alias("hh"),
+        "n_tokens",
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.expr("bit_xor(hh)").alias("sig"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("token_mass"),
+    ).select(
+        F.lit(4).alias("stage_idx"),
+        F.lit("tokenized_packed").alias("stage"),
+        "n_docs",
+        "sig",
+        "token_mass",
+    )
+
+    # stage 5: epoch manifest over post-BPE token mass
+    pd_ = ptoks.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens"
+    )
+    counts = pd_.groupBy("lang").agg(F.sum("n_tokens").alias("total_tokens"))
+    rates = (
+        counts.withColumn(
+            "target_tokens",
+            F.expr("(sum(total_tokens) over () div 2) div (count(*) over ())"),
+        )
+        .withColumn("n_full_epochs", F.expr("target_tokens div total_tokens"))
+        .withColumn(
+            "frac_ppm",
+            F.expr("((target_tokens % total_tokens) * 1000000) div total_tokens"),
+        )
+        .select("lang", "n_full_epochs", "frac_ppm")
+    )
+    reps = pd_.join(F.broadcast(rates), "lang").withColumn(
+        "n_rep",
+        F.col("n_full_epochs")
+        + (
+            (md5_long(F.col("doc_id").cast("string")) % 1000000)
+            < F.col("frac_ppm")
+        ).cast("long"),
+    )
+    man = reps.where(F.col("n_rep") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_rep") - 1)).alias("epoch_idx"),
+    )
+    stage5 = man.select(
+        md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("epoch_idx").cast("string"),
+            )
+        ).alias("hh"),
+        "n_tokens",
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.expr("bit_xor(hh)").alias("sig"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("token_mass"),
+    ).select(
+        F.lit(5).alias("stage_idx"),
+        F.lit("epoch_manifest").alias("stage"),
+        "n_docs",
+        "sig",
+        "token_mass",
+    )
+
+    return (
+        stage_row(d.select("doc_id"), 0, "raw")
+        .unionByName(stage_row(s3, 1, "funnel_survivors"))
+        .unionByName(stage_row(kept, 2, "classifier_kept"))
+        .unionByName(stage_row(sdec, 3, "decontaminated"))
+        .unionByName(stage4)
+        .unionByName(stage5)
+        .orderBy("stage_idx")
     )

@@ -897,19 +897,60 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pair_dedup_oracle() -> str:
+def cross_modal_pairs(d: DataFrame) -> DataFrame:
+    """(id_a, id_b): the verified cross-modal duplicate pairs — text
+    MinHash-LSH candidates (bucket joins only) whose image aHash64
+    halves popcount-verify within {PHASH_HAM_MAX} bits. The shared
+    pair side of multimodal_pair_dedup (direct-edge manifest) and
+    multimodal_pair_cluster (transitive clusters) — one copy of the
+    LAION-rule contract."""
+    from mercurygate_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(d, "doc_id").select("id_a", "id_b")
+    halves = phash_halves(d)
+    ha = halves.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = halves.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .where(ham <= PHASH_HAM_MAX)
+        .select("id_a", "id_b")
+    )
+
+
+def _duck_cross_modal_pairs_sql() -> str:
+    """DuckDB twin of cross_modal_pairs, as one self-contained SELECT
+    (nested WITH) so it can slot into the recursive CC oracle."""
     from mercurygate_spark.operators.dedup import duck_minhash_pairs_sql
 
     return f"""
-    WITH {_DUCK_PHASH_CTES},
-    tp AS MATERIALIZED (SELECT * FROM ({duck_minhash_pairs_sql()})),
-    cross_dup AS (
+    SELECT id_a, id_b FROM (
+      WITH {_DUCK_PHASH_CTES},
+      tp AS MATERIALIZED (SELECT * FROM ({duck_minhash_pairs_sql()}))
       SELECT tp.id_a, tp.id_b
       FROM tp
       JOIN halves a ON a.doc_id = tp.id_a
       JOIN halves b ON b.doc_id = tp.id_b
       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
               <= {PHASH_HAM_MAX}
+    )"""
+
+
+def _pair_dedup_oracle() -> str:
+    return f"""
+    WITH cross_dup AS MATERIALIZED (
+      {_duck_cross_modal_pairs_sql()}
     ),
     dupinfo AS (
       SELECT id_b AS doc_id, CAST(count(*) AS BIGINT) AS n_cross_dups,
@@ -942,28 +983,8 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image saturation (the phash-dedup key's measured 17× quadratic)
     cannot occur here by construction. Everything shuffles ids +
     8-byte halves, never pixels or text."""
-    from mercurygate_spark.operators.dedup import minhash_candidate_pairs
-
-    t = load_tables(spark, sf_dir, "documents")
-    d = t["documents"]
-    pairs = minhash_candidate_pairs(d, "doc_id").select("id_a", "id_b")
-    halves = phash_halves(d)
-    ha = halves.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-    )
-    hb = halves.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-    )
-    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
-    cross_dup = (
-        pairs.join(ha, "id_a").join(hb, "id_b").where(ham <= PHASH_HAM_MAX)
-    )
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    cross_dup = cross_modal_pairs(d)
     dupinfo = cross_dup.groupBy(F.col("id_b").alias("doc_id")).agg(
         F.count("*").alias("n_cross_dups"), F.min("id_a").alias("dup_of")
     )
@@ -972,4 +993,80 @@ def multimodal_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cross_dups", F.lit(0)).cast("long").alias("n_cross_dups"),
         "dup_of",
         F.col("dup_of").isNull().alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal transitive clusters (VERDICT r13 next #4):
+# multimodal_pair_dedup emits direct-edge dup_of only, so a chain
+# a~b~c leaves c pointing at b — a doc the a-edge already dropped.
+# LAION-style cluster dedup routes the verified cross-modal pairs
+# through connected components and keeps ONE representative per
+# cluster; everything else points at the cluster id.
+# ---------------------------------------------------------------------------
+
+
+def _pair_cluster_oracle() -> str:
+    from mercurygate_spark.operators.dedup import duck_connected_components_sql
+
+    tail = """, comp AS (
+      SELECT node AS doc_id, least(node, min(r)) AS component
+      FROM __cc_reach GROUP BY node
+    ), csizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS kept
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    LEFT JOIN csizes s ON s.component = c.component"""
+    return duck_connected_components_sql(
+        _duck_cross_modal_pairs_sql(), final_select=tail
+    )
+
+
+@query("multimodal_pair_cluster", oracle=_pair_cluster_oracle())
+def multimodal_pair_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level image-text pair dedup: the verified cross-modal
+    duplicate pairs (cross_modal_pairs — exactly multimodal_pair_dedup's
+    edge set) feed the alternating large-star/small-star connected
+    components (operators.dedup.connected_components), so a~b~c lands
+    a, b, c in ONE cluster even though a~c was never a candidate pair
+    — the transitive closure the direct-edge manifest can't express.
+    Output: every document with its cluster id (min doc_id of the
+    cluster — docs with no cross-modal edge are their own singleton),
+    the cluster size, and kept = is-the-representative. Downstream,
+    keeping `kept` rows deduplicates at cluster granularity: no kept
+    doc can point at a dropped one.
+
+    Scale shape: pair generation is the pinned pair_dedup shape
+    (MinHash band-bucket equi joins + two id-equi popcount
+    verifications — the image side never self-joins); CC is O(log² n)
+    rounds of two groupBy-min shuffles over EDGES only (candidate
+    pairs, never the corpus), each round localCheckpoint-ed; the final
+    assembly is two left equi-joins keyed on doc_id/cluster.
+    Oracle: recursive-CTE reachability closure over the same pair
+    SELECT (the dedup_connected_components twin)."""
+    from mercurygate_spark.operators.dedup import connected_components
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    comps = connected_components(cross_modal_pairs(d)).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = comps.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        d.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            (F.col("cluster_id") == F.col("doc_id")).alias("kept"),
+        )
     )

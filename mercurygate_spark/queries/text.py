@@ -1375,10 +1375,13 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 8  # rounds trained by text_bpe_train
 
 
-def _bpe_chain_sql() -> str:
+def _bpe_chain_sql(source: str = "documents") -> str:
     """The shared unrolled-CTE chain replaying the whole BPE training
     loop (docs0..docs{BPE_TRAIN_MERGES}, per-round winner selection in
-    sel{k}) — the WITH body both BPE oracles build on.
+    sel{k}) — the WITH body both BPE oracles build on. ``source`` is
+    the (doc_id, text) relation the tokenizer trains on — the corpus
+    capstone passes its curated-survivor CTE so the trained merges are
+    a function of exactly the surviving documents.
 
     AS MATERIALIZED is load-bearing: each round references the
     previous round ~7× (pair count + 6 scalar subqueries in the
@@ -1387,7 +1390,7 @@ def _bpe_chain_sql() -> str:
     parts = [
         f"""docs0 AS MATERIALIZED (
       SELECT doc_id, ' ' || array_to_string({_DUCK_TK}, ' ') || ' ' AS s
-      FROM documents
+      FROM {source}
     )"""
     ]
     for k in range(1, BPE_TRAIN_MERGES + 1):
@@ -1430,13 +1433,21 @@ def _bpe_train_oracle() -> str:
     return "WITH " + _bpe_chain_sql() + "\n    " + selects
 
 
-def _bpe_train_loop(spark: SparkSession, sf_dir: str):
+def _bpe_train_loop(
+    spark: SparkSession, sf_dir: str, docs_src: DataFrame | None = None
+):
     """The shared BPE training loop: returns (final merged corpus
     frame with column ``s``, list of (step, w1, w2, merged, count)
-    winner rows). Mechanics documented on text_bpe_train."""
+    winner rows). Mechanics documented on text_bpe_train. ``docs_src``
+    optionally replaces the full documents table as the training
+    corpus (the capstone trains on its curated survivors)."""
     from mercurygate_spark.functions import tokens
 
-    t = load_tables(spark, sf_dir, "documents")
+    t = (
+        {"documents": docs_src}
+        if docs_src is not None
+        else load_tables(spark, sf_dir, "documents")
+    )
     docs = t["documents"].select(
         "doc_id",
         F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" ")).alias("s"),
@@ -3141,6 +3152,34 @@ def _decon_oracle() -> str:
     """
 
 
+def decon_gram_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, is_eval, h): every {DECON_K}-token gram hash of every
+    document with ≥ {DECON_K} tokens, plus the deterministic eval-slice
+    flag (md5(doc_id) % {DECON_MOD} == 0). The shared gram side of
+    dedup_decontaminate and the corpus capstone — one copy of the
+    gram/slice contract so the two keys can't drift."""
+    from mercurygate_spark.functions import md5_long, tokens
+
+    docs = (
+        d.select("doc_id", tokens("text").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .where(F.col("n") >= DECON_K)
+        .withColumn(
+            "is_eval", md5_long(F.col("doc_id").cast("string")) % DECON_MOD == 0
+        )
+    )
+    return docs.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - DECON_K),
+                lambda i: F.md5(F.array_join(F.slice("tk", i + 1, DECON_K), " ")),
+            )
+        ).alias("h"),
+    )
+
+
 @query("dedup_decontaminate", oracle=_decon_oracle())
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-overlap decontamination: every training document's
@@ -3158,28 +3197,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership test; the per-doc reduce carries (doc_id, two longs).
     Cites /root/reference semantics: none — this operator extends the
     reference's dedup surface for LLM-corpus curation."""
-    from mercurygate_spark.functions import md5_long, r6
+    from mercurygate_spark.functions import r6
 
     t = load_tables(spark, sf_dir, "documents")
-    docs = (
-        t["documents"]
-        .select("doc_id", tokens("text").alias("tk"))
-        .withColumn("n", F.size("tk"))
-        .where(F.col("n") >= DECON_K)
-        .withColumn(
-            "is_eval", md5_long(F.col("doc_id").cast("string")) % DECON_MOD == 0
-        )
-    )
-    grams = docs.select(
-        "doc_id",
-        "is_eval",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - DECON_K),
-                lambda i: F.md5(F.array_join(F.slice("tk", i + 1, DECON_K), " ")),
-            )
-        ).alias("h"),
-    )
+    grams = decon_gram_frame(t["documents"])
     eh = grams.where(F.col("is_eval")).select("h").distinct()
     joined = grams.where(~F.col("is_eval")).join(
         F.broadcast(eh.withColumn("__hit", F.lit(1))), "h", "left"

@@ -627,6 +627,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_token_budget",
     # the same per-language plan windows, feeding the epoch explode
     "sample_epoch_schedule",
+    # inherits text_tokenize_e2e's shard-offset prefix sum (≤ 16 shard
+    # totals) and sample_epoch_schedule's per-language plan windows;
+    # the curation stages sit behind localCheckpoint boundaries
+    "pipeline_llm_corpus_e2e",
     # 7-day rolling median over the per-day agg (≤ calendar days)
     "window_moving_median",
     # final-vocab ranking over the piece-usage agg (≤ Σ 36^l pieces)
