@@ -866,12 +866,14 @@ def _qc_feature_frame(d: DataFrame) -> DataFrame:
     return hashed.join(struct, "doc_id")
 
 
-def qc_gate_oracle() -> str:
-    """Oracle for the STREAMING admission gate: the same training +
-    scoring + threshold chain as the batch key, but scored over the
-    WHOLE (tokenized) corpus and calibrated on the training population
-    itself — no funnel stages (a stream can't run the funnel's global
-    stages; the gate is the per-arrival check that runs before them)."""
+def qc_gate_chain_ctes() -> str:
+    """WITH-body for the STREAMING admission gate family: the same
+    training + scoring + threshold chain as the batch key, but scored
+    over the WHOLE (tokenized) corpus and calibrated on the training
+    population itself — no funnel stages (a stream can't run the
+    funnel's global stages; the gate is the per-arrival check that
+    runs before them). Shared by stream_classifier_gate and the
+    drift-recalibrating stream_classifier_gate_recal."""
     from mercurygate_spark.operators.logreg import (
         DUCK_FEAT_SQL,
         duck_logreg_cte_dim,
@@ -895,7 +897,7 @@ def qc_gate_oracle() -> str:
         + f" JOIN ({DUCK_FEAT_SQL}) s USING (doc_id)"
     )
     return f"""
-    WITH {_DUCK_GOPHER_PASS_CTES},
+    {_DUCK_GOPHER_PASS_CTES},
     qtok AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -926,7 +928,12 @@ def qc_gate_oracle() -> str:
       WHERE cum >= greatest(1, CAST(floor(
               (SELECT count(*) FROM qscored) * {QC_KEEP}) AS BIGINT))
       ORDER BY score DESC LIMIT 1
-    )
+    )"""
+
+
+def qc_gate_oracle() -> str:
+    return f"""
+    WITH {qc_gate_chain_ctes()}
     SELECT doc_id, score,
            CASE WHEN score >= (SELECT s_star FROM qthr) THEN 1 ELSE 0 END AS kept
     FROM qscored

@@ -1064,3 +1064,222 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Drift-recalibrating classifier gate (VERDICT r13 next #5):
+# stream_classifier_gate's s* is calibrated once, offline, forever —
+# production gates recalibrate on a cadence. This key composes the
+# gate with qc_score_threshold on a drift trigger: each arriving shard
+# is admitted with the threshold IN FORCE on arrival; if the shard's
+# observed keep rate drifts more than QC_DRIFT_PCT points from the
+# calibration target, s* is re-derived from that shard's score
+# distribution and applies to every LATER shard (decisions are never
+# retro-gated). Arrival shards are a deterministic function of the
+# data (char-length bands — length is a classifier feature, so band
+# keep rates genuinely drift), and cross-shard ORDER is drained from
+# an explicit ascending schedule (the stream_scd2_upsert doctrine) —
+# so the oracle can replay the whole recalibration schedule.
+# ---------------------------------------------------------------------------
+
+QC_DRIFT_PCT = 15    # |keep% − 50%| > 15 points fires recalibration
+QC_RECAL_BAND = 200  # arrival shard = least(2, char_len // BAND)
+
+
+def drift_fires(kept: int, n: int) -> bool:
+    """The exact integer drift rule shared by the Spark drain and the
+    oracle CTEs: |100·kept − 50·n| > QC_DRIFT_PCT·n (no float keep-rate
+    comparison, so the two engines can never disagree at the bound).
+    n=0 (an empty band) never fires."""
+    return abs(100 * kept - 50 * n) > QC_DRIFT_PCT * n
+
+
+def _stream_qc_recal_oracle() -> str:
+    from mercurygate_spark.queries.corpus import QC_KEEP, qc_gate_chain_ctes
+
+    parts = [
+        f"""bsh AS MATERIALIZED (
+      SELECT q.doc_id, q.score,
+             CAST(least(2, length(d.text) // {QC_RECAL_BAND}) AS INT) AS batch_id
+      FROM qscored q JOIN documents d USING (doc_id)
+    ),
+    thr0 AS MATERIALIZED (SELECT s_star AS s FROM qthr)"""
+    ]
+    for b in range(3):
+        # integer drift test: |100·kept − 50·n| > {QC_DRIFT_PCT}·n —
+        # exact on both engines (no float keep-rate comparison)
+        parts.append(f"""st{b} AS MATERIALIZED (
+      SELECT count(*) AS n,
+             coalesce(sum(CASE WHEN score >= (SELECT s FROM thr{b})
+                               THEN 1 ELSE 0 END), 0) AS k
+      FROM bsh WHERE batch_id = {b}
+    ),
+    f{b} AS MATERIALIZED (
+      SELECT abs(100 * k - 50 * n) > {QC_DRIFT_PCT} * n AS fire FROM st{b}
+    ),
+    rt{b}_d AS MATERIALIZED (
+      SELECT score, count(*) AS cnt FROM bsh WHERE batch_id = {b} GROUP BY score
+    ),
+    rt{b} AS MATERIALIZED (
+      SELECT score AS s FROM (
+        SELECT score, sum(cnt) OVER (
+                 ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rt{b}_d)
+      WHERE cum >= greatest(1, CAST(floor((SELECT n FROM st{b}) * {QC_KEEP}) AS BIGINT))
+      ORDER BY score DESC LIMIT 1
+    ),
+    thr{b + 1} AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT fire FROM f{b}) THEN (SELECT s FROM rt{b})
+                  ELSE (SELECT s FROM thr{b}) END AS s
+    )""")
+    thr_case = (
+        "CASE b.batch_id WHEN 0 THEN (SELECT s FROM thr0) "
+        "WHEN 1 THEN (SELECT s FROM thr1) ELSE (SELECT s FROM thr2) END"
+    )
+    fire_case = (
+        "CASE b.batch_id WHEN 0 THEN (SELECT fire FROM f0) "
+        "WHEN 1 THEN (SELECT fire FROM f1) ELSE (SELECT fire FROM f2) END"
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {qc_gate_chain_ctes()},
+    {body}
+    SELECT b.doc_id, b.score, b.batch_id,
+           {thr_case} AS thr,
+           CASE WHEN b.score >= {thr_case} THEN 1 ELSE 0 END AS kept,
+           {fire_case} AS recal_fired
+    FROM bsh b
+    """
+
+
+@query("stream_classifier_gate_recal", oracle=_stream_qc_recal_oracle())
+def stream_classifier_gate_recal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quality gating WITH drift recalibration: documents
+    arrive as 3 char-length-band shards (length is a classifier
+    feature, so band keep rates genuinely drift from the offline
+    calibration); each drained shard is gated with the threshold in
+    force on arrival, its keep rate is tested against the calibration
+    target by the exact integer rule |100·kept − 50·n| >
+    {QC_DRIFT_PCT}·n, and a firing shard re-derives s* from its own
+    score distribution (qc_score_threshold — the same tie-inclusive
+    cut as offline calibration) for every later shard. Emits
+    (doc_id, score, batch_id, thr, kept, recal_fired) per arriving
+    doc; thr is the threshold each doc was actually gated with.
+
+    Cross-shard order is drained from the explicit ascending band
+    schedule (stage + drain, the stream_scd2_upsert doctrine) — mtime
+    only shapes micro-batching, never correctness — so the oracle
+    replays the full recalibration schedule deterministically
+    (unrolled per-band threshold CTEs).
+
+    Scale shape: per shard, the gate's zero-state codegen scoring pass
+    plus TWO bounded driver scalars (n, kept) for the drift test and
+    the bracketed threshold derivation when it fires; no watermark, no
+    store — the recalibration state is one double."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mercurygate_spark.queries.corpus import (
+        _qc_feature_frame,
+        qc_score_threshold,
+        qc_trained_scorer,
+    )
+
+    d_full = load_tables(spark, sf_dir, "documents")["documents"]
+    d = d_full.select("doc_id", "text")
+    # offline: train + calibrate on the training population
+    _, score_col = qc_trained_scorer(d_full)
+    scored_all = _qc_feature_frame(d).select("doc_id", score_col())
+    thr0 = qc_score_threshold(scored_all)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mercurygate_stream_recal_{os.getpid()}",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    src_dir, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+    shard_expr = F.expr(f"least(2, length(text) div {QC_RECAL_BAND})").cast("int")
+    now = time.time()
+    schedule: list[int] = []
+    for i in range(3):
+        shard_dir = os.path.join(base, f"stage{i}")
+        sdf = d.where(shard_expr == i).withColumn("shard", F.lit(i))
+        sdf.coalesce(1).write.mode("overwrite").parquet(shard_dir)
+        parts = [p for p in sorted(os.listdir(shard_dir)) if p.endswith(".parquet")]
+        if parts and spark.read.parquet(shard_dir).limit(1).count() > 0:
+            dst = os.path.join(src_dir, f"shard{i}.parquet")
+            shutil.copy(os.path.join(shard_dir, parts[0]), dst)
+            os.utime(dst, (now + i, now + i))
+            schedule.append(i)
+        # an empty band never arrives; the oracle's per-band CTEs pass
+        # the threshold through unchanged for it (n=0 → fire false)
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+    staged: set = set()
+    state = {"thr": thr0}
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arrived = sorted(
+            r["shard"] for r in batch_df.select("shard").distinct().collect()
+        )  # bounded: ≤3 band tags
+        for s in arrived:
+            batch_df.where(F.col("shard") == s).select("doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(base, f"staged_s{s}"))
+            staged.add(s)
+        while schedule and schedule[0] in staged:
+            s = schedule.pop(0)
+            docs = spark.read.parquet(os.path.join(base, f"staged_s{s}"))
+            scored = _qc_feature_frame(docs).select(
+                "doc_id", score_col()
+            ).localCheckpoint(eager=True)
+            cur = state["thr"]
+            n = scored.count()
+            k = (
+                scored.where(F.col("score") >= F.lit(cur)).count()
+                if cur is not None
+                else 0
+            )
+            fire = drift_fires(k, n)
+            scored.select(
+                "doc_id",
+                "score",
+                F.lit(s).cast("int").alias("batch_id"),
+                F.lit(cur).cast("double").alias("thr"),
+                (
+                    F.when(F.col("score") >= F.lit(cur), 1).otherwise(0)
+                    if cur is not None
+                    else F.lit(0)
+                ).alias("kept"),
+                F.lit(fire).alias("recal_fired"),
+            ).write.mode("append").parquet(out_dir)
+            if fire:
+                state["thr"] = qc_score_threshold(scored)
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert not schedule, f"arrival shards never drained: {schedule}"
+    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
