@@ -70,9 +70,13 @@ def graph_walk(q, lists, entry, edges, beam: int, hops: int):
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
     )
 
+    # one qv row per query even when q probes >1 list (n_probe=2 leg:
+    # a per-probe join would duplicate every scored candidate)
+    qvec = q.select("query_id", "qv").distinct()
+
     def score(c):
         return (
-            c.join(q.select("query_id", "qv"), "query_id")
+            c.join(qvec, "query_id")
             .join(cand_vecs, "cand_id")
             .select(
                 "query_id", "centroid_id", "cand_id",
@@ -202,6 +206,59 @@ def main() -> None:
                 "config": f"graph walk G={g_deg} B={beam} hops={hops} E={e_count}",
                 "recall": round(recall(got, truth), 3),
                 "cands_per_q": round(cands, 1),
+            }
+        )
+
+    # ---- n_probe=2 leg (VERDICT r13 next #7): the measured frontier
+    # tops out at 0.24 vs the n_probe=1 flat ceiling 0.244 because the
+    # walk stays inside ONE list — a query near a Voronoi boundary
+    # cannot recover neighbors living in the adjacent list at ANY
+    # E/B/hops. Walking the top-2 lists moves the CEILING itself.
+    q2 = (
+        ivf_assign(e.where(F.col("vec_id") < N_Q), cmat, "vec_id", "embedding",
+                   n_probe=2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "centroid_id",
+        )
+    )
+    flat2_scored = (
+        q2.join(
+            lists.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("cv"),
+                F.col("centroid_id").alias("ccid"),
+            ),
+            q2["centroid_id"] == F.col("ccid"),
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", fcos(F.col("qv"), F.col("cv")).alias("cos"))
+        .distinct()
+    )
+    flat2 = topk_sets(
+        flat2_scored.withColumn("rk", F.row_number().over(w_q)).where(
+            F.col("rk") <= K
+        ),
+        ccol="cand_id",
+    )
+    rows.append(
+        {
+            "config": "flat 2-list scan (n_probe=2 ceiling)",
+            "recall": round(recall(flat2, truth), 3),
+            "cands_per_q": round(flat2_scored.count() / N_Q, 1),
+        }
+    )
+    for beam, e_count in ((8, 2), (8, 4), (16, 4)):
+        final, visited = graph_walk(
+            q2, lists, entries(e_count), edges8, beam, 3
+        )
+        got = topk_sets(final, ccol="cand_id")
+        rows.append(
+            {
+                "config": f"graph walk G=8 B={beam} hops=3 E={e_count} n_probe=2",
+                "recall": round(recall(got, truth), 3),
+                "cands_per_q": round(visited.count() / N_Q, 1),
             }
         )
 
