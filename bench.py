@@ -96,6 +96,9 @@ HEADLINE = [
     # round-13 additions
     "sim_range_search_recall_held",  # recall-held radius search (T from recall target)
     "sim_ivf_graph_multi_entry",     # multi-entry graph walk at the measured sweet spot
+    # round-14 additions
+    "pipeline_llm_corpus_e2e",       # capstone: funnel -> classifier -> decon -> BPE+pack -> epochs
+    "multimodal_pair_cluster",       # cross-modal transitive cluster dedup (CC over verified pairs)
 ]
 
 
