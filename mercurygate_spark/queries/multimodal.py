@@ -1062,7 +1062,10 @@ def multimodal_pair_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id")
         .join(comps, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
-        .join(F.broadcast(sizes), "cluster_id", "left")
+        # no broadcast hint: cluster count is corpus-order at 100 TB
+        # (one row per near-dup cluster); the planner may still
+        # broadcast adaptively when runtime stats say it fits
+        .join(sizes, "cluster_id", "left")
         .select(
             "doc_id",
             "cluster_id",
