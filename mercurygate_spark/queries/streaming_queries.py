@@ -1010,7 +1010,12 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d_full.select("doc_id", "text")  # the arriving payload columns
     # offline: train (labels need lang for the gopher frame) + calibrate
     _, score_col = qc_trained_scorer(d_full)
-    scored_all = _qc_feature_frame(d).select("doc_id", score_col())
+    # checkpoint: the bracketing threshold derivation issues several
+    # bounded jobs over this frame; don't re-derive the feature
+    # explode per job
+    scored_all = _qc_feature_frame(d).select(
+        "doc_id", score_col()
+    ).localCheckpoint(eager=True)
     s_star = qc_score_threshold(scored_all)
 
     base = os.path.join(
@@ -1194,7 +1199,9 @@ def stream_classifier_gate_recal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d_full.select("doc_id", "text")
     # offline: train + calibrate on the training population
     _, score_col = qc_trained_scorer(d_full)
-    scored_all = _qc_feature_frame(d).select("doc_id", score_col())
+    scored_all = _qc_feature_frame(d).select(
+        "doc_id", score_col()
+    ).localCheckpoint(eager=True)
     thr0 = qc_score_threshold(scored_all)
 
     base = os.path.join(
