@@ -2774,6 +2774,39 @@ def sim_ivf_graph_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_graph_np_scaled",
+    oracle=_ivf_graph_oracle(
+        k_expr="(SELECT kk FROM kpar)",
+        e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME,
+        hops=GRAPH_HOPS_ME, n_probe=GRAPH_NPROBE,
+    ),
+)
+def sim_ivf_graph_np_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_graph_nprobe under the LIST-COUNT dial — the anchor+dial
+    pair completed for the multi-probe geometry (the doctrine every
+    fixed-parameter quadratic-build anchor follows): k =
+    scaled_n_centroids(count) holds expected list occupancy — and
+    hence graph-build pairs per row — constant as the corpus grows,
+    while each query still walks its top-{GRAPH_NPROBE} lists with the
+    multi-entry delta-scored beam. The oracle derives the same k from
+    count(*) and replays the identical walk with probe_rank <=
+    {GRAPH_NPROBE}."""
+    from mercurygate_spark.operators.similarity import (
+        scaled_n_centroids,
+        train_ivf_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    k = scaled_n_centroids(e.count())
+    cmat = train_ivf_centroids(e, k=k)
+    return _ivf_graph_serve(
+        spark, e, cmat,
+        e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME,
+        hops=GRAPH_HOPS_ME, n_probe=GRAPH_NPROBE,
+    )
+
+
 def _multi_scaled_oracle() -> str:
     """Union-of-tables radius search with count-derived plane width:
     per table t, the bucket is the np-char prefix of table t's seeded
