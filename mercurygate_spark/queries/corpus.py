@@ -1543,7 +1543,17 @@ def _llm_corpus_stage_sql(idx: int, name: str, ids: str) -> str:
     )
 
 
+def _duck_kept_pairs_sql() -> str:
+    """MinHash-LSH candidate pairs over the classifier-kept docs (the
+    kdocs CTE) — dedup_connected_components' pair SQL retargeted at
+    the capstone's stage-2 survivor relation."""
+    from mercurygate_spark.operators.dedup import duck_minhash_pairs_sql
+
+    return duck_minhash_pairs_sql(table="kdocs")
+
+
 def _llm_corpus_oracle() -> str:
+    from mercurygate_spark.operators.dedup import duck_connected_components_sql
     from mercurygate_spark.queries.text import (
         _DUCK_TK,
         BPE_TRAIN_MERGES,
@@ -1568,6 +1578,23 @@ def _llm_corpus_oracle() -> str:
     kept AS MATERIALIZED (
       SELECT doc_id FROM qscored WHERE score >= (SELECT s_star FROM qthr)
     ),
+    kdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)
+    ),
+    ndp AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_duck_kept_pairs_sql()})
+      WHERE n_shared_bands >= 2
+    ),
+    ndcomp AS MATERIALIZED (
+      SELECT * FROM (
+        {duck_connected_components_sql("SELECT id_a, id_b FROM ndp")}
+      )
+    ),
+    snd AS MATERIALIZED (
+      SELECT k.doc_id FROM kept k
+      LEFT JOIN ndcomp c ON k.doc_id = c.node
+      WHERE c.node IS NULL OR c.component = c.node
+    ),
     dk AS MATERIALIZED (
       SELECT doc_id, is_eval,
              md5(array_to_string(list_slice(dtk, pos + 1, pos + {DECON_K}), ' ')) AS h
@@ -1582,10 +1609,10 @@ def _llm_corpus_oracle() -> str:
     ),
     deh AS MATERIALIZED (SELECT DISTINCT h FROM dk WHERE is_eval),
     dcont AS MATERIALIZED (
-      SELECT DISTINCT dk.doc_id FROM dk JOIN kept USING (doc_id) JOIN deh USING (h)
+      SELECT DISTINCT dk.doc_id FROM dk JOIN snd USING (doc_id) JOIN deh USING (h)
     ),
     sdec AS MATERIALIZED (
-      SELECT k.doc_id FROM kept k
+      SELECT k.doc_id FROM snd k
       LEFT JOIN dcont c ON k.doc_id = c.doc_id
       WHERE c.doc_id IS NULL AND ({ml.format(x="CAST(k.doc_id AS VARCHAR)")} % {DECON_MOD} <> 0)
     ),
@@ -1646,14 +1673,16 @@ def _llm_corpus_oracle() -> str:
       UNION ALL
       {_llm_corpus_stage_sql(2, "classifier_kept", "kept")}
       UNION ALL
-      {_llm_corpus_stage_sql(3, "decontaminated", "sdec")}
+      {_llm_corpus_stage_sql(3, "neardup_cluster_reps", "snd")}
       UNION ALL
-      SELECT 4 AS stage_idx, 'tokenized_packed' AS stage, count(*) AS n_docs,
+      {_llm_corpus_stage_sql(4, "decontaminated", "sdec")}
+      UNION ALL
+      SELECT 5 AS stage_idx, 'tokenized_packed' AS stage, count(*) AS n_docs,
              {sig4} AS sig,
              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS token_mass
       FROM ppacked
       UNION ALL
-      SELECT 5 AS stage_idx, 'epoch_manifest' AS stage, count(*) AS n_docs,
+      SELECT 6 AS stage_idx, 'epoch_manifest' AS stage, count(*) AS n_docs,
              {sig5} AS sig,
              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS token_mass
       FROM lman
@@ -1669,7 +1698,11 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity terciles → exact dedup; funnel_stage_ids — EXACTLY the
     frames pipeline_filter_funnel pins) → classifier keep (the
     qc_trained_scorer weights + the qc_score_threshold tie-inclusive
-    cut over exactly those survivors) → decontamination (eval-slice
+    cut over exactly those survivors) → near-dup CLUSTER dedup
+    (MinHash-LSH candidate pairs over the kept docs, ≥2 agreeing
+    bands, large-star/small-star connected components, keep each
+    cluster's min-id representative — the dedup_connected_components
+    decision layer as a pipeline stage) → decontamination (eval-slice
     docs leave the training set, any surviving doc sharing a
     {DECON_K}-gram with the eval slice drops — decon_gram_frame, the
     dedup_decontaminate contract; short docs with no grams keep) →
@@ -1680,9 +1713,9 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per stage — (stage_idx, stage, n_docs, sig,
     token_mass). The sig is the order-independent bit_xor of
-    md5(doc_id) (stages 0-3), of md5(doc_id:token_start) (stage 4 —
+    md5(doc_id) (stages 0-4), of md5(doc_id:token_start) (stage 5 —
     pins every document's global offset in the packed stream), and of
-    md5(doc_id#epoch_idx) (stage 5 — pins every manifest replica);
+    md5(doc_id#epoch_idx) (stage 6 — pins every manifest replica);
     token_mass is whitespace-token mass for curation stages and
     post-BPE mass for the packed/manifest stages. A single wrong
     survivor, shifted pack offset, or extra epoch replica anywhere in
@@ -1741,29 +1774,46 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         else scored.where(F.lit(False))
     ).select("doc_id")
 
-    # stage 3: decontamination — eval docs leave the training set,
+    # stage 3: near-dup CLUSTER dedup over the kept docs — MinHash-LSH
+    # candidates (>=2 agreeing bands, the dedup_connected_components
+    # contract) through large-star/small-star CC; keep each cluster's
+    # min-id representative (singletons keep themselves)
+    from mercurygate_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    ndpairs = minhash_candidate_pairs(d.join(kept, "doc_id"), "doc_id").where(
+        F.col("n_shared_bands") >= 2
+    ).select("id_a", "id_b")
+    nd_drop = connected_components(ndpairs).where(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias("doc_id"))
+    snd = kept.join(nd_drop, "doc_id", "anti").localCheckpoint(eager=True)
+
+    # stage 4: decontamination — eval docs leave the training set,
     # gram-contaminated survivors drop (short no-gram docs keep: the
     # anti join has nothing to match)
     grams = decon_gram_frame(d)
     eh = grams.where(F.col("is_eval")).select("h").distinct()
     contam = (
-        grams.join(kept, "doc_id")
+        grams.join(snd, "doc_id")
         .join(F.broadcast(eh), "h", "semi")
         .select("doc_id")
         .distinct()
     )
     not_eval = md5_long(F.col("doc_id").cast("string")) % DECON_MOD != 0
     sdec = (
-        kept.where(not_eval)
+        snd.where(not_eval)
         .join(contam, "doc_id", "anti")
         .localCheckpoint(eager=True)
     )
 
-    # stage 4: BPE trained on the curated survivors, then pack
+    # stage 5: BPE trained on the curated survivors, then pack
     merged, _ = _bpe_train_loop(spark, sf_dir, docs_src=d.join(sdec, "doc_id"))
     ptoks = post_bpe_token_counts(merged).localCheckpoint(eager=True)
     packed = pack_token_stream(ptoks)
-    stage4 = packed.select(
+    stage5 = packed.select(
         md5_long(
             F.concat(
                 F.col("doc_id").cast("string"),
@@ -1777,14 +1827,14 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(hh)").alias("sig"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("token_mass"),
     ).select(
-        F.lit(4).alias("stage_idx"),
+        F.lit(5).alias("stage_idx"),
         F.lit("tokenized_packed").alias("stage"),
         "n_docs",
         "sig",
         "token_mass",
     )
 
-    # stage 5: epoch manifest over post-BPE token mass
+    # stage 6: epoch manifest over post-BPE token mass
     pd_ = ptoks.join(d.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "n_tokens"
     )
@@ -1814,7 +1864,7 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.explode(F.sequence(F.lit(0), F.col("n_rep") - 1)).alias("epoch_idx"),
     )
-    stage5 = man.select(
+    stage6 = man.select(
         md5_long(
             F.concat(
                 F.col("doc_id").cast("string"),
@@ -1828,7 +1878,7 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(hh)").alias("sig"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("token_mass"),
     ).select(
-        F.lit(5).alias("stage_idx"),
+        F.lit(6).alias("stage_idx"),
         F.lit("epoch_manifest").alias("stage"),
         "n_docs",
         "sig",
@@ -1839,8 +1889,9 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_row(d.select("doc_id"), 0, "raw")
         .unionByName(stage_row(s3, 1, "funnel_survivors"))
         .unionByName(stage_row(kept, 2, "classifier_kept"))
-        .unionByName(stage_row(sdec, 3, "decontaminated"))
-        .unionByName(stage4)
+        .unionByName(stage_row(snd, 3, "neardup_cluster_reps"))
+        .unionByName(stage_row(sdec, 4, "decontaminated"))
         .unionByName(stage5)
+        .unionByName(stage6)
         .orderBy("stage_idx")
     )
