@@ -1117,12 +1117,14 @@ QC_THR_COLLECT = 64     # distinct-score collect cap for the exact walk
 def qc_score_threshold(
     scored: DataFrame,
     *,
+    keep: float = QC_KEEP,
     accuracy: int = QC_THR_ACC,
     collect_cap: int = QC_THR_COLLECT,
 ) -> float | None:
     """s* = the highest score whose descending cumulative count reaches
-    K = max(1, floor(n·QC_KEEP)) — i.e. the value at descending row
-    rank K, tie-inclusive. None on an empty frame. Shared by the batch
+    K = max(1, floor(n·keep)) (keep defaults to QC_KEEP) — i.e. the
+    value at descending row rank K, tie-inclusive. None on an empty
+    frame. Shared by the batch
     key, the streaming admission gate, and the corpus capstone.
 
     Production derivation (VERDICT r13 #3): percentile_approx BRACKET +
@@ -1144,7 +1146,7 @@ def qc_score_threshold(
     n = scored.count()
     if n == 0:
         return None
-    k_rem = max(1, int(n * QC_KEEP))
+    k_rem = max(1, int(n * keep))
     band = scored.select("score")
     n_b, prev_nd = n, None
     while True:
@@ -1894,4 +1896,100 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage5)
         .unionByName(stage6)
         .orderBy("stage_idx")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted epoch scheduling (round 14 frontier): the
+# FineWeb-edu / Llama-recipe upsampling step — repeat high-quality
+# documents across epochs and drop the low tail, with "quality" =
+# the TRAINED classifier score (pipeline_quality_classifier's model),
+# not a heuristic. Composes qc_trained_scorer with the epoch-manifest
+# explode: top-quartile docs train QE_HI_EPOCHS epochs, the middle
+# half one epoch, the bottom quartile zero — both quartile cuts are
+# the exact tie-inclusive thresholds qc_score_threshold derives
+# (percentile_approx bracket + exact refinement, never a global rank).
+# ---------------------------------------------------------------------------
+
+QE_HI_KEEP = 0.25   # top-quartile cut (score >= s_hi -> QE_HI_EPOCHS)
+QE_LO_KEEP = 0.75   # keep-any cut (score >= s_lo -> at least 1 epoch)
+QE_HI_EPOCHS = 2
+
+
+def _quality_epochs_oracle() -> str:
+    def thr(name: str, frac: float) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT score AS s FROM (
+        SELECT score, sum(cnt) OVER (
+                 ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM qdist)
+      WHERE cum >= greatest(1, CAST(floor(
+              (SELECT count(*) FROM qscored) * {frac}) AS BIGINT))
+      ORDER BY score DESC LIMIT 1
+    )"""
+
+    return f"""
+    WITH {qc_gate_chain_ctes()},
+    {thr("qe_hi", QE_HI_KEEP)},
+    {thr("qe_lo", QE_LO_KEEP)},
+    qe_reps AS MATERIALIZED (
+      SELECT doc_id, score,
+             CASE WHEN score >= (SELECT s FROM qe_hi) THEN {QE_HI_EPOCHS}
+                  WHEN score >= (SELECT s FROM qe_lo) THEN 1
+                  ELSE 0 END AS n_rep
+      FROM qscored
+    )
+    SELECT doc_id, score, CAST(e AS BIGINT) AS epoch_idx
+    FROM qe_reps, UNNEST(range(0, n_rep)) AS u(e)
+    WHERE n_rep > 0
+    """
+
+
+@query("sample_quality_epochs", oracle=_quality_epochs_oracle())
+def sample_quality_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored epoch manifest: train the quality classifier on
+    its weak curated-vs-raw labels (qc_trained_scorer — the exact
+    pipeline_quality_classifier model), score the WHOLE tokenized
+    corpus, derive the two tie-inclusive quartile thresholds with
+    qc_score_threshold (keep=0.25 and 0.75 — the production bracketed
+    derivation, two bounded jobs each), and materialize the
+    (doc, epoch) manifest: top quartile appears {QE_HI_EPOCHS}×, the
+    middle half once, the bottom quartile not at all. This is
+    sample_epoch_schedule's loader frame with the repetition factor
+    driven by LEARNED quality instead of domain token budgets — the
+    FineWeb-edu upsampling recipe.
+
+    Scale shape: scoring is the literal-weight codegen projection
+    (training reduces the corpus to {{QC_NFEAT}}+1 scalars per GD
+    iteration); each threshold is the bracketed derivation (never a
+    global rank window); the explode fan-out IS the intended manifest.
+    The oracle replays training, scoring, BOTH threshold derivations
+    and the repetition CASE in one CTE chain."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    _, score_col = qc_trained_scorer(d)
+    scored = _qc_feature_frame(d).select(
+        "doc_id", score_col()
+    ).localCheckpoint(eager=True)
+    s_hi = qc_score_threshold(scored, keep=QE_HI_KEEP)
+    s_lo = qc_score_threshold(scored, keep=QE_LO_KEEP)
+    if s_hi is None:
+        return scored.select(
+            "doc_id", "score", F.lit(0).cast("long").alias("epoch_idx")
+        ).where(F.lit(False))
+    reps = scored.withColumn(
+        "n_rep",
+        F.when(F.col("score") >= F.lit(s_hi), QE_HI_EPOCHS)
+        .when(F.col("score") >= F.lit(s_lo), 1)
+        .otherwise(0),
+    )
+    return (
+        reps.where(F.col("n_rep") > 0)
+        .select(
+            "doc_id",
+            "score",
+            F.explode(F.sequence(F.lit(0), F.col("n_rep") - 1)).alias("epoch_idx"),
+        )
+        .select("doc_id", "score", F.col("epoch_idx").cast("long").alias("epoch_idx"))
     )

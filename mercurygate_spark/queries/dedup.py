@@ -1407,3 +1407,96 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("match_weight").desc(), "custkey_a", "custkey_b"
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round 14 frontier): the EMBEDDING-level
+# twin of dedup_decontaminate — gram overlap misses paraphrased eval
+# leakage, so production decontamination ALSO screens training vectors
+# against the benchmark set in embedding space (the SemDeDup-style
+# cosine test pointed at a held-out suite instead of the corpus
+# itself). The eval side is a benchmark dump — tiny by contract — so
+# the exact check is a broadcast of the eval vectors and one codegen
+# cosine pass over the corpus: n_train × |eval| dot products, zero
+# corpus shuffle, partial aggregation completing map-side (vec_id is
+# unique). No recall-losing index needed: for DEcontamination the miss
+# cost is asymmetric, so the exact small-side scan is the production
+# shape.
+# ---------------------------------------------------------------------------
+
+SEM_DECON_TAU = 0.4  # contamination cosine (the SemDeDup in-repo regime;
+                     # a production benchmark screen runs ~0.95 — the
+                     # corpus has no natural pairs that high, see the
+                     # planted-pair probes)
+
+
+def _sem_decon_oracle() -> str:
+    from mercurygate_spark.queries.text import DECON_MOD
+
+    cos = (
+        "round(list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4)"
+    )
+    is_eval = (
+        "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {DECON_MOD} = 0)"
+    )
+    return f"""
+    WITH ev AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE {is_eval}
+    ),
+    tr AS (
+      SELECT vec_id, embedding FROM embeddings WHERE NOT {is_eval}
+    )
+    SELECT t.vec_id,
+           max({cos}) AS max_eval_cos,
+           CAST(coalesce(sum(CASE WHEN {cos} >= {SEM_DECON_TAU}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_contam,
+           (max({cos}) >= {SEM_DECON_TAU}) AS contaminated
+    FROM tr t CROSS JOIN ev e
+    GROUP BY t.vec_id
+    """
+
+
+@query("dedup_decontaminate_semantic", oracle=_sem_decon_oracle())
+def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination: every training vector
+    (non-eval slice; the same deterministic md5 split the textual
+    decon key uses, on vec_id) reports its maximum r4 cosine against
+    the ENTIRE eval-slice vector set, the count of eval vectors within
+    {SEM_DECON_TAU}, and the contamination flag — the audit frame the
+    gram-based key publishes, at paraphrase granularity.
+
+    Scale shape: the eval set (a benchmark suite — tiny by contract)
+    broadcasts into a deliberate BroadcastNestedLoopJoin; the corpus
+    never shuffles at all, every per-pair cosine runs in whole-stage
+    codegen (the sequential F.aggregate fold that matches DuckDB's
+    list_dot_product exactly), and the per-vector reduce completes
+    map-side because vec_id is unique. Work is n_train × |eval| dot
+    products — the exact check production runs, because missing eval
+    leakage costs more than the scan (no recall-losing index on the
+    decontamination path)."""
+    from mercurygate_spark.functions import md5_long
+    from mercurygate_spark.operators.similarity import cosine
+    from mercurygate_spark.queries.text import DECON_MOD
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    is_eval = md5_long(F.col("vec_id").cast("string")) % DECON_MOD == 0
+    ev = emb.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    tr = emb.where(~is_eval).select("vec_id", "embedding")
+    c = F.floor(cosine(F.col("embedding"), F.col("ev")) * 10**4 + F.lit(0.5)) / 10**4
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", c.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_eval_cos"),
+            F.coalesce(
+                F.sum((F.col("cos") >= SEM_DECON_TAU).cast("long")), F.lit(0)
+            ).cast("long").alias("n_contam"),
+            (F.max("cos") >= SEM_DECON_TAU).alias("contaminated"),
+        )
+    )

@@ -129,6 +129,10 @@ _BOUNDED_BNLJ_OK = {
     "sample_kcenter_coreset",
     # three 1-row u-probability frames crossed into the pair scorer
     "er_fellegi_sunter",
+    # deliberate broadcast cross of the EVAL-SLICE vectors (a benchmark
+    # suite — tiny by contract, the dedup_decontaminate posture): the
+    # exact small-side screen is the decontamination production shape
+    "dedup_decontaminate_semantic",
     # inherits pipeline_filter_funnel's 1-row vocab cross through
     # funnel_stage_ids (the survivor frame it scores)
     "pipeline_quality_classifier",
