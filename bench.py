@@ -102,10 +102,70 @@ HEADLINE = [
 ]
 
 
+# Host-load self-adjudication (VERDICT r14 #4): a loaded driver host
+# inflates timings uniformly and forces a human to adjudicate against
+# the variance priors by hand. The bench now (a) waits briefly for the
+# host to go idle (bounded — never blocks the driver for long), (b)
+# stamps a loaded_host flag when it could not, and (c) emits a per-key
+# vs_fence verdict computed from the committed fresh-JVM priors so the
+# artifact adjudicates itself.
+LOAD_IDLE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.5"))
+LOAD_WAIT_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAITS", "6"))
+LOAD_WAIT_SECONDS = 20.0
+
+
+def wait_for_idle_host() -> tuple[float, float, bool]:
+    """Bounded idle-wait: poll the 1-minute load average up to
+    LOAD_WAIT_ATTEMPTS times, LOAD_WAIT_SECONDS apart, until it drops
+    under LOAD_IDLE_THRESHOLD. Returns (final_load, waited_s, loaded)."""
+    waited = 0.0
+    load = os.getloadavg()[0]
+    for _ in range(LOAD_WAIT_ATTEMPTS):
+        if load < LOAD_IDLE_THRESHOLD:
+            break
+        print(
+            f"# host loaded (load_avg_1m={load:.2f} >= {LOAD_IDLE_THRESHOLD}); "
+            f"waiting {LOAD_WAIT_SECONDS:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_WAIT_SECONDS)
+        waited += LOAD_WAIT_SECONDS
+        load = os.getloadavg()[0]
+    return load, waited, load >= LOAD_IDLE_THRESHOLD
+
+
+def load_fence_priors() -> dict[str, dict]:
+    """Newest committed fresh-JVM variance prior per key, scanned from
+    docs/bench_variance_*.json in name order (later rounds win). Only
+    priors measured at the default sf0.1 dir apply."""
+    import glob
+
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    priors: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(docs, "bench_variance_*.json"))):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if doc.get("sf_dir", "/root/testdata/sf0.1") != "/root/testdata/sf0.1":
+            continue
+        for key, stats in doc.get("keys", {}).items():
+            if "hi_fence" in stats:
+                priors[key] = {
+                    "hi_fence": stats["hi_fence"],
+                    "lo_fence": stats.get("lo_fence"),
+                    "prior": os.path.basename(path),
+                }
+    return priors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from mercurygate_spark.queries import all_queries
     from mercurygate_spark.session import get_spark
+
+    load_after_wait, idle_waited_s, loaded_host = wait_for_idle_host()
 
     spark = get_spark(app_name="mercurygate_spark_bench")
     queries = all_queries()
@@ -157,7 +217,33 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "load_avg_1m_start": round(load_after_wait, 2),
+        "idle_waited_s": idle_waited_s,
+        "loaded_host": bool(loaded_host),
     }
+    # per-key fence adjudication: fences are fresh-JVM medians/IQR, a
+    # warm shared-JVM best-of-N should sit at or below them — a key
+    # above its hi-fence on an idle host is a real drift signal; on a
+    # loaded host the loaded_host flag explains it.
+    if sf_dir.rstrip("/") == "/root/testdata/sf0.1":
+        priors = load_fence_priors()
+        vs_fence = {}
+        above = []
+        for name, t in timings.items():
+            p = priors.get(name)
+            if not p:
+                continue
+            ratio = round(t / p["hi_fence"], 3)
+            vs_fence[name] = {
+                "hi_fence": p["hi_fence"],
+                "ratio_vs_hi_fence": ratio,
+                "above": ratio > 1.0,
+                "prior": p["prior"],
+            }
+            if ratio > 1.0:
+                above.append(name)
+        full["vs_fence"] = vs_fence
+        full["keys_above_fence"] = above
     # The driver captures only the last 2000 chars of stdout; the full
     # doc (~6 KB with per-run arrays) got front-truncated into an
     # unparseable tail in round 10 ("parsed": null). Parse-proofing:
@@ -174,7 +260,25 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:  # bench must still emit its line read-only
         print(f"# artifact write failed: {exc}", file=sys.stderr)
-    slim = {k: v for k, v in full.items() if k not in ("query_runs", "query_means", "query_medians")}
+    slim = {
+        k: v
+        for k, v in full.items()
+        if k not in ("query_runs", "query_means", "query_medians", "vs_fence")
+    }
+    # the slim line must keep "queries" under the 2000-char tail
+    # window: emit the self-adjudication fields only when they carry
+    # signal (full detail always lives in the artifact)
+    if not slim.get("loaded_host"):
+        slim.pop("loaded_host", None)
+    if not slim.get("idle_waited_s"):
+        slim.pop("idle_waited_s", None)
+    above_keys = slim.pop("keys_above_fence", None)
+    if above_keys:
+        slim["n_above_fence"] = len(above_keys)  # names in the artifact
+    slim.pop("load_avg_1m_start", None)
+    # 2-decimal per-key timings on the line (3-decimal in the artifact):
+    # ~60 chars of headroom that keeps "queries" intact as keys grow
+    slim["queries"] = {k: round(v, 2) for k, v in slim["queries"].items()}
     slim["artifact"] = "docs/bench_local_latest.json"
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 1900:  # still must fit the 2000-char tail window

@@ -417,10 +417,13 @@ def duck_tables_for_recall_sql(np_sql: str) -> str:
     )
     # ELSE must fail LOUDLY: without it a plane count outside
     # [OCC_MIN_PLANES, OCC_MAX_PLANES] would yield NULL and the oracle
-    # would silently return zero rows instead of erroring
+    # would silently return zero rows instead of erroring.  error() is
+    # DuckDB's supported explicit-failure expression and is guaranteed
+    # lazy inside CASE (a failing CAST could legally be constant-folded
+    # at bind time by a future optimizer).
     return (
         f"(SELECT CASE ({np_sql}) {cases} "
-        "ELSE CAST('np out of range' AS INT) END)"
+        "ELSE error('np out of range') END)"
     )
 
 
@@ -585,6 +588,7 @@ def ivf_assign(
     vec_col: str,
     n_probe: int = 1,
     extra_cols: tuple[str, ...] = (),
+    with_dist: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids
     (integer squared euclidean on the quantized grid, tie-break by
@@ -595,18 +599,21 @@ def ivf_assign(
     path: the filter attribute rides the SAME mapInPandas batch, so
     adding it costs zero extra shuffles or joins — at 100 TB joining
     the assignment back to the corpus on id would be a second full
-    corpus shuffle)."""
+    corpus shuffle). ``with_dist`` appends the exact int64 quantized
+    squared distance per probe row — the boundary-adaptive probe gate
+    compares these integers, so the margin rule is engine-exact."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     cols = [id_col, vec_col, *extra_cols]
     in_schema = df.select(*cols).schema
     schema = StructType(
         list(in_schema.fields)
         + [StructField("centroid_id", IntegerType()), StructField("probe_rank", IntegerType())]
+        + ([StructField("probe_dist", LongType())] if with_dist else [])
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -621,10 +628,14 @@ def ivf_assign(
             rows = []
             for i in range(len(pdf)):
                 for r in range(order.shape[1]):
-                    rows.append(
-                        (*pdf.iloc[i][cols], int(order[i, r]), r + 1)
-                    )
-            yield pd.DataFrame(rows, columns=[*cols, "centroid_id", "probe_rank"])
+                    row = (*pdf.iloc[i][cols], int(order[i, r]), r + 1)
+                    if with_dist:
+                        row = (*row, int(d[i, order[i, r]]))
+                    rows.append(row)
+            out_cols = [*cols, "centroid_id", "probe_rank"]
+            if with_dist:
+                out_cols.append("probe_dist")
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return df.select(*cols).mapInPandas(assign, schema)
 

@@ -28,8 +28,8 @@ Pass: recall-held ≥ RH_TARGET − 0.10 at every size; candidate-pair
 cost ≤ 1.5× over linear per aligned step; radius-key wall ≤ ~1.5× per
 step (noise fences apply); me_scaled wall ≤ ~1.5× at the aligned step.
 
-Run: python scripts/aligned_chain_probe.py [--skip-build]
-Output: markdown tables + docs/aligned_chain_r14.json
+Run: python scripts/aligned_chain_probe.py [--skip-build] [--out PATH]
+Output: markdown tables + docs/aligned_chain_r15.json (default)
 """
 
 from __future__ import annotations
@@ -51,7 +51,12 @@ WALL_KEYS = [
     "sim_range_search_recall_held",
     "sim_range_search_multi_scaled",
     "sim_ivf_graph_me_scaled",
+    "sim_ivf_graph_np_scaled",
 ]
+# wall noise fence per aligned step (the docstring's "≤ ~1.5× per
+# step"): each step is 4× rows, sub-linear cost means over-linear
+# ratio < 1; 1.5 leaves headroom for JVM/host noise on 2-6 s keys.
+WALL_FENCE = 1.5
 RECALL_BASE = [2000, 8000, 32700]
 RNG_SEED = 14
 
@@ -114,6 +119,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--skip-wall", action="store_true")
+    ap.add_argument("--out", default="docs/aligned_chain_r15.json")
     args = ap.parse_args()
 
     import duckdb
@@ -181,7 +187,18 @@ def main() -> None:
     out["band"] = [round(RH_TARGET - 0.10, 3), 1.0]
     out["pass_recall_band"] = bool(rec_ok)
     out["pass_aligned_cost"] = bool(cost_ok)
-    with open("docs/aligned_chain_r14.json", "w") as f:
+    if "wall_chain" in out:
+        # the docstring's wall criterion, folded into the verdict so a
+        # wall regression cannot emit a passing-looking artifact
+        out["wall_fence"] = WALL_FENCE
+        out["pass_wall"] = bool(
+            all(
+                s <= WALL_FENCE
+                for w in out["wall_chain"].values()
+                for s in w["over_linear_per_step"]
+            )
+        )
+    with open(args.out, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
 

@@ -262,6 +262,47 @@ def main() -> None:
             }
         )
 
+    # ---- boundary-ADAPTIVE n_probe leg (VERDICT r14 next #1): probe
+    # the second list ONLY for queries whose top-2 centroid margin is
+    # small (the IMI/ADC trick). Margin rule on the exact int64
+    # quantized squared distances: probe 2 iff 100*(d2-d1) <= pct*d1
+    # — integer-exact in both engines. Non-boundary queries save the
+    # whole second-list walk; the budget goes to beam width.
+    q2d = (
+        ivf_assign(e.where(F.col("vec_id") < N_Q), cmat, "vec_id", "embedding",
+                   n_probe=2, with_dist=True)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "centroid_id", "probe_rank", "probe_dist",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_margin = Window.partitionBy("query_id")
+    q2m = q2d.withColumn("d1", F.min("probe_dist").over(w_margin))
+    for pct, beam, hops in (
+        (10, 16, 3), (25, 16, 3), (50, 16, 3), (100, 16, 3),
+        (25, 24, 3), (50, 24, 3), (100, 24, 3),
+        (50, 16, 4), (100, 16, 4), (100, 24, 4),
+    ):
+        qa = q2m.where(
+            (F.col("probe_rank") == 1)
+            | (100 * (F.col("probe_dist") - F.col("d1")) <= pct * F.col("d1"))
+        ).select("query_id", "qv", "centroid_id")
+        frac2 = (qa.count() - N_Q) / N_Q
+        final, visited = graph_walk(qa, lists, entries(4), edges8, beam, hops)
+        got = topk_sets(final, ccol="cand_id")
+        rows.append(
+            {
+                "config": (
+                    f"ADAPTIVE margin<={pct}% G=8 B={beam} hops={hops} E=4"
+                ),
+                "recall": round(recall(got, truth), 3),
+                "cands_per_q": round(visited.count() / N_Q, 1),
+                "frac_probe2": round(frac2, 2),
+            }
+        )
+
     print(f"\n| config | recall@{K} | scored cands/query (corpus n={n}) |")
     print("|---|---|---|")
     for r in rows:
