@@ -1556,6 +1556,13 @@ def _duck_kept_pairs_sql() -> str:
 
 def _llm_corpus_oracle() -> str:
     from mercurygate_spark.operators.dedup import duck_connected_components_sql
+    from mercurygate_spark.operators.similarity import duck_scaled_k_sql
+    from mercurygate_spark.queries.dedup import (
+        duck_sem_contam_cte,
+        duck_sem_eval_cap_cte,
+        duck_sem_eval_is_eval_sql,
+        duck_semdedup_ctes,
+    )
     from mercurygate_spark.queries.text import (
         _DUCK_TK,
         BPE_TRAIN_MERGES,
@@ -1597,6 +1604,32 @@ def _llm_corpus_oracle() -> str:
       LEFT JOIN ndcomp c ON k.doc_id = c.node
       WHERE c.node IS NULL OR c.component = c.node
     ),
+    svx AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN snd s ON e.vec_id = s.doc_id
+    ),
+    sd_kpar AS MATERIALIZED (SELECT {duck_scaled_k_sql("svx")} AS kk),
+    {duck_semdedup_ctes(table="svx", prefix="sd_", k="(SELECT kk FROM sd_kpar)")},
+    ssd AS MATERIALIZED (
+      SELECT s.doc_id FROM snd s
+      LEFT JOIN sd_semdd x ON s.doc_id = x.vec_id
+      WHERE x.vec_id IS NULL
+    ),
+    {duck_sem_eval_cap_cte(name="sd2ev")},
+    {duck_sem_contam_cte(
+        train_rel=(
+            "SELECT e.vec_id, e.embedding "
+            "FROM embeddings e JOIN ssd s ON e.vec_id = s.doc_id "
+            f"WHERE NOT {duck_sem_eval_is_eval_sql()}"
+        ),
+        name="sd2contam",
+        ev="sd2ev",
+    )},
+    ssem AS MATERIALIZED (
+      SELECT s.doc_id FROM ssd s
+      LEFT JOIN sd2contam c ON s.doc_id = c.vec_id
+      WHERE c.vec_id IS NULL
+    ),
     dk AS MATERIALIZED (
       SELECT doc_id, is_eval,
              md5(array_to_string(list_slice(dtk, pos + 1, pos + {DECON_K}), ' ')) AS h
@@ -1611,10 +1644,10 @@ def _llm_corpus_oracle() -> str:
     ),
     deh AS MATERIALIZED (SELECT DISTINCT h FROM dk WHERE is_eval),
     dcont AS MATERIALIZED (
-      SELECT DISTINCT dk.doc_id FROM dk JOIN snd USING (doc_id) JOIN deh USING (h)
+      SELECT DISTINCT dk.doc_id FROM dk JOIN ssem USING (doc_id) JOIN deh USING (h)
     ),
     sdec AS MATERIALIZED (
-      SELECT k.doc_id FROM snd k
+      SELECT k.doc_id FROM ssem k
       LEFT JOIN dcont c ON k.doc_id = c.doc_id
       WHERE c.doc_id IS NULL AND ({ml.format(x="CAST(k.doc_id AS VARCHAR)")} % {DECON_MOD} <> 0)
     ),
@@ -1677,14 +1710,18 @@ def _llm_corpus_oracle() -> str:
       UNION ALL
       {_llm_corpus_stage_sql(3, "neardup_cluster_reps", "snd")}
       UNION ALL
-      {_llm_corpus_stage_sql(4, "decontaminated", "sdec")}
+      {_llm_corpus_stage_sql(4, "semdedup_reps", "ssd")}
       UNION ALL
-      SELECT 5 AS stage_idx, 'tokenized_packed' AS stage, count(*) AS n_docs,
+      {_llm_corpus_stage_sql(5, "sem_decontaminated", "ssem")}
+      UNION ALL
+      {_llm_corpus_stage_sql(6, "decontaminated", "sdec")}
+      UNION ALL
+      SELECT 7 AS stage_idx, 'tokenized_packed' AS stage, count(*) AS n_docs,
              {sig4} AS sig,
              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS token_mass
       FROM ppacked
       UNION ALL
-      SELECT 6 AS stage_idx, 'epoch_manifest' AS stage, count(*) AS n_docs,
+      SELECT 8 AS stage_idx, 'epoch_manifest' AS stage, count(*) AS n_docs,
              {sig5} AS sig,
              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS token_mass
       FROM lman
@@ -1704,7 +1741,14 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MinHash-LSH candidate pairs over the kept docs, ≥2 agreeing
     bands, large-star/small-star connected components, keep each
     cluster's min-id representative — the dedup_connected_components
-    decision layer as a pipeline stage) → decontamination (eval-slice
+    decision layer as a pipeline stage) → SemDeDup (VERDICT r14 #2:
+    the survivors' BRIDGED embeddings — vec_id == doc_id, docs
+    without a vector pass — k-means-clustered at the count-DIALED k,
+    cosine-dominated vectors drop; paraphrase-level near-dups the
+    MinHash stage cannot see) → SEMANTIC decontamination (surviving
+    docs whose bridged training vector reaches SEM_DECON_TAU cosine
+    of the capped eval set drop — dedup_decontaminate_semantic's
+    screen as a pipeline stage) → gram decontamination (eval-slice
     docs leave the training set, any surviving doc sharing a
     {DECON_K}-gram with the eval slice drops — decon_gram_frame, the
     dedup_decontaminate contract; short docs with no grams keep) →
@@ -1715,9 +1759,9 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per stage — (stage_idx, stage, n_docs, sig,
     token_mass). The sig is the order-independent bit_xor of
-    md5(doc_id) (stages 0-4), of md5(doc_id:token_start) (stage 5 —
+    md5(doc_id) (stages 0-6), of md5(doc_id:token_start) (stage 7 —
     pins every document's global offset in the packed stream), and of
-    md5(doc_id#epoch_idx) (stage 6 — pins every manifest replica);
+    md5(doc_id#epoch_idx) (stage 8 — pins every manifest replica);
     token_mass is whitespace-token mass for curation stages and
     post-BPE mass for the packed/manifest stages. A single wrong
     survivor, shifted pack offset, or extra epoch replica anywhere in
@@ -1726,8 +1770,12 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every stage keeps its standalone key's pinned plan —
     the funnel scans, the classifier reduces to {QC_NFEAT}+1 scalars
     per GD iteration, the threshold brackets with percentile_approx,
-    the eval gram set broadcasts (the corpus never shuffles for the
-    membership test), the BPE loop collects one winner row per round
+    the SemDeDup stage clusters at the count-dialed k (in-cluster
+    pairwise work bounded at any survivor count — the dialed regime,
+    never the fixed-k anchor), the semantic screen broadcasts the
+    FIXED-size capped eval set (work = cap·n, linear, zero corpus
+    shuffle), the eval gram set broadcasts (the corpus never shuffles
+    for the membership test), the BPE loop collects one winner row per round
     and localCheckpoints each generation, the pack prefix sum is
     16-way sharded, and the manifest explode IS the output. Stage
     hand-offs are id-frames (doc_id only), each localCheckpoint-ed so
@@ -1793,20 +1841,61 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("doc_id"))
     snd = kept.join(nd_drop, "doc_id", "anti").localCheckpoint(eager=True)
 
-    # stage 4: decontamination — eval docs leave the training set,
-    # gram-contaminated survivors drop (short no-gram docs keep: the
-    # anti join has nothing to match)
+    # stage 4: SemDeDup over the survivors' BRIDGED embeddings
+    # (vec_id == doc_id — both id spaces are the same deterministic
+    # sequence; docs without a vector pass through unscreened, the
+    # production shape when only a corpus subset is embedded). k is
+    # count-dialed (scaled_n_centroids) so in-cluster pairwise work
+    # stays bounded as the survivor set grows — the capstone takes the
+    # dialed regime, not the fixed-k anchor.
+    from mercurygate_spark.operators.similarity import scaled_n_centroids
+    from mercurygate_spark.queries.dedup import (
+        sem_contaminated_ids,
+        semdedup_dominated,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    svx = (
+        emb.join(snd.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    k_sd = scaled_n_centroids(svx.count())
+    sd_drop = semdedup_dominated(spark, svx, k=k_sd).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    ssd = snd.join(sd_drop, "doc_id", "anti").localCheckpoint(eager=True)
+
+    # stage 5: SEMANTIC decontamination — surviving docs whose bridged
+    # training vector sits within SEM_DECON_TAU of the capped eval set
+    # drop (paraphrase-level leakage the gram screen below misses).
+    # Eval-slice vectors are not screened: on bridged ids the vec eval
+    # slice IS the doc eval slice, which leaves at the gram stage.
+    not_eval_vec = md5_long(F.col("vec_id").cast("string")) % DECON_MOD != 0
+    strain = (
+        emb.join(ssd.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        .where(not_eval_vec)
+        .select("vec_id", "embedding")
+    )
+    scont = sem_contaminated_ids(emb, strain).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    ssem = ssd.join(scont, "doc_id", "anti").localCheckpoint(eager=True)
+
+    # stage 6: gram decontamination — eval docs leave the training
+    # set, gram-contaminated survivors drop (short no-gram docs keep:
+    # the anti join has nothing to match)
     grams = decon_gram_frame(d)
     eh = grams.where(F.col("is_eval")).select("h").distinct()
     contam = (
-        grams.join(snd, "doc_id")
+        grams.join(ssem, "doc_id")
         .join(F.broadcast(eh), "h", "semi")
         .select("doc_id")
         .distinct()
     )
     not_eval = md5_long(F.col("doc_id").cast("string")) % DECON_MOD != 0
     sdec = (
-        snd.where(not_eval)
+        ssem.where(not_eval)
         .join(contam, "doc_id", "anti")
         .localCheckpoint(eager=True)
     )
@@ -1829,7 +1918,7 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(hh)").alias("sig"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("token_mass"),
     ).select(
-        F.lit(5).alias("stage_idx"),
+        F.lit(7).alias("stage_idx"),
         F.lit("tokenized_packed").alias("stage"),
         "n_docs",
         "sig",
@@ -1880,7 +1969,7 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(hh)").alias("sig"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("token_mass"),
     ).select(
-        F.lit(6).alias("stage_idx"),
+        F.lit(8).alias("stage_idx"),
         F.lit("epoch_manifest").alias("stage"),
         "n_docs",
         "sig",
@@ -1892,7 +1981,9 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(s3, 1, "funnel_survivors"))
         .unionByName(stage_row(kept, 2, "classifier_kept"))
         .unionByName(stage_row(snd, 3, "neardup_cluster_reps"))
-        .unionByName(stage_row(sdec, 4, "decontaminated"))
+        .unionByName(stage_row(ssd, 4, "semdedup_reps"))
+        .unionByName(stage_row(ssem, 5, "sem_decontaminated"))
+        .unionByName(stage_row(sdec, 6, "decontaminated"))
         .unionByName(stage5)
         .unionByName(stage6)
         .orderBy("stage_idx")

@@ -863,16 +863,34 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(bucketed: bool = False) -> str:
+def duck_semdedup_ctes(
+    table: str = "embeddings",
+    prefix: str = "",
+    k=None,
+    bucketed: bool = False,
+) -> str:
+    """The SemDeDup decision chain as a parameterized CTE generator
+    (the shared-generator doctrine: the standalone keys AND the
+    capstone's semantic stage consume this one chain, so they cannot
+    drift). Trains the quantized-grid Lloyd's on ``table``, assigns,
+    and ends in ``{prefix}semdd`` = (vec_id, centroid_id, cdist,
+    n_dominating) — one row per DOMINATED vector (a cosine>=0.4
+    in-cluster neighbor with higher keep-priority exists). ``k``
+    accepts an int or a scalar-subquery string (the count-dialed
+    capstone passes duck_scaled_k_sql so list occupancy stays bounded
+    at any corpus size)."""
     from mercurygate_spark.operators.similarity import (
         EMBED_DIMS,
         KMEANS_ITERS,
+        N_CENTROIDS,
         N_PLANES_MULTI,
         N_TABLES,
         duck_bucket_sql_seeded,
         duck_ivf_kmeans_sql,
     )
 
+    p = prefix
+    k = N_CENTROIDS if k is None else k
     dims = EMBED_DIMS
     dist = (
         f"list_sum(list_transform(range(1,{dims + 1}), "
@@ -884,58 +902,78 @@ def _semdedup_oracle(bucketed: bool = False) -> str:
             for t in range(N_TABLES)
         )
         anyb = " OR ".join(f"a.b{t} = b.b{t}" for t in range(N_TABLES))
-        bk_ctes = f""", mt AS (
-      SELECT vec_id, {bcols} FROM embeddings
-    ), cand AS (
+        bk_ctes = f""", {p}mt AS (
+      SELECT vec_id, {bcols} FROM {table}
+    ), {p}cand AS (
       SELECT DISTINCT a.vec_id AS ca, b.vec_id AS cb
-      FROM mt a JOIN mt b ON a.vec_id <> b.vec_id AND ({anyb})
+      FROM {p}mt a JOIN {p}mt b ON a.vec_id <> b.vec_id AND ({anyb})
     )"""
         pairs_from = (
-            "FROM cand JOIN base a ON cand.ca = a.vec_id"
-            " JOIN base b ON cand.cb = b.vec_id"
+            f"FROM {p}cand JOIN {p}base a ON {p}cand.ca = a.vec_id"
+            f" JOIN {p}base b ON {p}cand.cb = b.vec_id"
             " WHERE a.centroid_id = b.centroid_id"
         )
     else:
         bk_ctes = ""
         pairs_from = (
-            "FROM base a JOIN base b"
+            f"FROM {p}base a JOIN {p}base b"
             " ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id"
         )
-    return f"""
-    WITH {duck_ivf_kmeans_sql()},
-    assign_final AS (
+    return f"""{duck_ivf_kmeans_sql(table=table, k=k, prefix=p)},
+    {p}assign_final AS (
       SELECT vec_id, qe, cidx FROM (
         SELECT e.vec_id, e.qe, c.cidx,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cidx) AS rn
-        FROM qemb e CROSS JOIN cent{KMEANS_ITERS} c
+        FROM {p}qemb e CROSS JOIN {p}cent{KMEANS_ITERS} c
       ) WHERE rn = 1
     ){bk_ctes},
-    base AS (
+    {p}base AS (
       SELECT a.vec_id, a.cidx AS centroid_id, a.qe,
              CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT) AS n2,
              CAST(list_sum(list_transform(range(1,{dims + 1}),
                   j -> (a.qe[j]-c.qc[j])*(a.qe[j]-c.qc[j]))) AS BIGINT) AS cdist
-      FROM assign_final a JOIN cent{KMEANS_ITERS} c ON a.cidx = c.cidx
+      FROM {p}assign_final a JOIN {p}cent{KMEANS_ITERS} c ON a.cidx = c.cidx
     ),
-    pairs AS (
+    {p}pairs AS (
       SELECT a.vec_id, a.centroid_id, a.cdist,
              CAST(list_sum(list_transform(range(1,{dims + 1}),
                   j -> a.qe[j]*b.qe[j])) AS BIGINT) AS dot,
              b.cdist AS bcdist, b.vec_id AS bvec, a.n2 AS an2, b.n2 AS bn2
       {pairs_from}
-    )
-    SELECT vec_id, centroid_id, cdist, count(*) AS n_dominating
-    FROM pairs
-    WHERE dot > 0
-      AND CAST(dot*dot AS DOUBLE)/CAST(an2*bn2 AS DOUBLE) >= 0.16
-      AND (bcdist > cdist OR (bcdist = cdist AND bvec < vec_id))
-    GROUP BY vec_id, centroid_id, cdist
+    ),
+    {p}semdd AS (
+      SELECT vec_id, centroid_id, cdist, count(*) AS n_dominating
+      FROM {p}pairs
+      WHERE dot > 0
+        AND CAST(dot*dot AS DOUBLE)/CAST(an2*bn2 AS DOUBLE) >= 0.16
+        AND (bcdist > cdist OR (bcdist = cdist AND bvec < vec_id))
+      GROUP BY vec_id, centroid_id, cdist
+    )"""
+
+
+def _semdedup_oracle(bucketed: bool = False) -> str:
+    return f"""
+    WITH {duck_semdedup_ctes(bucketed=bucketed)}
+    SELECT vec_id, centroid_id, cdist, n_dominating FROM semdd
     """
 
 
 def _semdedup_frame(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
     """Shared SemDeDup plan builder; ``bucketed`` adds the LSH-bucket
     equality to the candidate join (the scale path)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return semdedup_dominated(spark, t["embeddings"], bucketed=bucketed)
+
+
+def semdedup_dominated(
+    spark: SparkSession, e: DataFrame, bucketed: bool = False, k: int | None = None
+) -> DataFrame:
+    """SemDeDup decision layer over an ARBITRARY vector frame — the
+    Spark twin of duck_semdedup_ctes. Returns (vec_id, centroid_id,
+    cdist, n_dominating), one row per dominated vector. ``k`` overrides
+    the centroid count (the capstone passes scaled_n_centroids so list
+    occupancy — and hence in-cluster pairwise work — stays bounded as
+    the survivor set grows)."""
     from mercurygate_spark.operators.similarity import (
         QUANT,
         ivf_assign,
@@ -943,9 +981,7 @@ def _semdedup_frame(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFra
         train_ivf_centroids,
     )
 
-    t = load_tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"]
-    cmat = train_ivf_centroids(e)
+    cmat = train_ivf_centroids(e, **({} if k is None else {"k": k}))
     cent = spark.createDataFrame(
         [(int(i), [int(v) for v in row]) for i, row in enumerate(cmat)],
         "cidx int, qc array<bigint>",
@@ -1436,24 +1472,96 @@ SEM_DECON_EVAL_CAP = 64  # benchmark suites are FIXED-size: the eval set
                          # quadratic instead of the production regime)
 
 
-def _sem_decon_oracle() -> str:
+def sem_eval_cap_frame(emb: DataFrame) -> DataFrame:
+    """The deterministic fixed-size benchmark stand-in: the
+    SEM_DECON_EVAL_CAP hash-smallest eval-slice vectors (orderBy+limit
+    over the already-small slice — TakeOrdered, never a global sort of
+    the corpus). Spark twin of duck_sem_eval_cap_cte."""
+    from mercurygate_spark.functions import md5_long
     from mercurygate_spark.queries.text import DECON_MOD
 
-    cos = (
-        "round(list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) / "
-        "(sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) * "
-        "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4)"
+    is_eval = md5_long(F.col("vec_id").cast("string")) % DECON_MOD == 0
+    return (
+        emb.where(is_eval)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SEM_DECON_EVAL_CAP)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev"))
     )
-    is_eval = (
+
+
+def sem_contaminated_ids(emb: DataFrame, train: DataFrame) -> DataFrame:
+    """vec_ids among ``train`` (a (vec_id, embedding) frame) whose max
+    r4 cosine against the capped eval set reaches SEM_DECON_TAU — the
+    Spark twin of duck_sem_contam_cte. The eval side broadcasts into a
+    deliberate BNLJ (fixed {SEM_DECON_EVAL_CAP} rows); the training
+    side never shuffles and the per-vector reduce completes map-side
+    (vec_id unique)."""
+    from mercurygate_spark.operators.similarity import cosine
+
+    ev = sem_eval_cap_frame(emb)
+    c = F.floor(cosine(F.col("embedding"), F.col("ev")) * 10**4 + F.lit(0.5)) / 10**4
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .select("vec_id", c.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_eval_cos"))
+        .where(F.col("max_eval_cos") >= SEM_DECON_TAU)
+        .select("vec_id")
+    )
+
+
+# the r4 cosine between aliases t and e — shared by the standalone
+# screen oracle and the capstone's semantic-decon stage
+_SEM_DECON_COS = (
+    "round(list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4)"
+)
+
+
+def duck_sem_eval_is_eval_sql() -> str:
+    """The deterministic eval-slice predicate on vec_id (the same md5
+    split the textual decon key uses on doc_id — on bridged ids the
+    two slices coincide)."""
+    from mercurygate_spark.queries.text import DECON_MOD
+
+    return (
         "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
         f" % {DECON_MOD} = 0)"
     )
-    return f"""
-    WITH ev AS MATERIALIZED (
-      SELECT vec_id, embedding FROM embeddings WHERE {is_eval}
+
+
+def duck_sem_eval_cap_cte(name: str = "ev") -> str:
+    """The capped fixed-size benchmark stand-in: the
+    SEM_DECON_EVAL_CAP hash-smallest eval-slice vectors of the FULL
+    embeddings table (benchmark suites are fixed-size by contract —
+    the cap is what keeps the screen linear in the corpus)."""
+    return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE {duck_sem_eval_is_eval_sql()}
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {SEM_DECON_EVAL_CAP}
-    ),
+    )"""
+
+
+def duck_sem_contam_cte(
+    train_rel: str, name: str = "scontam", ev: str = "ev"
+) -> str:
+    """vec_ids among ``train_rel`` (a (vec_id, embedding) relation)
+    whose max r4 cosine against the capped eval set reaches
+    SEM_DECON_TAU — the drop set of the semantic screen."""
+    return f"""{name} AS MATERIALIZED (
+      SELECT t.vec_id
+      FROM ({train_rel}) t CROSS JOIN {ev} e
+      GROUP BY t.vec_id
+      HAVING max({_SEM_DECON_COS}) >= {SEM_DECON_TAU}
+    )"""
+
+
+def _sem_decon_oracle() -> str:
+    cos = _SEM_DECON_COS
+    is_eval = duck_sem_eval_is_eval_sql()
+    return f"""
+    WITH {duck_sem_eval_cap_cte()},
     tr AS (
       SELECT vec_id, embedding FROM embeddings WHERE NOT {is_eval}
     )
@@ -1492,15 +1600,7 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     is_eval = md5_long(F.col("vec_id").cast("string")) % DECON_MOD == 0
-    # deterministic fixed-size benchmark stand-in: the hash-smallest
-    # CAP eval-slice vectors (orderBy+limit over the already-small
-    # slice — TakeOrdered, never a global sort of the corpus)
-    ev = (
-        emb.where(is_eval)
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(SEM_DECON_EVAL_CAP)
-        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev"))
-    )
+    ev = sem_eval_cap_frame(emb)
     tr = emb.where(~is_eval).select("vec_id", "embedding")
     c = F.floor(cosine(F.col("embedding"), F.col("ev")) * 10**4 + F.lit(0.5)) / 10**4
     return (

@@ -60,9 +60,12 @@ def recall(got: dict, truth: dict) -> float:
     return sum(len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in qs) / len(qs)
 
 
-def graph_walk(q, lists, entry, edges, beam: int, hops: int):
+def graph_walk(q, lists, entry, edges, beam, hops: int, qbeam=None):
     """The sim_ivf_graph_topk walk with parametric (beam, hops) and
-    N_Q queries; returns (final topk frame, visited frame)."""
+    N_Q queries; returns (final topk frame, visited frame). ``qbeam``
+    (a (query_id, qbeam) frame) overrides the scalar beam per query —
+    the boundary-adaptive policy widens the beam exactly for the
+    queries that probe two lists."""
     v = q.select("query_id", "centroid_id").join(entry, "centroid_id").select(
         "query_id", "centroid_id", "cand_id"
     )
@@ -86,7 +89,7 @@ def graph_walk(q, lists, entry, edges, beam: int, hops: int):
 
     w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
     frontier = v
-    for _ in range(hops):
+    for h in range(hops):
         g = edges.select(F.col("centroid_id").alias("ecid"), "node_id", "neighbor_id")
         nbrs = (
             frontier.join(
@@ -98,12 +101,15 @@ def graph_walk(q, lists, entry, edges, beam: int, hops: int):
             .distinct()
         )
         v = v.unionByName(nbrs).distinct()
-        frontier = (
-            score(v)
-            .withColumn("rn", F.row_number().over(w_q))
-            .where(F.col("rn") <= beam)
-            .select("query_id", "centroid_id", "cand_id")
-        )
+        scored = score(v).withColumn("rn", F.row_number().over(w_q))
+        if qbeam is not None:
+            qb = qbeam[h] if isinstance(qbeam, list) else qbeam
+            scored = scored.join(F.broadcast(qb), "query_id").where(
+                F.col("rn") <= F.col("qbeam")
+            )
+        else:
+            scored = scored.where(F.col("rn") <= beam)
+        frontier = scored.select("query_id", "centroid_id", "cand_id")
     final = (
         score(v)
         .where(F.col("cand_id") != F.col("query_id"))
@@ -114,7 +120,9 @@ def graph_walk(q, lists, entry, edges, beam: int, hops: int):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    adaptive_only = "--adaptive-only" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     spark = get_spark("ivf-graph-recall")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = e.count()
@@ -181,7 +189,7 @@ def main() -> None:
         }
     ]
     edges8 = ivf_list_knn_graph(lists, g=8).localCheckpoint(eager=True)
-    grid = (
+    grid = () if adaptive_only else (
         (edges, GRAPH_G, 4, 2, 1),
         (edges, GRAPH_G, 8, 2, 1),
         (edges, GRAPH_G, 8, 3, 1),
@@ -249,7 +257,7 @@ def main() -> None:
             "cands_per_q": round(flat2_scored.count() / N_Q, 1),
         }
     )
-    for beam, e_count in ((8, 2), (8, 4), (16, 4)):
+    for beam, e_count in () if adaptive_only else ((8, 2), (8, 4), (16, 4)):
         final, visited = graph_walk(
             q2, lists, entries(e_count), edges8, beam, 3
         )
@@ -280,22 +288,76 @@ def main() -> None:
     )
     w_margin = Window.partitionBy("query_id")
     q2m = q2d.withColumn("d1", F.min("probe_dist").over(w_margin))
-    for pct, beam, hops in (
-        (10, 16, 3), (25, 16, 3), (50, 16, 3), (100, 16, 3),
-        (25, 24, 3), (50, 24, 3), (100, 24, 3),
-        (50, 16, 4), (100, 16, 4), (100, 24, 4),
-    ):
-        qa = q2m.where(
-            (F.col("probe_rank") == 1)
-            | (100 * (F.col("probe_dist") - F.col("d1")) <= pct * F.col("d1"))
-        ).select("query_id", "qv", "centroid_id")
+    # margin distribution: how compressed the top-2 centroid margins
+    # are decides which pcts gate at all (first run: >=25% gates nothing
+    # on this corpus — near-uniform embeddings sit close to Voronoi
+    # boundaries, so the useful thresholds are single-digit pcts)
+    margins = sorted(
+        r["m"]
+        for r in q2m.where(F.col("probe_rank") == 2)
+        .select(
+            (100 * (F.col("probe_dist") - F.col("d1")) / F.col("d1")).alias("m")
+        )
+        .collect()
+    )
+    mdist = {
+        "p10": round(margins[len(margins) // 10], 2),
+        "p25": round(margins[len(margins) // 4], 2),
+        "p50": round(margins[len(margins) // 2], 2),
+        "p75": round(margins[3 * len(margins) // 4], 2),
+        "p90": round(margins[9 * len(margins) // 10], 2),
+    }
+    print(f"# margin %-of-d1 distribution: {mdist}", file=sys.stderr)
+    adaptive_grid = (
+        # (pct, beam_boundary, beam_interior, hops): per-query beam —
+        # boundary queries (2 lists, the recall-limited population) get
+        # the wide beam; interior queries sit near their 1-list ceiling
+        # already, so a narrow beam loses little
+        # annealed per-hop beams: wide first hop picks basins, narrow
+        # later hops refine — same total candidate budget buys more
+        # recall than a uniform beam
+        ((12, [24, 18, 12, 6], [12, 8, 6, 6], 4, 4),
+         (11, [24, 18, 12, 8], [12, 8, 6, 6], 4, 4),
+         (12, [24, 18, 10, 8], [10, 8, 6, 6], 4, 4),
+         (12, [26, 18, 12, 8], [10, 8, 6, 4], 4, 4),
+         (13, [24, 18, 12, 8], [10, 8, 6, 6], 4, 4),
+         (12, [24, 20, 12, 8], [12, 8, 6, 6], 4, 4))
+        if adaptive_only
+        else ((10, 16, 16, 3, 4), (25, 16, 16, 3, 4), (50, 16, 16, 3, 4),
+              (100, 16, 16, 3, 4), (25, 24, 24, 3, 4), (50, 24, 24, 3, 4),
+              (100, 24, 24, 3, 4), (50, 16, 16, 4, 4), (100, 16, 16, 4, 4),
+              (100, 24, 24, 4, 4))
+    )
+    for pct, b2, b1, hops, e_cnt in adaptive_grid:
+        b2s = b2 if isinstance(b2, list) else [b2] * hops
+        b1s = b1 if isinstance(b1, list) else [b1] * hops
+        gate = 100 * (F.col("probe_dist") - F.col("d1")) <= pct * F.col("d1")
+        qa = q2m.where((F.col("probe_rank") == 1) | gate).select(
+            "query_id", "qv", "centroid_id"
+        )
         frac2 = (qa.count() - N_Q) / N_Q
-        final, visited = graph_walk(qa, lists, entries(4), edges8, beam, hops)
+        gated = q2m.groupBy("query_id").agg(
+            F.max(((F.col("probe_rank") == 2) & gate).cast("int"))
+            .cast("boolean")
+            .alias("g2")
+        )
+        qbeams = [
+            gated.select(
+                "query_id",
+                F.when(F.col("g2"), F.lit(b2s[h]))
+                .otherwise(F.lit(b1s[h]))
+                .alias("qbeam"),
+            )
+            for h in range(hops)
+        ]
+        final, visited = graph_walk(
+            qa, lists, entries(e_cnt), edges8, None, hops, qbeam=qbeams
+        )
         got = topk_sets(final, ccol="cand_id")
         rows.append(
             {
                 "config": (
-                    f"ADAPTIVE margin<={pct}% G=8 B={beam} hops={hops} E=4"
+                    f"ADAPTIVE margin<={pct}% G=8 B2={b2} B1={b1} hops={hops} E={e_cnt}"
                 ),
                 "recall": round(recall(got, truth), 3),
                 "cands_per_q": round(visited.count() / N_Q, 1),
