@@ -7,7 +7,7 @@ hashes are md5-derived specifically so the oracle can replay them
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mercurygate_spark.functions import r6
@@ -434,6 +434,126 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+def _cluster_rep_quality_oracle() -> str:
+    from mercurygate_spark.queries.corpus import qc_gate_chain_ctes
+
+    final = f""", comp AS MATERIALIZED (
+      SELECT node, least(node, min(r)) AS component FROM __cc_reach GROUP BY node
+    ),
+    {qc_gate_chain_ctes()},
+    cr_jm AS MATERIALIZED (
+      SELECT c.node AS doc_id, c.component AS component_id, s.score
+      FROM comp c JOIN qscored s ON c.node = s.doc_id
+    ),
+    cr_ranked AS MATERIALIZED (
+      SELECT doc_id, component_id, score,
+             row_number() OVER (
+               PARTITION BY component_id ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component_id) AS cluster_size,
+             min(doc_id) OVER (PARTITION BY component_id) AS min_id
+      FROM cr_jm
+    ),
+    cr_rep AS MATERIALIZED (
+      SELECT component_id, doc_id AS rep_id FROM cr_ranked WHERE rn = 1
+    )
+    SELECT r.doc_id, r.component_id, p.rep_id,
+           CAST(r.cluster_size AS BIGINT) AS cluster_size,
+           (r.doc_id = p.rep_id) AS kept
+    FROM cr_ranked r JOIN cr_rep p USING (component_id)
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS component_id, d.doc_id AS rep_id,
+           CAST(1 AS BIGINT) AS cluster_size, TRUE AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    WHERE c.node IS NULL
+    """
+    return duck_connected_components_sql(_CANDIDATE_PAIRS_SQL, final_select=final)
+
+
+@query("dedup_cluster_rep_quality", oracle=_cluster_rep_quality_oracle())
+def dedup_cluster_rep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with QUALITY-RANKED representatives
+    (VERDICT r14 next #3): dedup_connected_components keeps each
+    cluster's min-id doc — arbitrary; production keeps the BEST doc
+    (LAION keeps the highest-score pair, text dedup keeps the
+    longest/highest-quality member). Here the rep is the cluster
+    member with the highest TRAINED quality-classifier score
+    (qc_trained_scorer — the same model the corpus capstone gates on),
+    ties broken toward the smaller doc_id — a pinned deterministic
+    arg-max, never an engine-defined arg-pick. Output: every document
+    with its cluster id, the elected rep, cluster size, and the kept
+    flag (singletons keep themselves).
+
+    Scale shape: the transitive hull is the alternating
+    large-star/small-star CC (edge-bounded, log² rounds); the ONLY
+    new work over the min-id key is one window pass partitioned by
+    component over the EDGE-BOUNDED comp frame (nodes that appear in
+    candidate pairs — never the corpus), plus the rep re-join on
+    component_id, which reuses the window's own hash partitioning.
+    Singletons never enter the window: they join the result through a
+    corpus-side anti join with constant columns. The rep frame is
+    cluster-count-bounded and cluster count grows with the corpus —
+    it is deliberately NOT broadcast (the pair-cluster doctrine).
+
+    Oracle: the recursive reachability closure, then the SAME
+    arg-max — row_number over (score DESC, doc_id) inside the cluster
+    frame — on the qc chain's replayed scores (r6-stable floats whose
+    ordering both engines already agree on everywhere the threshold
+    keys cut)."""
+    from mercurygate_spark.queries.corpus import (
+        _qc_feature_frame,
+        qc_trained_scorer,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    pairs = minhash_candidate_pairs(d, "doc_id").where(
+        F.col("n_shared_bands") >= 2
+    )
+    comps = connected_components(pairs).localCheckpoint(eager=True)
+    _, score_col = qc_trained_scorer(d)
+    scored = _qc_feature_frame(d.select("doc_id", "text")).select(
+        "doc_id", score_col()
+    )
+    jm = comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    ).join(scored, "doc_id")
+    w_rank = Window.partitionBy("component_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w_all = Window.partitionBy("component_id")
+    # materialized once: referenced twice (member rows + the rn=1 rep
+    # cut) — without it Spark recomputes the scorer+window subtree per
+    # reference. Edge-bounded, so the checkpoint is small.
+    ranked = jm.select(
+        "doc_id",
+        "component_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("cluster_size"),
+    ).localCheckpoint(eager=True)
+    reps = ranked.where(F.col("rn") == 1).select(
+        "component_id", F.col("doc_id").alias("rep_id")
+    )
+    clustered = ranked.join(reps, "component_id").select(
+        "doc_id",
+        "component_id",
+        "rep_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("rep_id")).alias("kept"),
+    )
+    singles = (
+        d.select("doc_id")
+        .join(comps.select(F.col("node").alias("doc_id")), "doc_id", "anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component_id"),
+            F.col("doc_id").alias("rep_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(True).alias("kept"),
+        )
+    )
+    return clustered.unionByName(singles)
 
 
 @query(

@@ -2328,6 +2328,7 @@ def _ivf_graph_oracle(
     g: int | None = None,
     hops: int | None = None,
     n_probe: int = 1,
+    adaptive: tuple | None = None,
 ) -> str:
     """Unrolled beam-search oracle. With ``k_expr`` (a scalar-subquery
     string), the k-means chain trains a COUNT-derived number of
@@ -2336,7 +2337,13 @@ def _ivf_graph_oracle(
     where the fixed key uses the N_CENTROIDS literal. ``e_count``/
     ``beam``/``g``/``hops`` override the walk geometry (defaults =
     the fixed key's constants) — the multi-entry key passes the
-    measured sweet spot."""
+    measured sweet spot. ``adaptive`` = (margin_pct, b2s, b1s): the
+    boundary-adaptive policy — every query walks its top-1 list; the
+    second list joins ONLY when the exact integer margin rule
+    100·(d2−d1) <= pct·d1 fires (both distances are the quantized-grid
+    int64 squared distances, so the two engines cannot disagree at the
+    bound), and the per-hop beam is b2s[h] for gated queries / b1s[h]
+    for interior ones (hops = len(b2s))."""
     from mercurygate_spark.operators.similarity import (
         GRAPH_B,
         GRAPH_G,
@@ -2348,6 +2355,10 @@ def _ivf_graph_oracle(
     beam = GRAPH_B if beam is None else beam
     g = GRAPH_G if g is None else g
     hops = GRAPH_HOPS if hops is None else hops
+    if adaptive is not None:
+        adp_pct, adp_b2s, adp_b1s = adaptive
+        hops = len(adp_b2s)
+        n_probe = 2
 
     def dcos(a: str, b: str) -> str:
         return (
@@ -2368,7 +2379,7 @@ def _ivf_graph_oracle(
     parts += [
         duck_ivf_kmeans_sql(k=k_expr if k_expr is not None else N_CENTROIDS),
         f"""assign_final AS (
-      SELECT e.vec_id, e.embedding, c.cidx,
+      SELECT e.vec_id, e.embedding, c.cidx, {dist} AS pdist,
              row_number() OVER (
                PARTITION BY e.vec_id ORDER BY {dist}, c.cidx
              ) AS probe_rank
@@ -2399,11 +2410,35 @@ def _ivf_graph_oracle(
           ON a.cidx = b.cidx AND a.vec_id <> b.vec_id
       ) WHERE rk <= {g}
     )""",
-        f"""gq AS MATERIALIZED (
+        *(
+            [
+                f"""gq0 AS MATERIALIZED (
+      SELECT vec_id, embedding, cidx, probe_rank, pdist,
+             min(pdist) OVER (PARTITION BY vec_id) AS d1
+      FROM assign_final WHERE vec_id < {N_QUERIES} AND probe_rank <= 2
+    )""",
+                f"""gqg AS MATERIALIZED (
+      SELECT vec_id,
+             max(CASE WHEN probe_rank = 2
+                       AND 100 * (pdist - d1) <= {adp_pct} * d1
+                 THEN 1 ELSE 0 END) AS g2
+      FROM gq0 GROUP BY vec_id
+    )""",
+                f"""gq AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv, cidx
+      FROM gq0
+      WHERE probe_rank = 1 OR 100 * (pdist - d1) <= {adp_pct} * d1
+    )""",
+            ]
+            if adaptive is not None
+            else [
+                f"""gq AS MATERIALIZED (
       SELECT vec_id AS query_id, embedding AS qv, cidx
       FROM assign_final
       WHERE vec_id < {N_QUERIES} AND probe_rank <= {n_probe}
-    )""",
+    )"""
+            ]
+        ),
         """gqv AS MATERIALIZED (
       SELECT DISTINCT query_id, qv FROM gq
     )""",
@@ -2435,14 +2470,29 @@ def _ivf_graph_oracle(
       JOIN glists l ON v.cand_id = l.vec_id
     )"""
         )
-        parts.append(
-            f"""f{h} AS MATERIALIZED (
+        if adaptive is not None:
+            bcut = (
+                f"CASE WHEN g2 = 1 THEN {adp_b2s[h - 1]} "
+                f"ELSE {adp_b1s[h - 1]} END"
+            )
+            parts.append(
+                f"""f{h} AS MATERIALIZED (
+      SELECT query_id, cidx, cand_id FROM (
+        SELECT s.*, g.g2, row_number() OVER (
+                 PARTITION BY s.query_id ORDER BY s.cos DESC, s.cand_id) AS rn
+        FROM s{h} s JOIN gqg g ON s.query_id = g.vec_id
+      ) WHERE rn <= {bcut}
+    )"""
+            )
+        else:
+            parts.append(
+                f"""f{h} AS MATERIALIZED (
       SELECT query_id, cidx, cand_id FROM (
         SELECT *, row_number() OVER (
                  PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
         FROM s{h}) WHERE rn <= {beam}
     )"""
-        )
+            )
     return (
         "WITH " + ",\n    ".join(parts)
         + f"""
@@ -2503,6 +2553,7 @@ def _ivf_graph_serve(
     g: int | None = None,
     hops: int | None = None,
     n_probe: int = 1,
+    adaptive: tuple | None = None,
 ) -> DataFrame:
     """The shared beam-search serve path: assign to cmat's lists,
     build the per-list graph, walk it. cmat decides the list count —
@@ -2531,6 +2582,9 @@ def _ivf_graph_serve(
     beam = GRAPH_B if beam is None else beam
     g = GRAPH_G if g is None else g
     hops = GRAPH_HOPS if hops is None else hops
+    if adaptive is not None:
+        adp_pct, adp_b2s, adp_b1s = adaptive
+        hops = len(adp_b2s)
 
     lists = (
         ivf_assign(e, cmat, "vec_id", "embedding", n_probe=1)
@@ -2557,7 +2611,38 @@ def _ivf_graph_serve(
         .select("centroid_id", F.col("vec_id").alias("cand_id"))
     )
     edges = ivf_list_knn_graph(lists, g=g).localCheckpoint(eager=True)
-    if n_probe > 1:
+    gated = None
+    if adaptive is not None:
+        # boundary-adaptive probe gate (VERDICT r14 next #1): assign
+        # each query to its top-2 lists WITH the exact int64 quantized
+        # squared distances; the second list joins only when
+        # 100·(d2−d1) <= pct·d1 (integer compare — engine-exact at the
+        # bound, the drift-rule doctrine). The same gate decides the
+        # per-hop beam: gated queries walk wide, interior queries walk
+        # narrow (their 1-list ceiling caps what beam can buy anyway).
+        qd = ivf_assign(
+            e.where(F.col("vec_id") < N_QUERIES), cmat, "vec_id", "embedding",
+            n_probe=2, with_dist=True,
+        )
+        w_m = Window.partitionBy("vec_id")
+        qm = qd.withColumn("d1", F.min("probe_dist").over(w_m)).localCheckpoint(
+            eager=True
+        )
+        gate = (
+            100 * (F.col("probe_dist") - F.col("d1")) <= adp_pct * F.col("d1")
+        )
+        q = qm.where((F.col("probe_rank") == 1) | gate).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "centroid_id",
+        )
+        gated = qm.groupBy(F.col("vec_id").alias("query_id")).agg(
+            F.max(((F.col("probe_rank") == 2) & gate).cast("int"))
+            .cast("boolean")
+            .alias("g2")
+        )
+        qvec = q.select("query_id", "qv").distinct()
+    elif n_probe > 1:
         # the query probes its top-n_probe lists (a second bounded
         # Arrow pass over just the query rows); the corpus stays
         # single-assigned — the standard IVF multi-probe split
@@ -2605,7 +2690,7 @@ def _ivf_graph_serve(
     frontier = v
     vs = score(v).localCheckpoint(eager=True)  # visited WITH carried cos
     w_q = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
-    for _ in range(hops):
+    for hop in range(hops):
         ge = edges.select(
             F.col("centroid_id").alias("ecid"), "node_id", "neighbor_id"
         )
@@ -2623,11 +2708,25 @@ def _ivf_graph_serve(
             vs.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
         )
         vs = vs.unionByName(score(new)).localCheckpoint(eager=True)
-        frontier = (
-            vs.withColumn("rn", F.row_number().over(w_q))
-            .where(F.col("rn") <= beam)
-            .select("query_id", "centroid_id", "cand_id")
-        )
+        if adaptive is not None:
+            # per-query annealed beam: the gated flag frame is bounded
+            # by the (constant) query count — broadcast, never shuffle
+            bcut = (
+                F.when(F.col("g2"), F.lit(adp_b2s[hop]))
+                .otherwise(F.lit(adp_b1s[hop]))
+            )
+            frontier = (
+                vs.join(F.broadcast(gated), "query_id")
+                .withColumn("rn", F.row_number().over(w_q))
+                .where(F.col("rn") <= bcut)
+                .select("query_id", "centroid_id", "cand_id")
+            )
+        else:
+            frontier = (
+                vs.withColumn("rn", F.row_number().over(w_q))
+                .where(F.col("rn") <= beam)
+                .select("query_id", "centroid_id", "cand_id")
+            )
     final = vs.where(F.col("cand_id") != F.col("query_id"))
     return (
         final.withColumn("rk", F.row_number().over(w_q))
@@ -2804,6 +2903,81 @@ def sim_ivf_graph_np_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, e, cmat,
         e_count=GRAPH_E_ME, beam=GRAPH_B_ME, g=GRAPH_G_ME,
         hops=GRAPH_HOPS_ME, n_probe=GRAPH_NPROBE,
+    )
+
+
+GRAPH_ADP_MARGIN_PCT = 11        # probe list 2 iff 100*(d2-d1) <= 11*d1
+GRAPH_ADP_B2 = [24, 18, 12, 8]   # per-hop beam, boundary (gated) queries
+GRAPH_ADP_B1 = [12, 8, 6, 6]     # per-hop beam, interior queries
+_GRAPH_ADP = (GRAPH_ADP_MARGIN_PCT, GRAPH_ADP_B2, GRAPH_ADP_B1)
+
+
+@query(
+    "sim_ivf_graph_adaptive",
+    oracle=_ivf_graph_oracle(
+        e_count=GRAPH_E_ME, g=GRAPH_G_ME, adaptive=_GRAPH_ADP,
+    ),
+)
+def sim_ivf_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDARY-ADAPTIVE multi-probe graph walk (VERDICT r14 next #1):
+    the IMI/ADC margin trick composed with the delta-scored beam
+    machinery. Each query assigns to its top-2 lists WITH the exact
+    int64 quantized squared distances; the second list is walked ONLY
+    when the margin rule 100·(d2−d1) <= {GRAPH_ADP_MARGIN_PCT}·d1
+    fires (an integer compare — the engines cannot disagree at the
+    bound), and the same gate picks the per-hop ANNEALED beam:
+    boundary queries walk {GRAPH_ADP_B2} (wide early hops pick
+    basins, narrow late hops refine), interior queries walk
+    {GRAPH_ADP_B1} (their 1-list ceiling caps what beam can buy).
+    Measured (docs/ivf_graph_recall_r15.json): recall 0.352 at 149.4
+    scored candidates/query — above the r14 promoted walk's 0.288 AND
+    the uniform-beam n_probe=2 walk's 0.328@135, at 59%% of the flat
+    2-list scan's 251.7-candidate cost, meeting the r14 mandate point
+    (recall ≥ 0.35 at ≤ 150 cands/query). 84%% of queries gate on
+    this corpus (near-uniform embeddings sit close to Voronoi
+    boundaries — margin p50 is 7.4%% of d1); on a clustered production
+    corpus the gated fraction falls and the policy's saving grows.
+
+    Scale shape: identical to sim_ivf_graph_nprobe — the corpus stays
+    single-assigned (no index change), the query-side top-2 assignment
+    is one bounded Arrow pass over the query rows, the gate/beam flag
+    frame is query-count-bounded and broadcasts, and every hop scores
+    only the anti-joined delta. Oracle: the same fully-unrolled walk
+    with the margin-gated probe cut and per-hop CASE beam."""
+    from mercurygate_spark.operators.similarity import train_ivf_centroids
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cmat = train_ivf_centroids(e)
+    return _ivf_graph_serve(
+        spark, e, cmat, e_count=GRAPH_E_ME, g=GRAPH_G_ME, adaptive=_GRAPH_ADP,
+    )
+
+
+@query(
+    "sim_ivf_graph_adp_scaled",
+    oracle=_ivf_graph_oracle(
+        k_expr="(SELECT kk FROM kpar)",
+        e_count=GRAPH_E_ME, g=GRAPH_G_ME, adaptive=_GRAPH_ADP,
+    ),
+)
+def sim_ivf_graph_adp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_graph_adaptive under the LIST-COUNT dial — the
+    anchor+dial pair completed for the adaptive geometry (standing
+    doctrine): k = scaled_n_centroids(count) holds expected list
+    occupancy — and hence graph-build pairs per row — constant as the
+    corpus grows, while each query keeps the margin-gated second probe
+    and the annealed per-hop beam. The oracle derives the same k from
+    count(*) and replays the identical gated walk."""
+    from mercurygate_spark.operators.similarity import (
+        scaled_n_centroids,
+        train_ivf_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    k = scaled_n_centroids(e.count())
+    cmat = train_ivf_centroids(e, k=k)
+    return _ivf_graph_serve(
+        spark, e, cmat, e_count=GRAPH_E_ME, g=GRAPH_G_ME, adaptive=_GRAPH_ADP,
     )
 
 
