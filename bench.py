@@ -99,6 +99,9 @@ HEADLINE = [
     # round-14 additions
     "pipeline_llm_corpus_e2e",       # capstone: funnel -> classifier -> decon -> BPE+pack -> epochs
     "multimodal_pair_cluster",       # cross-modal transitive cluster dedup (CC over verified pairs)
+    # round-15 additions
+    "sim_ivf_graph_adaptive",        # margin-gated multi-probe + annealed per-query beam
+    "dedup_cluster_rep_quality",     # CC clusters electing the best-quality rep
 ]
 
 
