@@ -35,8 +35,12 @@ def test_stage_counts_match_standalone_keys(spark):
 
 def test_monotone_attrition(spark):
     cap = _rows(all_queries()["pipeline_llm_corpus_e2e"](spark, SF))
-    assert set(cap) == {0, 1, 2, 3, 4, 5, 6}
-    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]:
+    # 9-stage chain since the r15 semantic splice (VERDICT r14 #2):
+    # raw(0) → funnel(1) → classifier(2) → neardup CC reps(3) →
+    # semdedup reps(4) → sem-decontaminated(5) → gram-decontaminated(6)
+    # → tokenized+packed(7) → epoch manifest(8)
+    assert set(cap) == {0, 1, 2, 3, 4, 5, 6, 7, 8}
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]:
         assert cap[a]["n_docs"] >= cap[b]["n_docs"]
     # the classifier cut keeps ~QC_KEEP of survivors (tie-inclusive →
     # at least the floor target when any survivor exists)
@@ -44,7 +48,7 @@ def test_monotone_attrition(spark):
         assert cap[2]["n_docs"] >= max(1, cap[1]["n_docs"] // 2)
     # post-BPE packed mass can only shrink vs whitespace mass of the
     # same survivor set (merges join tokens, never split)
-    assert cap[5]["token_mass"] <= cap[4]["token_mass"]
+    assert cap[7]["token_mass"] <= cap[6]["token_mass"]
 
 
 def test_stage_handoffs_are_checkpoint_boundaries(spark):
