@@ -555,15 +555,23 @@ def train_ivf_centroids(
                 nearest = np.lexsort(
                     (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
                 )[:, 0]
-                rows = []
-                for c in range(cmat.shape[0]):
-                    members = qv[nearest == c]
-                    if len(members) == 0:
-                        continue
-                    sums = members.sum(axis=0)
-                    for j in range(dims):
-                        rows.append((c, j, int(sums[j]), len(members)))
-                yield pd.DataFrame(rows, columns=["cidx", "j", "s", "cnt"])
+                # vectorized partials (guide §4.2 — no per-row/-dim
+                # Python loop): scatter-add member vectors per cluster,
+                # emit only non-empty clusters (empty clusters keep
+                # their previous centroid, same as the row-loop shape)
+                k = cmat.shape[0]
+                sums = np.zeros((k, dims), dtype=np.int64)
+                np.add.at(sums, nearest, qv)
+                cnts = np.bincount(nearest, minlength=k).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                yield pd.DataFrame(
+                    {
+                        "cidx": np.repeat(nz, dims).astype(np.int32),
+                        "j": np.tile(np.arange(dims, dtype=np.int32), len(nz)),
+                        "s": sums[nz].reshape(-1),
+                        "cnt": np.repeat(cnts[nz], dims),
+                    }
+                )
 
         agg = (
             corpus.select(vec_col)
@@ -625,17 +633,20 @@ def ivf_assign(
             order = np.lexsort(
                 (np.broadcast_to(np.arange(cmat.shape[0]), d.shape), d), axis=1
             )[:, :n_probe]
-            rows = []
-            for i in range(len(pdf)):
-                for r in range(order.shape[1]):
-                    row = (*pdf.iloc[i][cols], int(order[i, r]), r + 1)
-                    if with_dist:
-                        row = (*row, int(d[i, order[i, r]]))
-                    rows.append(row)
-            out_cols = [*cols, "centroid_id", "probe_rank"]
+            # vectorized batch assembly (guide §4.2 — the old shape
+            # built the output with pdf.iloc[i] row-at-a-time): one
+            # array take reproduces the interleaved (row, probe_rank)
+            # order of the original loop exactly
+            np_ = order.shape[1]
+            idx = np.repeat(np.arange(len(pdf)), np_)
+            out = pdf.iloc[idx][cols].reset_index(drop=True)
+            out["centroid_id"] = order.reshape(-1).astype(np.int32)
+            out["probe_rank"] = np.tile(
+                np.arange(1, np_ + 1, dtype=np.int32), len(pdf)
+            )
             if with_dist:
-                out_cols.append("probe_dist")
-            yield pd.DataFrame(rows, columns=out_cols)
+                out["probe_dist"] = d[idx, order.reshape(-1)]
+            yield out
 
     return df.select(*cols).mapInPandas(assign, schema)
 
@@ -869,6 +880,42 @@ PQ_SUBDIM = EMBED_DIMS // PQ_M  # dims per subspace
 PQ_K = 16                       # codes per subspace codebook
 
 
+def _pq_partials_pdf(qv, cmats):
+    """Vectorized per-batch PQ partial sums over the quantized matrix
+    ``qv`` under the current codebooks — (m, cidx, j, s, cnt) rows for
+    non-empty clusters only (guide §4.2: no per-row/-dim Python loop;
+    empty clusters keep their previous centroid, exactly the old
+    row-loop semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    ms, cidxs, js, ss, cnts_out = [], [], [], [], []
+    for m in range(PQ_M):
+        sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        d = _int_sq_dists(sub, cmats[m])
+        nearest = np.lexsort(
+            (np.broadcast_to(np.arange(PQ_K), d.shape), d), axis=1
+        )[:, 0]
+        sums = np.zeros((PQ_K, PQ_SUBDIM), dtype=np.int64)
+        np.add.at(sums, nearest, sub)
+        cnts = np.bincount(nearest, minlength=PQ_K).astype(np.int64)
+        nz = np.flatnonzero(cnts)
+        ms.append(np.full(len(nz) * PQ_SUBDIM, m, dtype=np.int32))
+        cidxs.append(np.repeat(nz, PQ_SUBDIM).astype(np.int32))
+        js.append(np.tile(np.arange(PQ_SUBDIM, dtype=np.int32), len(nz)))
+        ss.append(sums[nz].reshape(-1))
+        cnts_out.append(np.repeat(cnts[nz], PQ_SUBDIM))
+    return pd.DataFrame(
+        {
+            "m": np.concatenate(ms),
+            "cidx": np.concatenate(cidxs),
+            "j": np.concatenate(js),
+            "s": np.concatenate(ss),
+            "cnt": np.concatenate(cnts_out),
+        }
+    )
+
+
 def pq_train_codebooks(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list:
@@ -914,21 +961,7 @@ def pq_train_codebooks(
                 if len(pdf) == 0:
                     continue
                 qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-                rows = []
-                for m in range(PQ_M):
-                    sub = qv[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-                    d = _int_sq_dists(sub, captured[m])
-                    nearest = np.lexsort(
-                        (np.broadcast_to(np.arange(PQ_K), d.shape), d), axis=1
-                    )[:, 0]
-                    for c in range(PQ_K):
-                        members = sub[nearest == c]
-                        if len(members) == 0:
-                            continue
-                        sums = members.sum(axis=0)
-                        for j in range(PQ_SUBDIM):
-                            rows.append((m, c, j, int(sums[j]), len(members)))
-                yield pd.DataFrame(rows, columns=["m", "cidx", "j", "s", "cnt"])
+                yield _pq_partials_pdf(qv, captured)
 
         agg = (
             corpus.select(vec_col)
@@ -944,6 +977,100 @@ def pq_train_codebooks(
             )
         cmats = new
     return cmats
+
+
+def train_ivfpq_quantizers(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple:
+    """FUSED training of the IVF coarse quantizer AND all PQ_M
+    per-subspace codebooks: one seed collect + ONE Arrow pass per Lloyd
+    iteration emitting both partial-sum families, instead of the two
+    independent loops every IVFPQ call site used to run back to back
+    (guide §1.2/§2.3 — at 100 TB the two trainings each scan the full
+    corpus per iteration; fusing them halves the training scans, and
+    halves the sequential job count locally). Bit-identical to
+    (train_ivf_centroids(corpus), pq_train_codebooks(corpus)): the two
+    update chains are independent (IVF partials depend only on the
+    previous IVF centroids, PQ partials only on the previous
+    codebooks), the seed rows are the same (md5, id)-first prefix —
+    N_CENTROIDS and PQ_K slices of one max-k collect — and the driver
+    update rule is the same exact integer floor. Proven by the
+    unchanged IVFPQ oracles, which replay both trainings bit-for-bit,
+    and pinned by tests/test_similarity_ops.py."""
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    seed = kmeans_seeds(corpus, id_col, vec_col, k=max(N_CENTROIDS, PQ_K))
+    cent = seed[:N_CENTROIDS].copy()
+    dims = cent.shape[1]
+    cmats = [
+        seed[:PQ_K, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM].copy()
+        for m in range(PQ_M)
+    ]
+    # one schema for both partial families: IVF rows carry m = -1
+    part_schema = StructType(
+        [
+            StructField("m", IntegerType()),
+            StructField("cidx", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("s", LongType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    for _ in range(KMEANS_ITERS):
+        cap_cent = cent.copy()
+        cap_cmats = [c.copy() for c in cmats]
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qv = _quantize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+                # IVF partials (m = -1)
+                d = _int_sq_dists(qv, cap_cent)
+                nearest = np.lexsort(
+                    (np.broadcast_to(np.arange(cap_cent.shape[0]), d.shape), d),
+                    axis=1,
+                )[:, 0]
+                k = cap_cent.shape[0]
+                sums = np.zeros((k, dims), dtype=np.int64)
+                np.add.at(sums, nearest, qv)
+                cnts = np.bincount(nearest, minlength=k).astype(np.int64)
+                nz = np.flatnonzero(cnts)
+                ivf = pd.DataFrame(
+                    {
+                        "m": np.full(len(nz) * dims, -1, dtype=np.int32),
+                        "cidx": np.repeat(nz, dims).astype(np.int32),
+                        "j": np.tile(np.arange(dims, dtype=np.int32), len(nz)),
+                        "s": sums[nz].reshape(-1),
+                        "cnt": np.repeat(cnts[nz], dims),
+                    }
+                )
+                yield pd.concat(
+                    [ivf, _pq_partials_pdf(qv, cap_cmats)], ignore_index=True
+                )
+
+        agg = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, part_schema)
+            .groupBy("m", "cidx", "j")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()  # bounded: <= k*dims + PQ_M*PQ_K*PQ_SUBDIM rows
+        )
+        new_cent = cent.copy()
+        new_cmats = [c.copy() for c in cmats]
+        for r in agg:
+            val = math.floor((2 * r["s"] + r["cnt"]) / (2.0 * r["cnt"]))
+            if r["m"] < 0:
+                new_cent[r["cidx"], r["j"]] = val
+            else:
+                new_cmats[r["m"]][r["cidx"], r["j"]] = val
+        cent, cmats = new_cent, new_cmats
+    return cent, cmats
 
 
 def pq_encode(
@@ -1367,10 +1494,9 @@ def ivfpq_adc_topk(
     if quantizers is not None:
         cmat, cmats = quantizers
     else:
-        cmat = train_ivf_centroids(train_on if train_on is not None else corpus,
-                                   id_col, vec_col)
-        cmats = pq_train_codebooks(train_on if train_on is not None else corpus,
-                                   id_col, vec_col)
+        cmat, cmats = train_ivfpq_quantizers(
+            train_on if train_on is not None else corpus, id_col, vec_col
+        )
     if index is None:
         index = ivfpq_encode(corpus, cmat, cmats, id_col, vec_col)
 
@@ -1930,8 +2056,7 @@ def ivfpq_retrain_swap(
     from mercurygate_spark.io.bucketing import swap_bucketed, write_bucketed
 
     spark = grown.sparkSession
-    cmat = train_ivf_centroids(grown, id_col, vec_col)
-    cmats = pq_train_codebooks(grown, id_col, vec_col)
+    cmat, cmats = train_ivfpq_quantizers(grown, id_col, vec_col)
     staging = f"{table_name}__new"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     write_bucketed(

@@ -658,20 +658,32 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def funnel_stage_ids(d: DataFrame) -> dict[str, DataFrame]:
+def funnel_stage_ids(d: DataFrame, materialize: bool = False) -> dict[str, DataFrame]:
     """The funnel's per-stage survivor id frames (shared by
     pipeline_filter_funnel and pipeline_quality_classifier — the
     classifier is the funnel's next stage, so it must score EXACTLY
-    the stage-4 survivors the funnel key pins)."""
+    the stage-4 survivors the funnel key pins).
+
+    ``materialize=True`` localCheckpoints each stage's id frame (tiny:
+    doc_id only) — for consumers that reference SEVERAL stages in one
+    plan (the funnel key's 5 sig branches): without it each union
+    branch re-derives the full prefix chain (gopher 4×, repetition 3×,
+    the LM joins 2× — 74 Exchanges in the r15-before plan), i.e. 2-3
+    redundant full corpus passes at 100 TB. Single-stage consumers
+    (classifier, capstone — s3 only) keep the default lazy frames: one
+    job evaluates the chain exactly once anyway."""
     from mercurygate_spark.queries.text import (
         gopher_frame,
         ppl_cross_entropy,
         repetition_frame,
     )
 
-    s1 = gopher_frame(d).where(F.col("gopher_pass")).select("doc_id")
+    def _m(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    s1 = _m(gopher_frame(d).where(F.col("gopher_pass")).select("doc_id"))
     s1_docs = d.join(s1, "doc_id")
-    s1b = (
+    s1b = _m(
         repetition_frame(s1_docs)
         .where(F.col("repetition_pass"))
         .select("doc_id")
@@ -679,14 +691,16 @@ def funnel_stage_ids(d: DataFrame) -> dict[str, DataFrame]:
     s1b_docs = d.join(s1b, "doc_id")
     ce = ppl_cross_entropy(d, s1b_docs)
     w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
-    s2 = (
+    s2 = _m(
         ce.withColumn("pr", F.percent_rank().over(w))
         .where(F.col("pr") < 2.0 / 3)
         .select("doc_id")
     )
     s2_docs = d.join(s2, "doc_id")
     fp = s2_docs.select("doc_id", fingerprint("text").alias("fp"))
-    s3 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s3 = _m(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
     return {"s1": s1, "s1b": s1b, "s2": s2, "s3": s3}
 
 
@@ -790,7 +804,10 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sig",
         )
 
-    stages = funnel_stage_ids(d)
+    # materialize=True: the 5 sig branches below reference every stage;
+    # without per-stage checkpoints each branch re-derives the full
+    # prefix chain (r15 before-plan: 74 Exchanges, gopher evaluated 4×)
+    stages = funnel_stage_ids(d, materialize=True)
     s1, s1b, s2, s3 = stages["s1"], stages["s1b"], stages["s2"], stages["s3"]
     return (
         stage(d.select("doc_id"), 0, "raw")
@@ -1308,7 +1325,7 @@ def _tokenize_e2e_oracle() -> str:
 def text_tokenize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → apply → pack: BPE training loop (the text_bpe_train
     rounds, shared via _bpe_train_loop — one winner collect per round,
-    triple-replace merge application, per-round localCheckpoint), then
+    triple-replace merge application, periodic localCheckpoint), then
     the trained corpus' POST-MERGE token counts flow straight into the
     pipeline_pack_sequences two-phase prefix sum (16-way sharded
     cumsum + broadcast shard offsets — no single-partition window),
@@ -1801,7 +1818,13 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    wt = d.select("doc_id", F.size(tokens("text")).alias("wn"))
+    # materialized once: every stage_row branch joins this frame (9
+    # sig branches in the final plan) — without the checkpoint each
+    # branch re-scans documents and re-tokenizes the full text column
+    # (r15 guide §2.3: compute the lightweight proxy once)
+    wt = d.select(
+        "doc_id", F.size(tokens("text")).alias("wn")
+    ).localCheckpoint(eager=True)
 
     def stage_row(ids: DataFrame, idx: int, name: str) -> DataFrame:
         j = ids.join(wt, "doc_id").select(

@@ -603,14 +603,12 @@ def sim_ivfpq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mercurygate_spark.io.tmp_tables import register_tmp_table
     from mercurygate_spark.operators.similarity import (
         ivfpq_encode,
-        pq_train_codebooks,
-        train_ivf_centroids,
+        train_ivfpq_quantizers,
     )
 
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    cmat = train_ivf_centroids(e)
-    cmats = pq_train_codebooks(e)
+    cmat, cmats = train_ivfpq_quantizers(e)
     name = f"mg_ivfpq_index_{_os.getpid()}"
     write_bucketed(
         ivfpq_encode(e, cmat, cmats), name, "centroid_id", 8,
@@ -628,6 +626,7 @@ from mercurygate_spark.operators.similarity import (  # noqa: E402
     ivfpq_encode,
     pq_train_codebooks,
     train_ivf_centroids,
+    train_ivfpq_quantizers,
 )
 
 
@@ -659,8 +658,7 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
     batch = e.where(F.col("vec_id") % INCR_ANN_MOD == 0)
-    cmat = train_ivf_centroids(corpus)
-    cmats = pq_train_codebooks(corpus)
+    cmat, cmats = train_ivfpq_quantizers(corpus)
     name = f"mg_ivfpq_incr_{_os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     write_bucketed(
@@ -1033,8 +1031,7 @@ def sim_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
-    cmat = train_ivf_centroids(corpus)
-    cmats = pq_train_codebooks(corpus)
+    cmat, cmats = train_ivfpq_quantizers(corpus)
     return ivfpq_drift_stats(
         e, cmat, cmats, batch_flag=(F.col("vec_id") % INCR_ANN_MOD == 0)
     )
@@ -1086,8 +1083,7 @@ def stream_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     corpus = e.where(F.col("vec_id") % INCR_ANN_MOD != 0)
-    cmat = train_ivf_centroids(corpus)
-    cmats = pq_train_codebooks(corpus)
+    cmat, cmats = train_ivfpq_quantizers(corpus)
 
     corpus_stats = ivfpq_drift_stats(
         corpus, cmat, cmats, batch_flag=F.lit(False)
@@ -1295,8 +1291,7 @@ def pipeline_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("ck")
     )
 
-    cmat = train_ivf_centroids(corpus)
-    cmats = pq_train_codebooks(corpus)
+    cmat, cmats = train_ivfpq_quantizers(corpus)
     name = f"mg_vector_ingest_{_os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     write_bucketed(
@@ -1354,8 +1349,7 @@ def sim_ivfpq_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mg_ivfpq_swap_{_os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # the drifted "before" state: frozen quantizers + appended batch
-    cmat0 = train_ivf_centroids(corpus)
-    cmats0 = pq_train_codebooks(corpus)
+    cmat0, cmats0 = train_ivfpq_quantizers(corpus)
     write_bucketed(
         ivfpq_encode(corpus, cmat0, cmats0), name, "centroid_id", 8,
         sort_by="centroid_id",
@@ -1409,8 +1403,7 @@ def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    cmat = train_ivf_centroids(e)
-    cmats = pq_train_codebooks(e)
+    cmat, cmats = train_ivfpq_quantizers(e)
     name = f"mg_ivfpq_stream_{_os.getpid()}"
     write_bucketed(
         ivfpq_encode(e, cmat, cmats), name, "centroid_id", 8,
@@ -1602,8 +1595,7 @@ def stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ck")
     )
-    cmat = train_ivf_centroids(corpus)
-    cmats = pq_train_codebooks(corpus)
+    cmat, cmats = train_ivfpq_quantizers(corpus)
     name = f"mg_stream_vi_{_os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     write_bucketed(
@@ -2707,7 +2699,13 @@ def _ivf_graph_serve(
         new = nbrs.join(
             vs.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
         )
-        vs = vs.unionByName(score(new)).localCheckpoint(eager=True)
+        vs = vs.unionByName(score(new))
+        # the final hop's visited frame is referenced exactly once (the
+        # top-k window below) — materializing it would be a pure extra
+        # pass; every earlier hop is referenced 3× (seen-check, union,
+        # frontier cut) and keeps its checkpoint
+        if hop < hops - 1:
+            vs = vs.localCheckpoint(eager=True)
         if adaptive is not None:
             # per-query annealed beam: the gated flag frame is bounded
             # by the (constant) query count — broadcast, never shuffle

@@ -1373,6 +1373,13 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_TRAIN_MERGES = 8  # rounds trained by text_bpe_train
+# Tokenizer-trainer corpus re-materialization interval (r15 guide §5):
+# the merged corpus localCheckpoints every this-many rounds instead of
+# every round — between checkpoints merge application rides as a lazy
+# replace chain inside the next round's scan (≤ 3·interval extra
+# map-side replaces, far cheaper than a full corpus write+read/round
+# at 100 TB). Values are round-for-round identical either way.
+TOKENIZER_CHK_EVERY = 4
 
 
 def _bpe_chain_sql(source: str = "documents") -> str:
@@ -1476,7 +1483,19 @@ def _bpe_train_loop(
         s = F.col("s")
         for _ in range(3):
             s = F.replace(s, pat, rep)
-        docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+        # merge application stays a LAZY codegen expression chain on
+        # the checkpointed base instead of a per-round full-corpus
+        # materialization (guide §5: a localCheckpoint per round writes
+        # and re-reads the whole corpus 8 times at 100 TB, while
+        # re-evaluating ≤ 3·TOKENIZER_CHK_EVERY string replaces inside
+        # the next round's scan is a cheap map-side expression); a
+        # periodic checkpoint bounds the expression chain if the round
+        # count ever grows. Winner selection per round still sees
+        # exactly the post-merge corpus — values are unchanged (the
+        # unrolled-CTE oracle pins every round's winner).
+        docs = docs.select("doc_id", s.alias("s"))
+        if step % TOKENIZER_CHK_EVERY == 0 and step < BPE_TRAIN_MERGES:
+            docs = docs.localCheckpoint(eager=True)
     return docs, rows
 
 
@@ -1672,7 +1691,13 @@ def _wp_train_loop(docs: DataFrame, merges: int) -> tuple[DataFrame, list[tuple]
         s = F.col("s")
         for _ in range(3):
             s = F.replace(s, pat, rep)
-        docs = docs.select("doc_id", s.alias("s")).localCheckpoint(eager=True)
+        # lazy merge application + periodic checkpoint — see
+        # _bpe_train_loop for the full rationale (one corpus
+        # materialization every TOKENIZER_CHK_EVERY rounds instead of
+        # one per round; winner values unchanged, oracle-pinned)
+        docs = docs.select("doc_id", s.alias("s"))
+        if step % TOKENIZER_CHK_EVERY == 0 and step < merges:
+            docs = docs.localCheckpoint(eager=True)
     return docs, rows
 
 
