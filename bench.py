@@ -283,7 +283,18 @@ def main() -> None:
     # ~60 chars of headroom that keeps "queries" intact as keys grow
     slim["queries"] = {k: round(v, 2) for k, v in slim["queries"].items()}
     slim["artifact"] = "docs/bench_local_latest.json"
+    # "queries" is part of the driver CONTRACT — when the line outgrows
+    # the 2000-char stdout tail window, shed the OPTIONAL fields first
+    # (they all live in the artifact); dropping "queries" is the very
+    # last resort (it fired silently in r15 when the 63-key line +
+    # optional fields crossed 1900, costing the driver its per-key data)
     line = json.dumps(slim, separators=(",", ":"))
+    for opt in ("artifact", "n_above_fence", "load_avg_1m", "loaded_host",
+                "idle_waited_s", "runs_per_query"):
+        if len(line) <= 1900:
+            break
+        slim.pop(opt, None)
+        line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 1900:  # still must fit the 2000-char tail window
         slim.pop("queries", None)
         line = json.dumps(slim, separators=(",", ":"))

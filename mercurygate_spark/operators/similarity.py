@@ -45,6 +45,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with both norms precomputed per VECTOR instead of per
+    PAIR. Bit-identical to cosine(): norm() is a deterministic fold of
+    the row's own array, so hoisting it into a projection before a
+    join changes only the evaluation COUNT — in a pairwise join with
+    fanout f each vector's two folds run once instead of f times
+    (guide §2.3: compute the lightweight proxy once; the knn-graph /
+    brute-topk / eval-screen joins have fanout = list size, corpus
+    size, and eval-cap respectively). ``na``/``nb`` must be
+    norm(_as_double(vec)) of the same vectors."""
+    return dot(_as_double(a), _as_double(b)) / (na * nb)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,12 +73,15 @@ def cosine_topk(
 
     Returns (query_id, candidate_id, cos, rk), excluding self-matches.
     """
+    # norms once per VECTOR, not per (query, candidate) pair — the
+    # cross join has fanout |queries| on the corpus side and |corpus|
+    # on the query side (cosine_pre; bit-identical)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -73,8 +89,10 @@ def cosine_topk(
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
-             / 10**round_scale).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**round_scale + F.lit(0.5)
+            ) / 10**round_scale).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
@@ -278,17 +296,22 @@ def cosine_topk_lsh_multi(
     c = lsh_bucket_multi(corpus, id_col, vec_col, n_tables, n_planes).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"),
         "lsh_table", "bucket",
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
+    # norms once per vector, not per surviving pair (cosine_pre;
+    # bit-identical)
     pairs = (
-        q.join(c, ["lsh_table", "bucket"])
+        q.withColumn("qn", norm(_as_double(F.col("qv"))))
+        .join(c, ["lsh_table", "bucket"])
         .where(F.col("query_id") != F.col("candidate_id"))
         .dropDuplicates(["query_id", "candidate_id"])
     )
     scored = pairs.select(
         "query_id",
         "candidate_id",
-        (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
-         / 10**round_scale).alias("cos"),
+        (F.floor(
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+            * 10**round_scale + F.lit(0.5)
+        ) / 10**round_scale).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
@@ -672,20 +695,24 @@ def cosine_topk_ivf(
     trains centroids on the md5-bucket sample (the 100 TB path);
     assignment and scoring always cover the full corpus."""
     cmat = train_ivf_centroids(corpus, id_col, vec_col, sample=train_sample)
+    # norms once per vector, not per in-list pair (cosine_pre;
+    # bit-identical)
     corpus_assigned = ivf_assign(corpus, cmat, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "centroid_id"
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     query_probes = ivf_assign(queries, cmat, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     scored = (
         query_probes.join(corpus_assigned, "centroid_id")
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
-             / 10**round_scale).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**round_scale + F.lit(0.5)
+            ) / 10**round_scale).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
@@ -839,20 +866,24 @@ def cosine_topk_lsh(
     """ANN variant: score only candidates in the query's LSH bucket.
     Recall < 1 by design (pytest checks recall vs brute force); the
     candidate join is bucket-equi, so corpus work is bucket-local."""
+    # norms once per vector, not per bucket pair (cosine_pre;
+    # bit-identical)
     q = lsh_bucket(queries, id_col, vec_col, n_planes=n_planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     c = lsh_bucket(corpus, id_col, vec_col, n_planes=n_planes).select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
-             / 10**round_scale).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**round_scale + F.lit(0.5)
+            ) / 10**round_scale).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
@@ -1682,20 +1713,24 @@ def ivfpq_rerank_topk(
         corpus, k=r, n_queries=n_queries, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "candidate_id")
+    # norms once per vector, not per (query, candidate) rerank pair
+    # (cosine_pre; bit-identical)
     qv = corpus.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     cv = corpus.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     scored = (
         cv.join(F.broadcast(cand), "candidate_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**round_scale + F.lit(0.5))
-             / 10**round_scale).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**round_scale + F.lit(0.5)
+            ) / 10**round_scale).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "candidate_id")
@@ -2241,12 +2276,14 @@ def ivf_list_knn_graph(
     cosine DESC, neighbor id) — a list-equi self-join + per-node
     WindowGroupLimit, never a cross join. Returns
     (list_col, node_id, neighbor_id)."""
+    # norms once per member, not per pair — the in-list self-join has
+    # fanout = list occupancy (cosine_pre; bit-identical)
     a = lists.select(
         F.col(list_col), F.col(id_col).alias("node_id"), F.col(vec_col).alias("nv")
-    )
+    ).withColumn("nn", norm(_as_double(F.col("nv"))))
     b = lists.select(
         F.col(list_col), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("bv")
-    )
+    ).withColumn("bn", norm(_as_double(F.col("bv"))))
     scored = (
         a.join(b, list_col)
         .where(F.col("node_id") != F.col("neighbor_id"))
@@ -2254,9 +2291,10 @@ def ivf_list_knn_graph(
             list_col,
             "node_id",
             "neighbor_id",
-            (F.floor(cosine(F.col("nv"), F.col("bv")) * 10**4 + F.lit(0.5)) / 10**4).alias(
-                "ncos"
-            ),
+            (F.floor(
+                cosine_pre(F.col("nv"), F.col("bv"), F.col("nn"), F.col("bn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4).alias("ncos"),
         )
     )
     w = Window.partitionBy("node_id").orderBy(F.col("ncos").desc(), "neighbor_id")

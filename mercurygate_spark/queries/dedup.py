@@ -1616,12 +1616,26 @@ def sem_contaminated_ids(emb: DataFrame, train: DataFrame) -> DataFrame:
     deliberate BNLJ (fixed {SEM_DECON_EVAL_CAP} rows); the training
     side never shuffles and the per-vector reduce completes map-side
     (vec_id unique)."""
-    from mercurygate_spark.operators.similarity import cosine
+    from mercurygate_spark.operators.similarity import (
+        _as_double,
+        cosine_pre,
+        norm,
+    )
 
-    ev = sem_eval_cap_frame(emb)
-    c = F.floor(cosine(F.col("embedding"), F.col("ev")) * 10**4 + F.lit(0.5)) / 10**4
+    # norms once per vector, not per (train, eval) pair: the BNLJ has
+    # fanout SEM_DECON_EVAL_CAP on every training row and fanout n on
+    # every eval row (cosine_pre; bit-identical)
+    ev = sem_eval_cap_frame(emb).withColumn("en", norm(_as_double(F.col("ev"))))
+    tn = norm(_as_double(F.col("embedding"))).alias("tn")
+    c = (
+        F.floor(
+            cosine_pre(F.col("embedding"), F.col("ev"), F.col("tn"), F.col("en"))
+            * 10**4 + F.lit(0.5)
+        ) / 10**4
+    )
     return (
-        train.crossJoin(F.broadcast(ev))
+        train.select("vec_id", "embedding", tn)
+        .crossJoin(F.broadcast(ev))
         .select("vec_id", c.alias("cos"))
         .groupBy("vec_id")
         .agg(F.max("cos").alias("max_eval_cos"))
@@ -1718,11 +1732,25 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mercurygate_spark.operators.similarity import cosine
     from mercurygate_spark.queries.text import DECON_MOD
 
+    from mercurygate_spark.operators.similarity import (
+        _as_double,
+        cosine_pre,
+        norm,
+    )
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     is_eval = md5_long(F.col("vec_id").cast("string")) % DECON_MOD == 0
-    ev = sem_eval_cap_frame(emb)
-    tr = emb.where(~is_eval).select("vec_id", "embedding")
-    c = F.floor(cosine(F.col("embedding"), F.col("ev")) * 10**4 + F.lit(0.5)) / 10**4
+    # per-vector norms (cosine_pre — see sem_contaminated_ids)
+    ev = sem_eval_cap_frame(emb).withColumn("en", norm(_as_double(F.col("ev"))))
+    tr = emb.where(~is_eval).select(
+        "vec_id", "embedding", norm(_as_double(F.col("embedding"))).alias("tn")
+    )
+    c = (
+        F.floor(
+            cosine_pre(F.col("embedding"), F.col("ev"), F.col("tn"), F.col("en"))
+            * 10**4 + F.lit(0.5)
+        ) / 10**4
+    )
     return (
         tr.crossJoin(F.broadcast(ev))
         .select("vec_id", c.alias("cos"))

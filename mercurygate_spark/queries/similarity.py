@@ -19,13 +19,16 @@ from mercurygate_spark.operators.similarity import (
     QUANT,
     TRAIN_SAMPLE_KEEP,
     TRAIN_SAMPLE_MOD,
+    _as_double,
     cosine,
+    cosine_pre,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
     cosine_topk_lsh_multi,
     duck_bucket_sql,
     duck_ivf_kmeans_sql,
+    norm,
 )
 from mercurygate_spark.queries.registry import load_tables, query
 
@@ -188,16 +191,22 @@ def sim_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tmp_table(spark, name)
     lists = spark.table(name)
     q = e.where(F.col("vec_id") < N_QUERIES)
+    # norms once per vector, not per (query, candidate) pair — the
+    # list-equi join has fanout = list occupancy (cosine_pre;
+    # bit-identical)
     query_probes = ivf_assign(q, cmat, "vec_id", "embedding", n_probe=N_PROBE).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "centroid_id"
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     scored = (
-        query_probes.join(lists, "centroid_id")
+        query_probes.join(lists.withColumn("cn", norm(_as_double(F.col("cv")))), "centroid_id")
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
@@ -287,15 +296,22 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         "centroid_id",
         "label",
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
+    # norms once per vector, not per pair (cosine_pre; bit-identical)
     scored = (
-        query_probes.join(corpus_assigned, ["centroid_id", "label"])
+        query_probes.join(
+            corpus_assigned.withColumn("cn", norm(_as_double(F.col("cv")))),
+            ["centroid_id", "label"],
+        )
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "label",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("candidate_id"))
@@ -772,16 +788,20 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(
         F.col("vec_id").alias("candidate_id"), decoded(F.col("embedding")).alias("cv")
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
+    # norms once per vector, not per pair: the cross join has fanout
+    # |queries| per candidate (cosine_pre; bit-identical)
     scored = (
-        F.broadcast(q)
+        F.broadcast(q.withColumn("qn", norm(_as_double(F.col("qv")))))
         .crossJoin(c)
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
-             ).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "candidate_id")
@@ -898,15 +918,18 @@ def sim_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
         "centroid_id",
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
+    # norms once per vector, not per pair (cosine_pre; bit-identical)
     scored = (
-        probes.join(lists, "centroid_id")
+        probes.join(lists.withColumn("cn", norm(_as_double(F.col("cv")))), "centroid_id")
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "candidate_id",
-            (F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
-             ).alias("cos"),
+            (F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "candidate_id")
@@ -1663,12 +1686,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     b = lsh_bucket(e, "vec_id", "embedding")
+    # norms once per vector, not per bucket pair (cosine_pre;
+    # bit-identical)
     q = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"), "bucket"
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     c = b.select(
         F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"), "bucket"
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     scored = (
         q.join(c, "bucket")
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -1676,7 +1701,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id_a",
             "vec_id_b",
             (
-                F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5))
+                F.floor(
+                    cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                    * 10**4 + F.lit(0.5)
+                )
                 / 10**4
             ).alias("cos"),
         )
@@ -1800,12 +1828,14 @@ def sim_range_search_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr() prefix of the 16-bit string — bit-identical keys on both
     engines at ANY corpus size."""
     b = _scaled_lsh_frame(spark, sf_dir)
+    # norms once per vector, not per bucket pair (cosine_pre;
+    # bit-identical)
     q = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"), "bucket"
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     c = b.select(
         F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"), "bucket"
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     scored = (
         q.join(c, "bucket")
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -1813,7 +1843,10 @@ def sim_range_search_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id_a",
             "vec_id_b",
             (
-                F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5))
+                F.floor(
+                    cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                    * 10**4 + F.lit(0.5)
+                )
                 / 10**4
             ).alias("cos"),
         )
@@ -1847,12 +1880,14 @@ def sim_knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-threshold derivation + substr-prefix oracle as
     sim_range_search_scaled."""
     b = _scaled_lsh_frame(spark, sf_dir)
+    # norms once per vector, not per bucket pair (cosine_pre;
+    # bit-identical)
     q = b.select(
         F.col("vec_id").alias("node_id"), F.col("embedding").alias("qv"), "bucket"
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     c = b.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     scored = (
         q.join(c, "bucket")
         .where(F.col("node_id") != F.col("neighbor_id"))
@@ -1860,7 +1895,10 @@ def sim_knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node_id",
             "neighbor_id",
             (
-                F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5))
+                F.floor(
+                    cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                    * 10**4 + F.lit(0.5)
+                )
                 / 10**4
             ).alias("cos"),
         )
@@ -1924,7 +1962,9 @@ def sample_prototype_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("centroid")
-    )
+    ).withColumn("cvn", norm(_as_double(F.col("centroid"))))
+    # centroid norm once per LABEL, not per member row (cosine_pre;
+    # bit-identical — the embedding's own norm is per-row either way)
     scored = (
         t["embeddings"]
         .join(F.broadcast(cent), "label")
@@ -1933,7 +1973,12 @@ def sample_prototype_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             (
                 F.floor(
-                    cosine(F.col("embedding"), F.col("centroid")) * 10**6
+                    cosine_pre(
+                        F.col("embedding"),
+                        F.col("centroid"),
+                        norm(_as_double(F.col("embedding"))),
+                        F.col("cvn"),
+                    ) * 10**6
                     + F.lit(0.5)
                 )
                 / 10**6
@@ -2015,23 +2060,33 @@ def sim_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     trunc = F.slice("embedding", 1, MRL_DIMS)
+    # all four norms once per VECTOR (truncated + full on both sides),
+    # not per pair: the coarse cross has fanout |corpus| per query and
+    # the full-dim rerank re-reads qe MRL_SHORTLIST times per query
+    # (cosine_pre; bit-identical)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         trunc.alias("qt"),
+    ).withColumn("qtn", norm(_as_double(F.col("qt")))).withColumn(
+        "qen", norm(_as_double(F.col("qe")))
     )
     c = e.select(
         F.col("vec_id").alias("candidate_id"),
         F.col("embedding").alias("ce"),
         trunc.alias("ct"),
+    ).withColumn("ctn", norm(_as_double(F.col("ct")))).withColumn(
+        "cen", norm(_as_double(F.col("ce")))
     )
     r4 = lambda col: F.floor(col * 10**4 + F.lit(0.5)) / 10**4  # noqa: E731
     coarse = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("candidate_id"))
         .select(
-            "query_id", "candidate_id", "qe", "ce",
-            r4(cosine(F.col("qt"), F.col("ct"))).alias("cos_t"),
+            "query_id", "candidate_id", "qe", "ce", "qen", "cen",
+            r4(
+                cosine_pre(F.col("qt"), F.col("ct"), F.col("qtn"), F.col("ctn"))
+            ).alias("cos_t"),
         )
     )
     w_t = Window.partitionBy("query_id").orderBy(
@@ -2042,7 +2097,9 @@ def sim_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rerank = shortlist.select(
         "query_id", "candidate_id", "cos_t",
-        r4(cosine(F.col("qe"), F.col("ce"))).alias("cos_full"),
+        r4(
+            cosine_pre(F.col("qe"), F.col("ce"), F.col("qen"), F.col("cen"))
+        ).alias("cos_full"),
     )
     w_f = Window.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), "candidate_id"
@@ -2122,13 +2179,22 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mercurygate_spark.functions import r6
 
     t = load_tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"].select("vec_id", "embedding")
+    # corpus-side norm once per VECTOR (not per selected seed: the
+    # broadcast cross has fanout |selected| per row), seed norms ride
+    # the collected rows — Spark computed them, so the re-injected
+    # literals are the identical doubles (cosine_pre; bit-identical)
+    e = t["embeddings"].select(
+        "vec_id", "embedding", norm(_as_double(F.col("embedding"))).alias("en")
+    )
     seed = e.orderBy("vec_id").limit(1).collect()[0]
-    selected = [(0, int(seed["vec_id"]), [float(x) for x in seed["embedding"]], 0.0)]
+    selected = [
+        (0, int(seed["vec_id"]), [float(x) for x in seed["embedding"]],
+         float(seed["en"]), 0.0)
+    ]
     for r in range(1, KCENTER_K):
         sel_df = spark.createDataFrame(
-            [(vid, emb) for (_, vid, emb, _) in selected],
-            schema="svec_id long, semb array<double>",
+            [(vid, emb, sn) for (_, vid, emb, sn, _) in selected],
+            schema="svec_id long, semb array<double>, sn double",
         )
         dists = (
             e.crossJoin(F.broadcast(sel_df))
@@ -2136,21 +2202,23 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 r6(
                     F.lit(1.0)
-                    - cosine(F.col("embedding"), F.col("semb"))
+                    - cosine_pre(
+                        F.col("embedding"), F.col("semb"),
+                        F.col("en"), F.col("sn"),
+                    )
                 ).alias("d"),
             )
             .groupBy("vec_id")
             .agg(F.min("d").alias("d"))
         )
         pick = dists.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
-        emb = [
-            float(x)
-            for x in e.where(F.col("vec_id") == pick["vec_id"])
-            .collect()[0]["embedding"]
-        ]
-        selected.append((r, int(pick["vec_id"]), emb, float(pick["d"])))
+        prow = e.where(F.col("vec_id") == pick["vec_id"]).collect()[0]
+        emb = [float(x) for x in prow["embedding"]]
+        selected.append(
+            (r, int(pick["vec_id"]), emb, float(prow["en"]), float(pick["d"]))
+        )
     return spark.createDataFrame(
-        [(rnd, vid, d) for (rnd, vid, _, d) in selected],
+        [(rnd, vid, d) for (rnd, vid, _, _, d) in selected],
         schema="rnd int, vec_id long, coverage_dist double",
     )
 
@@ -2261,13 +2329,24 @@ def _kcenter_batched_rows(
     probe). Cosine distance is ≥ 0, so the -1 sentinel survives every
     subsequent least() fold automatically — one when() per round over
     exactly this round's B ids keeps exclusion out of the plan."""
-    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    # per-vector norm once, carried through the state checkpoints;
+    # each pick's norm rides its own TakeOrdered row, so the re-lit
+    # literal is the identical Spark-computed double (cosine_pre;
+    # bit-identical — saves B redundant norm folds per row per round)
+    ed = e.withColumn("en", norm(_as_double(F.col("embedding"))))
+    seed = ed.orderBy("vec_id").limit(1).collect()[0]
     seed_emb = [float(x) for x in seed["embedding"]]
     rows = [(0, int(seed["vec_id"]), 0.0)]
-    state = e.withColumn(
+    state = ed.withColumn(
         "min_d",
         F.when(F.col("vec_id") == int(seed["vec_id"]), F.lit(-1.0)).otherwise(
-            r6(F.lit(1.0) - cosine(F.col("embedding"), F.lit(seed_emb)))
+            r6(
+                F.lit(1.0)
+                - cosine_pre(
+                    F.col("embedding"), F.lit(seed_emb),
+                    F.col("en"), F.lit(float(seed["en"])),
+                )
+            )
         ),
     ).localCheckpoint(eager=True)
     for rnd in range(1, rounds + 1):
@@ -2283,9 +2362,11 @@ def _kcenter_batched_rows(
         new_dists = [
             r6(
                 F.lit(1.0)
-                - cosine(
+                - cosine_pre(
                     F.col("embedding"),
                     F.lit([float(x) for x in p["embedding"]]),
+                    F.col("en"),
+                    F.lit(float(p["en"])),
                 )
             )
             for p in picks
@@ -2583,18 +2664,29 @@ def _ivf_graph_serve(
         .select("vec_id", "embedding", "centroid_id")
         .localCheckpoint(eager=True)
     )
+    from mercurygate_spark.operators.similarity import (
+        _as_double,
+        cosine_pre,
+        norm,
+    )
+
     cents = spark.createDataFrame(
         [(i, [float(x) for x in cmat[i]]) for i in range(cmat.shape[0])],
         schema="cidx int, cvec array<double>",
-    )
+    ).withColumn("cvn", norm(F.col("cvec")))  # centroid norm once, not per member
 
-    def fcos(a, b):
-        return F.floor(cosine(a, b) * 10**4 + F.lit(0.5)) / 10**4
+    def fcos_pre(a, b, na, nb):
+        return F.floor(cosine_pre(a, b, na, nb) * 10**4 + F.lit(0.5)) / 10**4
 
     c2c = lists.join(
         F.broadcast(cents), lists["centroid_id"] == cents["cidx"]
     ).select(
-        "centroid_id", "vec_id", fcos(F.col("embedding"), F.col("cvec")).alias("cc")
+        "centroid_id",
+        "vec_id",
+        fcos_pre(
+            F.col("embedding"), F.col("cvec"),
+            norm(_as_double(F.col("embedding"))), F.col("cvn"),
+        ).alias("cc"),
     )
     w_e = Window.partitionBy("centroid_id").orderBy(F.col("cc").desc(), "vec_id")
     entry = (
@@ -2656,26 +2748,41 @@ def _ivf_graph_serve(
             "centroid_id",
         )
         qvec = q.select("query_id", "qv")
-    v = q.select("query_id", "centroid_id").join(entry, "centroid_id").select(
-        "query_id", "centroid_id", "cand_id"
-    )
+    # q is query-bounded (constant serving batch); entry is
+    # list-bounded and grows with the corpus — broadcast the query
+    # side explicitly (guide §3.1: stats at small SF would happily
+    # pick the other build side; at 100 TB that broadcasts/shuffles a
+    # corpus-order frame)
+    v = F.broadcast(q.select("query_id", "centroid_id")).join(
+        entry, "centroid_id"
+    ).select("query_id", "centroid_id", "cand_id")
+    # per-vector norms once (cosine_pre): qv's norm would otherwise
+    # re-fold per scored candidate, cv's per query that reaches it
+    qvec = qvec.withColumn("qn", norm(_as_double(F.col("qv"))))
     cand_vecs = lists.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
 
     def score(cands: DataFrame) -> DataFrame:
         if _GRAPH_SCORE_TRACE is not None:  # test hook: what gets scored
             _GRAPH_SCORE_TRACE.append(
                 cands._jdf.queryExecution().analyzed().toString()
             )
+        # cands ⋈ qvec is query-bounded (≤ beam·degree rows per query);
+        # cand_vecs is the CORPUS. Pin the broadcast on the bounded
+        # side: without the hint the small-SF plan builds on cand_vecs
+        # (BuildRight over the corpus — a per-hop full-corpus
+        # broadcast/shuffle at 100 TB, guide §3.1).
         return (
-            cands.join(qvec, "query_id")
+            F.broadcast(cands.join(qvec, "query_id"))
             .join(cand_vecs, "cand_id")
             .select(
                 "query_id",
                 "centroid_id",
                 "cand_id",
-                fcos(F.col("qv"), F.col("cv")).alias("cos"),
+                fcos_pre(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ).alias("cos"),
             )
         )
 
@@ -2686,6 +2793,11 @@ def _ivf_graph_serve(
         ge = edges.select(
             F.col("centroid_id").alias("ecid"), "node_id", "neighbor_id"
         )
+        # frontier is query-bounded (≤ beam rows per query); the edge
+        # frame is corpus-order — broadcast the frontier so the edges
+        # never shuffle (guide §3.1; the small-SF stats already pick
+        # this, the hint pins it at scale)
+        frontier = F.broadcast(frontier)
         nbrs = (
             frontier.join(
                 ge,
@@ -3102,14 +3214,17 @@ def sim_range_search_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = lsh_bucket_multi(
         e, "vec_id", "embedding", n_tables, np_, sig_width=OCC_MAX_PLANES
     )
+    # norms once per vector, not per surviving pair (cosine_pre;
+    # bit-identical — the dedup keeps one row per pair, all carrying
+    # the same vectors/norms)
     q = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"),
         "lsh_table", "bucket",
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     c = b.select(
         F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"),
         "lsh_table", "bucket",
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     pairs = (
         q.join(c, ["lsh_table", "bucket"])
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -3119,7 +3234,10 @@ def sim_range_search_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_a",
         "vec_id_b",
         (
-            F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
+            F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4
         ).alias("cos"),
     )
     return scored.where(F.col("cos") >= RANGE_TAU)
@@ -3155,14 +3273,17 @@ def sim_range_search_multi_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     b = lsh_bucket_multi(
         e, "vec_id", "embedding", N_TABLES, np_, sig_width=OCC_MAX_PLANES
     )
+    # norms once per vector, not per surviving pair (cosine_pre;
+    # bit-identical — the dedup keeps one row per pair, all carrying
+    # the same vectors/norms)
     q = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qv"),
         "lsh_table", "bucket",
-    )
+    ).withColumn("qn", norm(_as_double(F.col("qv"))))
     c = b.select(
         F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("cv"),
         "lsh_table", "bucket",
-    )
+    ).withColumn("cn", norm(_as_double(F.col("cv"))))
     pairs = (
         q.join(c, ["lsh_table", "bucket"])
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -3172,7 +3293,10 @@ def sim_range_search_multi_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id_a",
         "vec_id_b",
         (
-            F.floor(cosine(F.col("qv"), F.col("cv")) * 10**4 + F.lit(0.5)) / 10**4
+            F.floor(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                * 10**4 + F.lit(0.5)
+            ) / 10**4
         ).alias("cos"),
     )
     return scored.where(F.col("cos") >= RANGE_TAU)
