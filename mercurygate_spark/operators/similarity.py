@@ -2060,6 +2060,7 @@ def ivfpq_retrain_swap(
     n_buckets: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizers: tuple | None = None,
 ):
     """The third index-maintenance operation (after append and
     compact): RETRAIN both quantizers on the grown corpus, re-encode
@@ -2091,7 +2092,14 @@ def ivfpq_retrain_swap(
     from mercurygate_spark.io.bucketing import swap_bucketed, write_bucketed
 
     spark = grown.sparkSession
-    cmat, cmats = train_ivfpq_quantizers(grown, id_col, vec_col)
+    # ``quantizers`` lets a caller that already ran the (deterministic)
+    # retrain — e.g. concurrently with building the pre-swap state —
+    # hand the result in instead of paying the training scans twice.
+    cmat, cmats = (
+        quantizers
+        if quantizers is not None
+        else train_ivfpq_quantizers(grown, id_col, vec_col)
+    )
     staging = f"{table_name}__new"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     write_bucketed(

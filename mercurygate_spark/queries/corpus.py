@@ -1846,16 +1846,49 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _t0 = _time.monotonic()
 
+    # stages 1+2 overlap (guide §2.6: actions are only sequential
+    # because the driver calls them sequentially): classifier TRAINING
+    # (qc_trained_scorer — {QC_ITERS} sequential GD passes over the
+    # full corpus, depends only on d) runs in an InheritableThread
+    # while the main thread derives and checkpoints the funnel chain
+    # (also a function of d alone). Neither reads the other's output;
+    # the training trajectory and the funnel survivors are bit-
+    # identical to the sequential order — only the job schedule
+    # changes, so the tail of each stage back-fills the other's idle
+    # capacity.
+    from pyspark import InheritableThread
+
+    _train_out: dict = {}
+
+    def _train() -> None:
+        try:
+            _train_out["scorer"] = qc_trained_scorer(d)
+        except BaseException as exc:  # re-raised on join below
+            _train_out["err"] = exc
+
+    _th = InheritableThread(target=_train)
+    _th.start()
+
     # stage 1: the funnel's survivor chain (checkpointed: the sig row
     # and the classifier join both read it without re-deriving the
     # funnel lineage)
     s3 = funnel_stage_ids(d)["s3"].localCheckpoint(eager=True)
     _llm_trace("t_funnel", _t0)
 
-    # stage 2: classifier keep over exactly those survivors
-    _, score_col = qc_trained_scorer(d)
-    feats = _qc_feature_frame(d)
-    scored = feats.join(s3, "doc_id").select(
+    # stage 2: classifier keep over exactly those survivors. The
+    # scoring featurization runs over d⋉s3 (funnel survivors), not the
+    # full corpus: features are per-doc deterministic (explode →
+    # groupBy(doc_id) → per-doc struct join), so filter-then-featurize
+    # ≡ featurize-then-filter while the explode/shuffle pass carries
+    # only surviving docs (guide §2.3: filter before the exchange).
+    # Training (qc_trained_scorer) still sees the full corpus — that
+    # is the contract the oracle replays.
+    _th.join()
+    if "err" in _train_out:
+        raise _train_out["err"]
+    _, score_col = _train_out["scorer"]
+    feats = _qc_feature_frame(d.join(s3, "doc_id"))
+    scored = feats.select(
         "doc_id", score_col()
     ).localCheckpoint(eager=True)
     s_star = qc_score_threshold(scored)

@@ -511,11 +511,38 @@ def dedup_cluster_rep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(d, "doc_id").where(
         F.col("n_shared_bands") >= 2
     )
+    # CC and classifier training are independent (CC needs only the
+    # candidate pairs, training only the corpus): run the GD loop in an
+    # InheritableThread while the main thread drives the star-
+    # contraction rounds (guide §2.6 — identical results, the two
+    # iterative chains back-fill each other's stragglers).
+    from pyspark import InheritableThread
+
+    _train_out: dict = {}
+
+    def _train() -> None:
+        try:
+            _train_out["scorer"] = qc_trained_scorer(d)
+        except BaseException as exc:  # re-raised on join below
+            _train_out["err"] = exc
+
+    _th = InheritableThread(target=_train)
+    _th.start()
     comps = connected_components(pairs).localCheckpoint(eager=True)
-    _, score_col = qc_trained_scorer(d)
-    scored = _qc_feature_frame(d.select("doc_id", "text")).select(
-        "doc_id", score_col()
-    )
+    _th.join()
+    if "err" in _train_out:
+        raise _train_out["err"]
+    _, score_col = _train_out["scorer"]
+    # Score only the CC node set: comps is edge-bounded (one row per
+    # node that appears in a candidate pair — a small subset of the
+    # corpus), and featurization is per-doc deterministic, so
+    # filter-then-featurize ≡ featurize-then-filter while the
+    # explode/groupBy pass skips every singleton (guide §2.3: filter
+    # before the exchange). jm's inner join keeps the result identical.
+    node_ids = comps.select(F.col("node").alias("doc_id"))
+    scored = _qc_feature_frame(
+        d.join(node_ids, "doc_id").select("doc_id", "text")
+    ).select("doc_id", score_col())
     jm = comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     ).join(scored, "doc_id")

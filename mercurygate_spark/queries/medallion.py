@@ -168,6 +168,26 @@ def pipeline_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         bronze_base = f"{root}/bronze"
         silver_path = f"{root}/silver/claim"
 
+        # run 2's refresh EXTRACT is independent of the whole run-1
+        # chain (distinct output dir, derived only from the source
+        # frame): write it concurrently so the extract pass back-fills
+        # run 1's ingest/publish stragglers (guide §2.6). Run 2's
+        # INGEST still waits — its first-load routing probes the claim
+        # dir run 1 creates.
+        from pyspark import InheritableThread
+
+        csv2 = f"{root}/extract2"
+        _x2_out: dict = {}
+
+        def _extract2() -> None:
+            try:
+                snap2.write.mode("overwrite").option("header", True).csv(csv2)
+            except BaseException as exc:  # re-raised on join below
+                _x2_out["err"] = exc
+
+        _th = InheritableThread(target=_extract2)
+        _th.start()
+
         # ---- run 1: first load → datePart=Historic → silver create
         csv1 = f"{root}/extract1"
         snap1.write.mode("overwrite").option("header", True).csv(csv1)
@@ -179,8 +199,9 @@ def pipeline_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_upsert_scd(spark, conform(bronze1, spec), spec, silver_path)
 
         # ---- run 2: refresh extract → datePart=2026-02-01 → merge
-        csv2 = f"{root}/extract2"
-        snap2.write.mode("overwrite").option("header", True).csv(csv2)
+        _th.join()
+        if "err" in _x2_out:
+            raise _x2_out["err"]
         ingest_table(
             spark, csv2, spec, bronze_base, "mm", "medallion_e2e", RUN2_TS,
             mode="refresh", date_part="2026-02-01",

@@ -1371,6 +1371,23 @@ def sim_ivfpq_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = e.where(F.col("vec_id") % INCR_ANN_MOD == 0)
     name = f"mg_ivfpq_swap_{_os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # The gen-1 RETRAIN (deterministic Lloyd's on the grown corpus)
+    # depends only on `e`, never on the live table — run it in an
+    # InheritableThread so its training scans overlap the gen-0
+    # build/append below (guide §2.6). The encode+swap still waits for
+    # the live name. Identical quantizers either way.
+    from pyspark import InheritableThread
+
+    _rt_out: dict = {}
+
+    def _retrain() -> None:
+        try:
+            _rt_out["q"] = train_ivfpq_quantizers(e)
+        except BaseException as exc:  # re-raised on join below
+            _rt_out["err"] = exc
+
+    _th = InheritableThread(target=_retrain)
+    _th.start()
     # the drifted "before" state: frozen quantizers + appended batch
     cmat0, cmats0 = train_ivfpq_quantizers(corpus)
     write_bucketed(
@@ -1384,7 +1401,10 @@ def sim_ivfpq_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the retrain cycle: new quantizers on the grown corpus, re-encode,
     # atomic swap into the live name
-    cmat, cmats = ivfpq_retrain_swap(e, name)
+    _th.join()
+    if "err" in _rt_out:
+        raise _rt_out["err"]
+    cmat, cmats = ivfpq_retrain_swap(e, name, quantizers=_rt_out["q"])
     return ivfpq_adc_topk(
         e, k=TOP_K, n_queries=N_QUERIES,
         index=spark.table(name), quantizers=(cmat, cmats),
