@@ -52,6 +52,7 @@ WALL_KEYS = [
     "sim_range_search_multi_scaled",
     "sim_ivf_graph_me_scaled",
     "sim_ivf_graph_np_scaled",
+    "sim_ivf_graph_adp_scaled",
 ]
 # wall noise fence per aligned step (the docstring's "≤ ~1.5× per
 # step"): each step is 4× rows, sub-linear cost means over-linear
