@@ -137,6 +137,31 @@ def wait_for_idle_host() -> tuple[float, float, bool]:
     return load, waited, load >= LOAD_IDLE_THRESHOLD
 
 
+# Self-normalizing controls (VERDICT r15 #1): 2-3 pinned, never-touched
+# trivial keys whose committed idle-host reference times travel with the
+# repo (docs/bench_controls.json). The stdout line carries
+# control_ratio = geomean(now / reference) over them, so a host-epoch
+# drift (r15: ~25% uniform inflation that took an out-of-band worktree
+# re-bench to prove) is machine-readable from the driver artifact
+# alone: per-key ratios ~control_ratio ⇒ ambient, not code.
+CONTROL_KEYS = ["sort_limit_topk", "fn_date_trunc_month", "agg_group_sum_avg_minmax"]
+
+
+def load_control_refs() -> dict[str, float]:
+    """Committed idle-host reference seconds for the control keys."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_controls.json"
+    )
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if doc.get("sf_dir", "/root/testdata/sf0.1") != "/root/testdata/sf0.1":
+        return {}
+    return {k: float(v) for k, v in doc.get("controls", {}).items()}
+
+
 def load_fence_priors() -> dict[str, dict]:
     """Newest committed fresh-JVM variance prior per key, scanned from
     docs/bench_variance_*.json in name order (later rounds win). Only
@@ -224,6 +249,21 @@ def main() -> None:
         "idle_waited_s": idle_waited_s,
         "loaded_host": bool(loaded_host),
     }
+    # host-epoch control ratio (never-touched keys vs committed refs)
+    if sf_dir.rstrip("/") == "/root/testdata/sf0.1":
+        refs = load_control_refs()
+        cr = [
+            timings[k] / refs[k]
+            for k in CONTROL_KEYS
+            if k in timings and refs.get(k)
+        ]
+        if cr:
+            import math
+
+            full["control_ratio"] = round(
+                math.exp(sum(math.log(r) for r in cr) / len(cr)), 3
+            )
+            full["control_keys"] = [k for k in CONTROL_KEYS if refs.get(k)]
     # per-key fence adjudication: fences are fresh-JVM medians/IQR, a
     # warm shared-JVM best-of-N should sit at or below them — a key
     # above its hi-fence on an idle host is a real drift signal; on a
@@ -266,7 +306,9 @@ def main() -> None:
     slim = {
         k: v
         for k, v in full.items()
-        if k not in ("query_runs", "query_means", "query_medians", "vs_fence")
+        if k
+        not in ("query_runs", "query_means", "query_medians", "vs_fence",
+                "control_keys")
     }
     # the slim line must keep "queries" under the 2000-char tail
     # window: emit the self-adjudication fields only when they carry

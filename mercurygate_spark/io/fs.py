@@ -37,6 +37,20 @@ def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(jpath, recursive))
 
 
+def rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    """Scheme-aware rename (move). On local disk and HDFS this is a
+    metadata-only directory move — the cheap half of a
+    write-to-staging-then-swap publish (guide §6: a staged table swap
+    must not re-write the bytes it just wrote). On object stores
+    without atomic rename (s3a) the FileSystem implementation falls
+    back to a server-side copy — still no recompute and no Spark job.
+    Raises when the filesystem refuses the rename (e.g. dst exists)."""
+    fs, jsrc = _fs_and_path(spark, src)
+    _, jdst = _fs_and_path(spark, dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
 def dir_size_bytes(spark: SparkSession, path: str) -> int:
     """Total byte size under a path (ContentSummary — one namenode/
     object-store listing, no data read)."""

@@ -2085,6 +2085,15 @@ def ivfpq_retrain_swap(
          the post-swap probe join still reads `Bucketed: true` with
          zero index-side Exchange (plan-pinned in tests/test_plans.py).
 
+    ``quantizers`` (optional) bypasses step 1: it MUST be the output of
+    ``train_ivfpq_quantizers(grown, id_col, vec_col)`` on the SAME
+    grown frame/columns — the bypass exists so a caller that already
+    ran that (deterministic) retrain concurrently with building the
+    pre-swap state hands the result in instead of paying the training
+    scans twice. Handing in quantizers trained on a different frame
+    would silently build a wrong index; the shape is asserted below,
+    the provenance is the caller's contract.
+
     Returns (cmat, cmats) — the retrained quantizers the serving layer
     must load alongside the swapped index (query-side distance tables
     built from stale quantizers against re-encoded codes would be
@@ -2092,14 +2101,20 @@ def ivfpq_retrain_swap(
     from mercurygate_spark.io.bucketing import swap_bucketed, write_bucketed
 
     spark = grown.sparkSession
-    # ``quantizers`` lets a caller that already ran the (deterministic)
-    # retrain — e.g. concurrently with building the pre-swap state —
-    # hand the result in instead of paying the training scans twice.
-    cmat, cmats = (
-        quantizers
-        if quantizers is not None
-        else train_ivfpq_quantizers(grown, id_col, vec_col)
-    )
+    if quantizers is not None:
+        cmat, cmats = quantizers
+        if (
+            cmat.shape[0] != N_CENTROIDS
+            or len(cmats) != PQ_M
+            or any(cm.shape != (PQ_K, PQ_SUBDIM) for cm in cmats)
+        ):
+            raise ValueError(
+                "quantizers= must be train_ivfpq_quantizers() output: "
+                f"got cmat {cmat.shape}, {len(cmats)} codebooks "
+                f"(want {N_CENTROIDS}×dims, {PQ_M}×({PQ_K},{PQ_SUBDIM}))"
+            )
+    else:
+        cmat, cmats = train_ivfpq_quantizers(grown, id_col, vec_col)
     staging = f"{table_name}__new"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     write_bucketed(

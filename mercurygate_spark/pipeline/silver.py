@@ -51,6 +51,30 @@ def publish_snapshot(df: DataFrame, spec: TableSpec, path: str) -> str:
     return write_delta_or_parquet(latest, path, mode="overwrite")
 
 
+def _staged_swap(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Publish ``df`` over a path its own plan READS: write once to a
+    staging dir, then swap the staging dir in with a filesystem rename
+    (io.fs.rename_path — metadata-only on local disk/HDFS).
+
+    This used to re-read the staging dir and write the bytes a SECOND
+    time to the final path; per merge that doubled the write volume of
+    the whole table (at 100 TB, a full extra history write per load —
+    guide §6). The rename publishes the identical files with zero
+    additional Spark jobs. The staging hop itself can't be skipped:
+    the merged frame's lineage reads ``path``, so overwriting it in
+    place would clobber the merge's own input mid-job."""
+    from mercurygate_spark.io.fs import delete_path, rename_path
+
+    staging = path.rstrip("/") + "__staging"
+    write_delta_or_parquet(df, staging, mode="overwrite")
+    delete_path(spark, path)
+    rename_path(spark, staging, path)
+    # the rename happened behind Spark's back — drop any cached file
+    # listing/data for both paths so the next read lists fresh
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(staging)
+
+
 def merge_upsert_scd(
     spark: SparkSession,
     incoming: DataFrame,
@@ -75,7 +99,7 @@ def merge_upsert_scd(
     API (io.fs) so the first-load/refresh routing works on s3a://,
     abfss://, hdfs:// — not just the driver's local disk (the
     reference's os.path.exists bug, SURVEY.md §2d-3)."""
-    from mercurygate_spark.io.fs import delete_path, path_exists
+    from mercurygate_spark.io.fs import path_exists
 
     incoming_latest = dedupe_latest(incoming, spec.primary_key, spec.order_by)
     if not path_exists(spark, path):
@@ -95,12 +119,7 @@ def merge_upsert_scd(
         ).withColumn(
             "active", F.when(F.col("__present").isNull(), F.lit("N")).otherwise(F.col("active"))
         ).drop("__present")
-    # overwrite via staging path — can't overwrite a parquet dir being read
-    staging = path.rstrip("/") + "__staging"
-    write_delta_or_parquet(current, staging, mode="overwrite")
-    final = read_delta_or_parquet(spark, staging)
-    write_delta_or_parquet(final, path, mode="overwrite")
-    delete_path(spark, staging)
+    _staged_swap(spark, current, path)
     return read_delta_or_parquet(spark, path)
 
 
@@ -141,7 +160,7 @@ def merge_upsert_scd2(
     closed partition. Timestamps are caller-supplied strings so
     replay/backfill is deterministic — no wall-clock reads inside the
     merge."""
-    from mercurygate_spark.io.fs import delete_path, path_exists
+    from mercurygate_spark.io.fs import path_exists
 
     incoming = dedupe_latest(incoming, pk, order_by or []).select(*pk, *tracked)
 
@@ -190,9 +209,5 @@ def merge_upsert_scd2(
         .unionByName(to_close)
         .unionByName(to_insert)
     )
-    staging = path.rstrip("/") + "__staging"
-    write_delta_or_parquet(new_hist, staging, mode="overwrite")
-    final = read_delta_or_parquet(spark, staging)
-    write_delta_or_parquet(final, path, mode="overwrite")
-    delete_path(spark, staging)
+    _staged_swap(spark, new_hist, path)
     return read_delta_or_parquet(spark, path)

@@ -98,22 +98,31 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_punct") * 100 <= F.col("char_len") * MAX_PUNCT_PCT)
     )
 
-    # 2. exact dedup: keeper = min doc_id per normalized-text fingerprint
+    # 2. exact dedup: keeper = min doc_id per normalized-text fingerprint.
+    # The survivor set feeds TWO consumers (minhash signatures + the
+    # left_anti keep); materialize the LIGHTWEIGHT id frame once
+    # (doc_id, n_tokens — no text; the funnel id-frame treatment, guide
+    # §2.4) so neither consumer re-derives the quality-regex scan +
+    # fingerprint window. A round-6 note rejected checkpointing the
+    # TEXT rows (materializing text cost more than the re-scans); the
+    # id frame avoids exactly that cost, and the signature branch
+    # reattaches text with a doc_id join against the raw scan instead
+    # of a second regex+window pass over the corpus.
     w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
-    survivors = (
+    surv_ids = (
         quality.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select("doc_id", "text", "n_tokens")
-        # NOTE deliberately NOT checkpointed despite two consumers
-        # (minhash signatures + the left_anti keep): measured at
-        # sf0.1, materializing the text rows costs more than the two
-        # regex re-scans it would save (4.4 s vs 4.0 s round 6) — the
-        # signatures frame inside minhash_candidate_pairs is already
-        # checkpointed, which is where reuse actually pays.
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=True)
     )
 
-    # 3. transitive near-dup removal over the survivors only
-    pairs = minhash_candidate_pairs(survivors, "doc_id").where(
+    # 3. transitive near-dup removal over the survivors only (text
+    # reattached by id — same rows as filtering the quality chain,
+    # since doc_id is unique in the scan)
+    surv_docs = docs.select("doc_id", "text").join(
+        surv_ids.select("doc_id"), "doc_id"
+    )
+    pairs = minhash_candidate_pairs(surv_docs, "doc_id").where(
         F.col("n_shared_bands") >= 2
     )
     removed = (
@@ -121,7 +130,7 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
-    kept = survivors.join(removed, "doc_id", "left_anti")
+    kept = surv_ids.join(removed, "doc_id", "left_anti")
 
     # 4. leakage-safe deterministic split
     b = hash_bucket(F.col("doc_id"))
@@ -1856,23 +1865,18 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical to the sequential order — only the job schedule
     # changes, so the tail of each stage back-fills the other's idle
     # capacity.
-    from pyspark import InheritableThread
+    from mercurygate_spark.concurrency import run_in_background
 
-    _train_out: dict = {}
-
-    def _train() -> None:
-        try:
-            _train_out["scorer"] = qc_trained_scorer(d)
-        except BaseException as exc:  # re-raised on join below
-            _train_out["err"] = exc
-
-    _th = InheritableThread(target=_train)
-    _th.start()
+    _train_job = run_in_background(lambda: qc_trained_scorer(d), "qc-train")
 
     # stage 1: the funnel's survivor chain (checkpointed: the sig row
     # and the classifier join both read it without re-deriving the
     # funnel lineage)
-    s3 = funnel_stage_ids(d)["s3"].localCheckpoint(eager=True)
+    try:
+        s3 = funnel_stage_ids(d)["s3"].localCheckpoint(eager=True)
+    except BaseException:
+        _train_job.wait_quietly()  # don't leave orphaned training jobs
+        raise
     _llm_trace("t_funnel", _t0)
 
     # stage 2: classifier keep over exactly those survivors. The
@@ -1883,10 +1887,7 @@ def pipeline_llm_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only surviving docs (guide §2.3: filter before the exchange).
     # Training (qc_trained_scorer) still sees the full corpus — that
     # is the contract the oracle replays.
-    _th.join()
-    if "err" in _train_out:
-        raise _train_out["err"]
-    _, score_col = _train_out["scorer"]
+    _, score_col = _train_job.result()
     feats = _qc_feature_frame(d.join(s3, "doc_id"))
     scored = feats.select(
         "doc_id", score_col()

@@ -516,23 +516,15 @@ def dedup_cluster_rep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InheritableThread while the main thread drives the star-
     # contraction rounds (guide §2.6 — identical results, the two
     # iterative chains back-fill each other's stragglers).
-    from pyspark import InheritableThread
+    from mercurygate_spark.concurrency import run_in_background
 
-    _train_out: dict = {}
-
-    def _train() -> None:
-        try:
-            _train_out["scorer"] = qc_trained_scorer(d)
-        except BaseException as exc:  # re-raised on join below
-            _train_out["err"] = exc
-
-    _th = InheritableThread(target=_train)
-    _th.start()
-    comps = connected_components(pairs).localCheckpoint(eager=True)
-    _th.join()
-    if "err" in _train_out:
-        raise _train_out["err"]
-    _, score_col = _train_out["scorer"]
+    _train_job = run_in_background(lambda: qc_trained_scorer(d), "qc-train")
+    try:
+        comps = connected_components(pairs).localCheckpoint(eager=True)
+    except BaseException:
+        _train_job.wait_quietly()  # don't leave orphaned training jobs
+        raise
+    _, score_col = _train_job.result()
     # Score only the CC node set: comps is edge-bounded (one row per
     # node that appears in a candidate pair — a small subset of the
     # corpus), and featurization is per-doc deterministic, so

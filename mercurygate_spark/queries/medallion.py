@@ -174,34 +174,33 @@ def pipeline_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run 1's ingest/publish stragglers (guide §2.6). Run 2's
         # INGEST still waits — its first-load routing probes the claim
         # dir run 1 creates.
-        from pyspark import InheritableThread
+        from mercurygate_spark.concurrency import run_in_background
 
         csv2 = f"{root}/extract2"
-        _x2_out: dict = {}
-
-        def _extract2() -> None:
-            try:
-                snap2.write.mode("overwrite").option("header", True).csv(csv2)
-            except BaseException as exc:  # re-raised on join below
-                _x2_out["err"] = exc
-
-        _th = InheritableThread(target=_extract2)
-        _th.start()
+        _x2_job = run_in_background(
+            lambda: snap2.write.mode("overwrite").option("header", True).csv(csv2),
+            "refresh-extract",
+        )
 
         # ---- run 1: first load → datePart=Historic → silver create
-        csv1 = f"{root}/extract1"
-        snap1.write.mode("overwrite").option("header", True).csv(csv1)
-        ingest_table(
-            spark, csv1, spec, bronze_base, "mm", "medallion_e2e", RUN1_TS,
-            mode="initial",
-        )
-        bronze1 = spark.read.parquet(f"{bronze_base}/claim")
-        merge_upsert_scd(spark, conform(bronze1, spec), spec, silver_path)
+        try:
+            csv1 = f"{root}/extract1"
+            snap1.write.mode("overwrite").option("header", True).csv(csv1)
+            ingest_table(
+                spark, csv1, spec, bronze_base, "mm", "medallion_e2e", RUN1_TS,
+                mode="initial",
+            )
+            bronze1 = spark.read.parquet(f"{bronze_base}/claim")
+            merge_upsert_scd(spark, conform(bronze1, spec), spec, silver_path)
+        except BaseException:
+            # wait for the extract thread before the outer finally's
+            # rmtree — deleting root under an in-flight Spark write
+            # would bury the real error in secondary task failures
+            _x2_job.wait_quietly()
+            raise
 
         # ---- run 2: refresh extract → datePart=2026-02-01 → merge
-        _th.join()
-        if "err" in _x2_out:
-            raise _x2_out["err"]
+        _x2_job.result()
         ingest_table(
             spark, csv2, spec, bronze_base, "mm", "medallion_e2e", RUN2_TS,
             mode="refresh", date_part="2026-02-01",

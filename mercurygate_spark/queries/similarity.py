@@ -1376,35 +1376,27 @@ def sim_ivfpq_reindex_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InheritableThread so its training scans overlap the gen-0
     # build/append below (guide §2.6). The encode+swap still waits for
     # the live name. Identical quantizers either way.
-    from pyspark import InheritableThread
+    from mercurygate_spark.concurrency import run_in_background
 
-    _rt_out: dict = {}
-
-    def _retrain() -> None:
-        try:
-            _rt_out["q"] = train_ivfpq_quantizers(e)
-        except BaseException as exc:  # re-raised on join below
-            _rt_out["err"] = exc
-
-    _th = InheritableThread(target=_retrain)
-    _th.start()
-    # the drifted "before" state: frozen quantizers + appended batch
-    cmat0, cmats0 = train_ivfpq_quantizers(corpus)
-    write_bucketed(
-        ivfpq_encode(corpus, cmat0, cmats0), name, "centroid_id", 8,
-        sort_by="centroid_id",
-    )
-    register_tmp_table(spark, name)
-    write_bucketed(
-        ivfpq_encode(batch, cmat0, cmats0), name, "centroid_id", 8,
-        sort_by="centroid_id", mode="append",
-    )
+    _rt_job = run_in_background(lambda: train_ivfpq_quantizers(e), "ivfpq-retrain")
+    try:
+        # the drifted "before" state: frozen quantizers + appended batch
+        cmat0, cmats0 = train_ivfpq_quantizers(corpus)
+        write_bucketed(
+            ivfpq_encode(corpus, cmat0, cmats0), name, "centroid_id", 8,
+            sort_by="centroid_id",
+        )
+        register_tmp_table(spark, name)
+        write_bucketed(
+            ivfpq_encode(batch, cmat0, cmats0), name, "centroid_id", 8,
+            sort_by="centroid_id", mode="append",
+        )
+    except BaseException:
+        _rt_job.wait_quietly()  # don't leave orphaned training jobs
+        raise
     # the retrain cycle: new quantizers on the grown corpus, re-encode,
     # atomic swap into the live name
-    _th.join()
-    if "err" in _rt_out:
-        raise _rt_out["err"]
-    cmat, cmats = ivfpq_retrain_swap(e, name, quantizers=_rt_out["q"])
+    cmat, cmats = ivfpq_retrain_swap(e, name, quantizers=_rt_job.result())
     return ivfpq_adc_topk(
         e, k=TOP_K, n_queries=N_QUERIES,
         index=spark.table(name), quantizers=(cmat, cmats),
