@@ -123,6 +123,27 @@ def merge_upsert_scd(
     return read_delta_or_parquet(spark, path)
 
 
+def _scd2_dirs(path: str) -> tuple[str, str]:
+    """The SCD2 table's two physical partitions: ``open/`` (the live
+    version per key — overwritten per load via staged swap) and
+    ``closed/`` (finished versions — append-only, never read by the
+    merge and never rewritten)."""
+    root = path.rstrip("/")
+    return root + "/open", root + "/closed"
+
+
+def read_scd2_history(spark: SparkSession, path: str) -> DataFrame:
+    """Full SCD2 history = open ∪ closed. The ONLY reader of the
+    closed partition — the merge itself never scans it."""
+    from mercurygate_spark.io.fs import path_exists
+
+    o_dir, c_dir = _scd2_dirs(path)
+    out = read_delta_or_parquet(spark, o_dir)
+    if path_exists(spark, c_dir):
+        out = out.unionByName(read_delta_or_parquet(spark, c_dir))
+    return out
+
+
 def merge_upsert_scd2(
     spark: SparkSession,
     incoming: DataFrame,
@@ -146,7 +167,17 @@ def merge_upsert_scd2(
     - UNCHANGED          → untouched (idempotent: replaying the same
       snapshot is a no-op — pinned by test_merge_semantics);
     - VANISHED key       → close the open row, no successor.
-    Closed history rows are never rewritten.
+    Closed history rows are never rewritten — PHYSICALLY: the table
+    is two partitions (``path/open`` and ``path/closed``, see
+    _scd2_dirs); the merge reads ONLY the open rows, APPENDS the newly
+    closed versions to ``closed/``, and staged-swaps the new open set.
+    Per load the scan volume is O(live keys) and the write volume is
+    O(live keys + changes) — not O(full history) for both, which is
+    what the previous single-dir layout paid (at 100 TB, every load
+    re-read and re-wrote years of closed versions just to carry them
+    across the overwrite). ``closed/`` accumulates one file set per
+    load; at scale that is the append-only date-partitioned history
+    every lakehouse compacts on its own schedule.
 
     Plan: reduce incoming to ONE row per pk first (order_by DESC when
     supplied, else a deterministic md5 pick — same contract as
@@ -156,13 +187,13 @@ def merge_upsert_scd2(
     between the open rows and that latest-per-pk incoming on the pk
     (both sides shuffle once; AQE handles skew), a null-safe struct
     comparison over the tracked columns (null-safe so a NULL→value
-    transition counts as a change), then a union with the untouched
-    closed partition. Timestamps are caller-supplied strings so
-    replay/backfill is deterministic — no wall-clock reads inside the
-    merge."""
+    transition counts as a change). Timestamps are caller-supplied
+    strings so replay/backfill is deterministic — no wall-clock reads
+    inside the merge."""
     from mercurygate_spark.io.fs import path_exists
 
     incoming = dedupe_latest(incoming, pk, order_by or []).select(*pk, *tracked)
+    o_dir, c_dir = _scd2_dirs(path)
 
     def open_row(df: DataFrame) -> DataFrame:
         return df.select(
@@ -173,14 +204,13 @@ def merge_upsert_scd2(
             F.lit(True).alias("is_current"),
         )
 
-    if not path_exists(spark, path):
+    if not path_exists(spark, o_dir):
         out = open_row(incoming)
-        write_delta_or_parquet(out, path, mode="overwrite")
-        return read_delta_or_parquet(spark, path)
+        write_delta_or_parquet(out, o_dir, mode="overwrite")
+        return read_scd2_history(spark, path)
 
-    hist = read_delta_or_parquet(spark, path)
-    closed = hist.where(~F.col("is_current"))
-    cur = hist.where(F.col("is_current"))
+    # the merge scans ONLY the live rows; closed history stays on disk
+    cur = read_delta_or_parquet(spark, o_dir).where(F.col("is_current"))
 
     inc = incoming.select(*pk, *tracked)
     tracked_struct = lambda side: F.struct(  # noqa: E731
@@ -204,10 +234,12 @@ def merge_upsert_scd2(
             *pk, *[F.col(f"i.{c}").alias(c) for c in tracked]
         )
     )
-    new_hist = (
-        closed.unionByName(unchanged)
-        .unionByName(to_close)
-        .unionByName(to_insert)
-    )
-    _staged_swap(spark, new_hist, path)
-    return read_delta_or_parquet(spark, path)
+    # newly closed versions append to the closed partition (the only
+    # write it ever sees); the new open set staged-swaps into open/.
+    # The append must land BEFORE the swap: to_close reads open/, and
+    # both frames read it through the full-outer join above — the
+    # append materializes to_close while its input still exists.
+    write_delta_or_parquet(to_close, c_dir, mode="append")
+    new_open = unchanged.unionByName(to_insert)
+    _staged_swap(spark, new_open, o_dir)
+    return read_scd2_history(spark, path)

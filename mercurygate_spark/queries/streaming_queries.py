@@ -800,7 +800,9 @@ def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # correctness-critical drain invariant: bare assert would be
         # stripped under python -O and silently return partial history
         raise RuntimeError(f"generations never arrived: {schedule}")
-    hist = spark.read.parquet(table).select(
+    from mercurygate_spark.pipeline.silver import read_scd2_history
+
+    hist = read_scd2_history(spark, table).select(
         "c_custkey", "bal", "valid_from", "valid_to", "is_current"
     )
     out = hist.localCheckpoint(eager=True)
